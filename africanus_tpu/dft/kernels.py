@@ -1,0 +1,164 @@
+"""Direct Fourier transforms between source/pixel space and visibilities.
+
+TPU-native equivalents of reference ``africanus/dft/kernels.py`` (im_to_vis:15,
+vis_to_im:73). The reference's row/source/chan triple loops become matrix
+products over the source dimension — exactly MXU-shaped: a (row × source)
+phase matrix contracted against (source × corr) flux per channel. Complex
+arithmetic is carried as split re/im real matmuls (TPUs have no complex
+element type); the ``*_ri`` cores are pair-native and the complex-dtype
+wrappers assemble at the API boundary.
+
+For large problems run the cores under ``shard_map`` with rows sharded
+across the mesh (see ``africanus_tpu.parallel``); im_to_vis contracts the
+source dimension locally (no collective), while vis_to_im needs a ``psum``
+over the row-sharded axis.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from africanus_tpu.constants import minus_two_pi_over_c, two_pi_over_c
+from africanus_tpu.ops.cplx import Cplx, cplx
+from africanus_tpu.utils.types import complex_dtype_for, real_dtype_for
+
+__all__ = ["im_to_vis", "vis_to_im", "im_to_vis_ri", "vis_to_im_ri"]
+
+
+def _phase_dot(uvw, lm, real_dtype):
+    """(source, row) geometric delay: l·u + m·v + (n-1)·w.
+
+    Computed elementwise rather than as a (source,3)@(3,row) matmul: TPU
+    matmuls default to bf16 operand precision, which is catastrophic for
+    phases reaching 1e4 rad. Three exact f32 VPU multiplies keep full
+    f32 accuracy.
+    """
+    l = lm[:, 0].astype(real_dtype)  # noqa: E741
+    m = lm[:, 1].astype(real_dtype)
+    n = jnp.sqrt(jnp.maximum(1.0 - l * l - m * m, 0.0)) - 1.0
+    uvw = uvw.astype(real_dtype)
+    return (
+        l[:, None] * uvw[None, :, 0]
+        + m[:, None] * uvw[None, :, 1]
+        + n[:, None] * uvw[None, :, 2]
+    )
+
+
+def im_to_vis_ri(
+    image, uvw, lm, frequency, convention: str = "fourier", real_dtype=None
+) -> Cplx:
+    """Pair-native DFT predict: V[r,ν,c] = Σ_s e^{iφ(s,r,ν)} · I[s,ν,c].
+
+    Parameters
+    ----------
+    image : (source, chan, corr) real array or Cplx pair
+    uvw : (row, 3); lm : (source, 2); frequency : (chan,)
+
+    Returns
+    -------
+    Cplx with (row, chan, corr) components.
+    """
+    uvw = jnp.asarray(uvw)
+    lm = jnp.asarray(lm)
+    frequency = jnp.asarray(frequency)
+
+    if convention == "fourier":
+        constant = minus_two_pi_over_c
+    elif convention == "casa":
+        constant = two_pi_over_c
+    else:
+        raise ValueError("convention not in ('fourier', 'casa')")
+
+    img = cplx(image)
+    if real_dtype is None:
+        real_dtype = jnp.result_type(
+            img.re.dtype, uvw.dtype, lm.dtype, frequency.dtype
+        )
+
+    phase = constant * _phase_dot(uvw, lm, real_dtype)
+    p = phase[:, :, None] * frequency.astype(real_dtype)  # (source, row, chan)
+    cos_p = jnp.cos(p)
+    sin_p = jnp.sin(p)
+
+    ire = img.re.astype(real_dtype)
+    iim = img.im.astype(real_dtype)
+
+    # (e^{ip} · I): four real source-contractions on the MXU
+    def dot(k, x):
+        return jnp.einsum("srf,sfc->rfc", k, x, precision=lax.Precision.HIGHEST)
+
+    re = dot(cos_p, ire) - dot(sin_p, iim)
+    im = dot(sin_p, ire) + dot(cos_p, iim)
+    return Cplx(re, im)
+
+
+def im_to_vis(image, uvw, lm, frequency, convention: str = "fourier", dtype=None):
+    """Complex-dtype DFT predict: (row, chan, corr) complex array."""
+    out_dtype = (
+        jnp.dtype(dtype)
+        if dtype is not None
+        else complex_dtype_for(image, uvw, lm, frequency)
+    )
+    real_dtype = jnp.finfo(out_dtype).dtype
+    v = im_to_vis_ri(image, uvw, lm, frequency, convention, real_dtype=real_dtype)
+    return lax.complex(v.re.astype(real_dtype), v.im.astype(real_dtype))
+
+
+def vis_to_im_ri(
+    vis, uvw, lm, frequency, flags, convention: str = "fourier", real_dtype=None
+):
+    """Pair-native adjoint DFT.
+
+    I[s,ν,c] = Σ_r Re( e^{iφ(s,r,ν)} · V[r,ν,c] ); any (row, chan) cell in
+    which *any* correlation is flagged is excluded entirely (reference
+    ``dft/kernels.py:124-139`` drops the whole row-chan to avoid mixing
+    Stokes terms).
+
+    Returns
+    -------
+    (source, chan, corr) real array.
+    """
+    uvw = jnp.asarray(uvw)
+    lm = jnp.asarray(lm)
+    frequency = jnp.asarray(frequency)
+    flags = jnp.asarray(flags)
+
+    if convention == "fourier":
+        constant = two_pi_over_c
+    elif convention == "casa":
+        constant = minus_two_pi_over_c
+    else:
+        raise ValueError("convention not in ('fourier', 'casa')")
+
+    v = cplx(vis)
+    if real_dtype is None:
+        real_dtype = jnp.result_type(v.re.dtype, uvw.dtype, lm.dtype, frequency.dtype)
+
+    # Zero out (row, chan) cells where any correlation is flagged
+    unflagged = ~jnp.any(flags != 0, axis=-1)  # (row, chan)
+    mask = unflagged[:, :, None].astype(real_dtype)
+    vr = v.re.astype(real_dtype) * mask
+    vi = v.im.astype(real_dtype) * mask
+
+    phase = constant * _phase_dot(uvw, lm, real_dtype)
+    p = phase[:, :, None] * frequency.astype(real_dtype)  # (source, row, chan)
+
+    # Re(e^{ip} V) = cos(p)·Re(V) − sin(p)·Im(V); contract rows on the MXU
+    def dot(k, x):
+        return jnp.einsum("srf,rfc->sfc", k, x, precision=lax.Precision.HIGHEST)
+
+    return dot(jnp.cos(p), vr) - dot(jnp.sin(p), vi)
+
+
+def vis_to_im(vis, uvw, lm, frequency, flags, convention: str = "fourier", dtype=None):
+    """Adjoint DFT with reference dtype semantics ((source, chan, corr) real)."""
+    if dtype is not None:
+        out_dtype = jnp.dtype(dtype)
+        if jnp.issubdtype(out_dtype, jnp.complexfloating):
+            raise TypeError("dtype must be real")
+    else:
+        out_dtype = real_dtype_for(vis, uvw, lm, frequency)
+
+    out = vis_to_im_ri(vis, uvw, lm, frequency, flags, convention, real_dtype=out_dtype)
+    return out.astype(out_dtype)

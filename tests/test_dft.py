@@ -1,0 +1,122 @@
+"""DFT parity vs literal numpy oracles of the reference math
+(dft/kernels.py:15-148), plus adjointness and sharding invariance."""
+
+import numpy as np
+from numpy.testing import assert_allclose
+import pytest
+
+from africanus_tpu.dft import im_to_vis, vis_to_im
+
+C = 2.99792458e8
+TWO_PI_OVER_C = 2.0 * np.pi / C
+
+
+def np_im_to_vis(image, uvw, lm, frequency, convention="fourier"):
+    constant = -TWO_PI_OVER_C if convention == "fourier" else TWO_PI_OVER_C
+    nrow, nsrc, nchan, ncorr = (
+        uvw.shape[0],
+        lm.shape[0],
+        frequency.shape[0],
+        image.shape[-1],
+    )
+    vis = np.zeros((nrow, nchan, ncorr), np.complex128)
+    for r in range(nrow):
+        u, v, w = uvw[r]
+        for s in range(nsrc):
+            l, m = lm[s]
+            n = np.sqrt(1.0 - l**2 - m**2) - 1.0
+            real_phase = constant * (l * u + m * v + n * w)
+            for nu in range(nchan):
+                p = real_phase * frequency[nu] * 1.0j
+                vis[r, nu] += np.exp(p) * image[s, nu]
+    return vis
+
+
+def np_vis_to_im(vis, uvw, lm, frequency, flags, convention="fourier"):
+    constant = TWO_PI_OVER_C if convention == "fourier" else -TWO_PI_OVER_C
+    nrow, nsrc, nchan, ncorr = (
+        uvw.shape[0],
+        lm.shape[0],
+        frequency.shape[0],
+        vis.shape[-1],
+    )
+    im = np.zeros((nsrc, nchan, ncorr), np.float64)
+    for s in range(nsrc):
+        l, m = lm[s]
+        n = np.sqrt(1.0 - l**2 - m**2) - 1.0
+        for r in range(nrow):
+            u, v, w = uvw[r]
+            real_phase = constant * (l * u + m * v + n * w)
+            for nu in range(nchan):
+                if np.any(flags[r, nu]):
+                    continue
+                p = real_phase * frequency[nu]
+                im[s, nu] += np.cos(p) * vis[r, nu].real - np.sin(p) * vis[r, nu].imag
+    return im
+
+
+@pytest.fixture
+def dft_data(rng):
+    nsrc, nrow, nchan, ncorr = 6, 21, 8, 2
+    lm = rng.uniform(-0.01, 0.01, (nsrc, 2))
+    uvw = rng.uniform(-800.0, 800.0, (nrow, 3))
+    freq = np.linspace(0.856e9, 1.712e9, nchan)
+    image = rng.normal(size=(nsrc, nchan, ncorr))
+    return lm, uvw, freq, image
+
+
+@pytest.mark.parametrize("convention", ["fourier", "casa"])
+def test_im_to_vis_parity(dft_data, convention):
+    lm, uvw, freq, image = dft_data
+    out = np.asarray(im_to_vis(image, uvw, lm, freq, convention=convention))
+    expected = np_im_to_vis(image, uvw, lm, freq, convention=convention)
+    assert out.dtype == np.complex128
+    assert_allclose(out, expected, rtol=1e-9, atol=1e-10)
+
+
+def test_vis_to_im_parity(rng, dft_data):
+    lm, uvw, freq, _ = dft_data
+    nrow, nchan, ncorr = uvw.shape[0], freq.shape[0], 2
+    vis = rng.normal(size=(nrow, nchan, ncorr)) + 1j * rng.normal(
+        size=(nrow, nchan, ncorr)
+    )
+    flags = rng.uniform(size=(nrow, nchan, ncorr)) < 0.2
+
+    out = np.asarray(vis_to_im(vis, uvw, lm, freq, flags))
+    expected = np_vis_to_im(vis, uvw, lm, freq, flags)
+    assert out.dtype == np.float64
+    assert_allclose(out, expected, rtol=1e-9, atol=1e-9)
+
+
+def test_dft_adjointness(rng, dft_data):
+    """<F I, V> == <I, F^H V> — the reference validates im_to_vis/vis_to_im
+    as an adjoint pair the same way (dft tests)."""
+    lm, uvw, freq, image = dft_data
+    nrow, nchan, ncorr = uvw.shape[0], freq.shape[0], image.shape[-1]
+    vis = rng.normal(size=(nrow, nchan, ncorr)) + 1j * rng.normal(
+        size=(nrow, nchan, ncorr)
+    )
+    flags = np.zeros((nrow, nchan, ncorr), bool)
+
+    FI = np.asarray(im_to_vis(image, uvw, lm, freq))
+    FHV = np.asarray(vis_to_im(vis, uvw, lm, freq, flags))
+
+    lhs = np.vdot(vis, FI).real
+    rhs = np.sum(image * FHV)
+    assert_allclose(lhs, rhs, rtol=1e-9)
+
+
+def test_im_to_vis_row_shard_invariance(dft_data):
+    """Sharding rows over a device mesh must not change results —
+    the TPU analogue of the reference's chunking-invariance dask tests."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    lm, uvw, freq, image = dft_data
+    expected = np.asarray(im_to_vis(image, uvw, lm, freq))
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:7]).reshape(7), ("row",))
+    uvw_s = jax.device_put(uvw, NamedSharding(mesh, P("row", None)))
+    out = np.asarray(im_to_vis(image, uvw_s, lm, freq))
+    assert_allclose(out, expected, rtol=1e-9, atol=1e-10)
