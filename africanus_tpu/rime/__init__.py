@@ -5,6 +5,14 @@ from africanus_tpu.rime.predict import (
     apply_gains,
     apply_gains_ri,
 )
+from africanus_tpu.rime.parangles import parallactic_angles
+from africanus_tpu.rime.feeds import feed_rotation, feed_rotation_ri
+from africanus_tpu.rime.transform import transform_sources
+from africanus_tpu.rime.fast_beam_cubes import (
+    beam_cube_dde,
+    beam_cube_dde_ri,
+    freq_grid_interp,
+)
 
 __all__ = [
     "phase_delay",
@@ -13,4 +21,11 @@ __all__ = [
     "predict_vis_ri",
     "apply_gains",
     "apply_gains_ri",
+    "parallactic_angles",
+    "feed_rotation",
+    "feed_rotation_ri",
+    "transform_sources",
+    "beam_cube_dde",
+    "beam_cube_dde_ri",
+    "freq_grid_interp",
 ]

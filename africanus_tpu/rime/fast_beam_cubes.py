@@ -1,0 +1,205 @@
+"""Beam cube DDE (E Jones): trilinear interpolation of a complex beam cube.
+
+TPU-native equivalent of reference ``africanus/rime/fast_beam_cubes.py``
+(beam_cube_dde:58, freq_grid_interp:11) and the CUDA kernels
+``rime/cuda/beam.cu.j2`` / ``beam_freq_interp.cu.j2``. The reference's
+per-(t,a,s,f) scalar loop with a binary search per channel becomes:
+
+- a vectorised ``searchsorted`` over the channel axis (freq_grid_interp);
+- one fused coordinate-transform broadcast over (src, time, ant, chan);
+- 8 XLA gathers (the trilinear corners) + weighted accumulation.
+
+Normalisation follows the reference exactly: the interpolated amplitude is
+the weighted mean of corner amplitudes while the phase comes from the
+complex interpolation (``corr_sum * absc_sum / |corr_sum|``,
+fast_beam_cubes.py:224-233) — preserving beam amplitude under rotation.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import jax.numpy as jnp
+from jax import lax
+
+from africanus_tpu.ops.cplx import Cplx, cplx
+
+__all__ = ["beam_cube_dde", "beam_cube_dde_ri", "freq_grid_interp"]
+
+
+def freq_grid_interp(frequency, beam_freq_map):
+    """Per-channel (freq_scale, lower_weight, lower_grid_pos).
+
+    Reference semantics (fast_beam_cubes.py:11-55): frequencies below/above
+    the beam cube's frequency map scale the lm coordinates instead of
+    extrapolating, and clamp interpolation weights to the nearest slab.
+
+    Returns
+    -------
+    (chan, 3) array: [:, 0] lm frequency scale, [:, 1] weight of the lower
+    frequency slab, [:, 2] lower slab index (as float, reference layout).
+    """
+    frequency = jnp.asarray(frequency)
+    fmap = jnp.asarray(beam_freq_map)
+    n = fmap.shape[0]
+
+    i1 = jnp.clip(jnp.searchsorted(fmap, frequency, side="left"), 1, n - 1)
+    gc0 = i1 - 1
+    f_low = fmap[gc0]
+    f_high = fmap[gc0 + 1]
+    nud = (f_high - frequency) / (f_high - f_low)
+    scale = jnp.ones_like(frequency)
+
+    below = frequency < fmap[0]
+    above = frequency > fmap[n - 1]
+
+    scale = jnp.where(below, frequency / fmap[0], scale)
+    scale = jnp.where(above, frequency / fmap[n - 1], scale)
+    nud = jnp.where(below, 1.0, jnp.where(above, 0.0, nud))
+    gc0 = jnp.where(below, 0, jnp.where(above, n - 2, gc0))
+
+    return jnp.stack([scale, nud, gc0.astype(frequency.dtype)], axis=-1)
+
+
+def beam_cube_dde_ri(
+    beam,
+    beam_lm_extents,
+    beam_freq_map,
+    lm,
+    parallactic_angles,
+    point_errors,
+    antenna_scaling,
+    frequency,
+) -> Cplx:
+    """Pair-native beam cube DDE.
+
+    Parameters
+    ----------
+    beam : (beam_lw, beam_mh, beam_nud, corr…) complex array or Cplx
+    beam_lm_extents : (2, 2) array [[lower_l, upper_l], [lower_m, upper_m]]
+    beam_freq_map : (beam_nud,) array
+    lm : (src, 2) array
+    parallactic_angles : (time, ant) array
+    point_errors : (time, ant, chan, 2) array
+    antenna_scaling : (ant, chan, 2) array
+    frequency : (chan,) array
+
+    Returns
+    -------
+    Cplx with (src, time, ant, chan, corr…) components.
+    """
+    b = cplx(beam)
+    ext = jnp.asarray(beam_lm_extents)
+    lm = jnp.asarray(lm)
+    pa = jnp.asarray(parallactic_angles)
+    pe = jnp.asarray(point_errors)
+    ascale = jnp.asarray(antenna_scaling)
+    frequency = jnp.asarray(frequency)
+
+    beam_lw, beam_mh, beam_nud = b.shape[:3]
+    corrs = b.shape[3:]
+    if beam_lw < 2 or beam_mh < 2 or beam_nud < 2:
+        raise ValueError("beam_lw, beam_mh and beam_nud must be >= 2")
+    ncorr = reduce(lambda x, y: x * y, corrs, 1)
+    fb = b.reshape((beam_lw, beam_mh, beam_nud, ncorr))
+
+    lower_l, upper_l = ext[0, 0], ext[0, 1]
+    lower_m, upper_m = ext[1, 0], ext[1, 1]
+    lmaxf = float(beam_lw - 1)
+    mmaxf = float(beam_mh - 1)
+    lscale = lmaxf / (upper_l - lower_l)
+    mscale = mmaxf / (upper_m - lower_m)
+
+    # Frequency interpolation data: (chan,)
+    fdata = freq_grid_interp(frequency, jnp.asarray(beam_freq_map))
+    freq_scale = fdata[:, 0]
+    nud = fdata[:, 1]
+    gc0 = fdata[:, 2].astype(jnp.int32)
+    gc1 = gc0 + 1
+    inv_nud = 1.0 - nud
+
+    # Coordinate transform, broadcast to (src, time, ant, chan)
+    l = lm[:, 0][:, None, None, None]  # noqa: E741
+    m = lm[:, 1][:, None, None, None]
+    sl = l * freq_scale  # frequency scaling
+    sm = m * freq_scale
+    tl = sl + pe[None, :, :, :, 0]  # pointing errors
+    tm = sm + pe[None, :, :, :, 1]
+    sin_pa = jnp.sin(pa)[None, :, :, None]
+    cos_pa = jnp.cos(pa)[None, :, :, None]
+    vl = tl * cos_pa - tm * sin_pa  # parallactic rotation
+    vm = tl * sin_pa + tm * cos_pa
+    vl = vl * ascale[None, None, :, :, 0]  # antenna scaling
+    vm = vm * ascale[None, None, :, :, 1]
+
+    # Cube coordinates, clamped to the cube edges
+    vl = jnp.clip(lscale * (vl - lower_l), 0.0, lmaxf)
+    vm = jnp.clip(mscale * (vm - lower_m), 0.0, mmaxf)
+
+    gl0 = jnp.floor(vl).astype(jnp.int32)
+    gm0 = jnp.floor(vm).astype(jnp.int32)
+    gl1 = jnp.minimum(gl0 + 1, beam_lw - 1)
+    gm1 = jnp.minimum(gm0 + 1, beam_mh - 1)
+    ld = vl - gl0
+    md = vm - gm0
+
+    # Broadcast channel-indexed slabs to the full (s,t,a,f) shape
+    shape = ld.shape
+    gcl = jnp.broadcast_to(gc0, shape)
+    gcu = jnp.broadcast_to(gc1, shape)
+    w_nu = jnp.broadcast_to(nud, shape)
+    w_inv_nu = jnp.broadcast_to(inv_nud, shape)
+
+    corners = [
+        (gl0, gm0, gcl, (1.0 - ld) * (1.0 - md) * w_nu),
+        (gl1, gm0, gcl, ld * (1.0 - md) * w_nu),
+        (gl0, gm1, gcl, (1.0 - ld) * md * w_nu),
+        (gl1, gm1, gcl, ld * md * w_nu),
+        (gl0, gm0, gcu, (1.0 - ld) * (1.0 - md) * w_inv_nu),
+        (gl1, gm0, gcu, ld * (1.0 - md) * w_inv_nu),
+        (gl0, gm1, gcu, (1.0 - ld) * md * w_inv_nu),
+        (gl1, gm1, gcu, ld * md * w_inv_nu),
+    ]
+
+    sum_re = 0.0
+    sum_im = 0.0
+    absc = 0.0
+    for gl, gm, gc, w in corners:
+        cre = fb.re[gl, gm, gc]  # (s,t,a,f,ncorr) gather
+        cim = fb.im[gl, gm, gc]
+        wx = w[..., None]
+        sum_re = sum_re + wx * cre
+        sum_im = sum_im + wx * cim
+        absc = absc + wx * jnp.sqrt(cre * cre + cim * cim)
+
+    # Amplitude-preserving normalisation (reference :224-233)
+    div = jnp.sqrt(sum_re * sum_re + sum_im * sum_im)
+    norm = jnp.where(div == 0.0, absc, absc / jnp.where(div == 0.0, 1.0, div))
+    out = Cplx(sum_re * norm, sum_im * norm)
+
+    return out.reshape(shape + corrs)
+
+
+def beam_cube_dde(
+    beam,
+    beam_lm_extents,
+    beam_freq_map,
+    lm,
+    parallactic_angles,
+    point_errors,
+    antenna_scaling,
+    frequency,
+):
+    """Complex-dtype beam cube DDE (reference API parity;
+    rime/fast_beam_cubes.py:58)."""
+    out = beam_cube_dde_ri(
+        beam,
+        beam_lm_extents,
+        beam_freq_map,
+        lm,
+        parallactic_angles,
+        point_errors,
+        antenna_scaling,
+        frequency,
+    )
+    return lax.complex(out.re, out.im)

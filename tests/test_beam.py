@@ -1,0 +1,206 @@
+"""beam_cube_dde, feed_rotation, transform_sources parity vs literal numpy
+oracles of the reference kernels (rime/fast_beam_cubes.py, feeds.py,
+transform.py)."""
+
+import numpy as np
+from numpy.testing import assert_allclose
+import pytest
+
+from africanus_tpu.rime.fast_beam_cubes import beam_cube_dde, freq_grid_interp
+from africanus_tpu.rime.feeds import feed_rotation
+from africanus_tpu.rime.transform import transform_sources
+
+
+def np_freq_grid_interp(frequency, beam_freq_map):
+    beam_nud = beam_freq_map.shape[0]
+    out = np.empty((frequency.shape[0], 3))
+    for f, freq in enumerate(frequency):
+        lower, upper = 0, beam_nud - 1
+        while lower <= upper:
+            mid = lower + (upper - lower) // 2
+            bf = beam_freq_map[mid]
+            if bf < freq:
+                lower = mid + 1
+            elif bf > freq:
+                upper = mid - 1
+            else:
+                lower = mid
+                break
+        lower = min(lower, upper)
+        upper = lower + 1
+        if lower == -1:
+            out[f] = (freq / beam_freq_map[0], 1.0, 0)
+        elif upper == beam_nud:
+            out[f] = (freq / beam_freq_map[-1], 0.0, beam_nud - 2)
+        else:
+            fl, fh = beam_freq_map[lower], beam_freq_map[upper]
+            out[f] = (1.0, (fh - freq) / (fh - fl), lower)
+    return out
+
+
+def np_beam_cube_dde(beam, extents, freq_map, lm, pa, pe, ascale, freq):
+    nsrc = lm.shape[0]
+    ntime, nants = pa.shape
+    nchan = freq.shape[0]
+    lw, mh, nud_dim = beam.shape[:3]
+    corrs = beam.shape[3:]
+    ncorr = int(np.prod(corrs))
+    fbeam = beam.reshape(lw, mh, nud_dim, ncorr)
+    (ll, ul), (lo_m, um) = extents
+    lmaxf, mmaxf = float(lw - 1), float(mh - 1)
+    lscale, mscale = lmaxf / (ul - ll), mmaxf / (um - lo_m)
+    fdata = np_freq_grid_interp(freq, freq_map)
+    out = np.empty((nsrc, ntime, nants, nchan, ncorr), beam.dtype)
+
+    for t in range(ntime):
+        for a in range(nants):
+            spa, cpa = np.sin(pa[t, a]), np.cos(pa[t, a])
+            for s in range(nsrc):
+                l, m = lm[s]
+                for f in range(nchan):
+                    fs, nu, gc0f = fdata[f]
+                    gc0 = int(gc0f)
+                    inv_nu = 1.0 - nu
+                    tl = l * fs + pe[t, a, f, 0]
+                    tm = m * fs + pe[t, a, f, 1]
+                    vl = (tl * cpa - tm * spa) * ascale[a, f, 0]
+                    vm = (tl * spa + tm * cpa) * ascale[a, f, 1]
+                    vl = max(0.0, min(lscale * (vl - ll), lmaxf))
+                    vm = max(0.0, min(mscale * (vm - lo_m), mmaxf))
+                    gl0, gm0 = int(np.floor(vl)), int(np.floor(vm))
+                    gl1, gm1 = min(gl0 + 1, lw - 1), min(gm0 + 1, mh - 1)
+                    ld, md = vl - gl0, vm - gm0
+                    csum = np.zeros(ncorr, beam.dtype)
+                    asum = np.zeros(ncorr)
+                    for gl, gm, gc, w in [
+                        (gl0, gm0, gc0, (1 - ld) * (1 - md) * nu),
+                        (gl1, gm0, gc0, ld * (1 - md) * nu),
+                        (gl0, gm1, gc0, (1 - ld) * md * nu),
+                        (gl1, gm1, gc0, ld * md * nu),
+                        (gl0, gm0, gc0 + 1, (1 - ld) * (1 - md) * inv_nu),
+                        (gl1, gm0, gc0 + 1, ld * (1 - md) * inv_nu),
+                        (gl0, gm1, gc0 + 1, (1 - ld) * md * inv_nu),
+                        (gl1, gm1, gc0 + 1, ld * md * inv_nu),
+                    ]:
+                        v = fbeam[gl, gm, gc]
+                        csum += w * v
+                        asum += w * np.abs(v)
+                    for c in range(ncorr):
+                        div = np.abs(csum[c])
+                        csum[c] *= asum[c] if div == 0.0 else asum[c] / div
+                    out[s, t, a, f] = csum
+    return out.reshape((nsrc, ntime, nants, nchan) + corrs)
+
+
+@pytest.fixture
+def beam_setup(rng):
+    lw, mh, nud = 10, 10, 8
+    beam = rng.normal(size=(lw, mh, nud, 2, 2)) + 1j * rng.normal(
+        size=(lw, mh, nud, 2, 2)
+    )
+    extents = np.array([[-0.02, 0.02], [-0.02, 0.02]])
+    freq_map = np.linspace(0.9e9, 1.6e9, nud)
+    return beam, extents, freq_map
+
+
+def test_freq_grid_interp_parity(beam_setup):
+    _, _, freq_map = beam_setup
+    # interior, below, above, exact-knot, exact-min, exact-max
+    freq = np.array(
+        [1.0e9, 1.23e9, 0.5e9, 2.0e9, freq_map[3], freq_map[0], freq_map[-1]]
+    )
+    out = np.asarray(freq_grid_interp(freq, freq_map))
+    expected = np_freq_grid_interp(freq, freq_map)
+    # weights must produce identical interpolation even if branch bookkeeping
+    # differs at exact knots: compare effective (scale, w0*?, position)
+    assert_allclose(out[:, 0], expected[:, 0], rtol=1e-12)
+    # effective lower/upper slab weights at effective positions
+    for i in range(freq.shape[0]):
+        s_o, w_o, g_o = out[i]
+        s_e, w_e, g_e = expected[i]
+        eff_o = {(int(g_o), w_o), (int(g_o) + 1, 1 - w_o)}
+        eff_e = {(int(g_e), w_e), (int(g_e) + 1, 1 - w_e)}
+        # compare as weight maps ignoring zero-weight entries
+        mo = {g: w for g, w in eff_o if abs(w) > 1e-12}
+        me = {g: w for g, w in eff_e if abs(w) > 1e-12}
+        assert mo.keys() == me.keys(), (freq[i], mo, me)
+        for g in mo:
+            assert abs(mo[g] - me[g]) < 1e-12
+
+
+def test_beam_cube_dde_parity(rng, beam_setup):
+    beam, extents, freq_map = beam_setup
+    nsrc, ntime, nants, nchan = 4, 3, 4, 5
+    lm = rng.uniform(-0.015, 0.015, (nsrc, 2))
+    pa = rng.uniform(-np.pi, np.pi, (ntime, nants))
+    pe = rng.normal(scale=1e-4, size=(ntime, nants, nchan, 2))
+    ascale = rng.uniform(0.9, 1.1, (nants, nchan, 2))
+    freq = np.linspace(0.85e9, 1.75e9, nchan)  # incl. outside-cube freqs
+
+    out = np.asarray(
+        beam_cube_dde(beam, extents, freq_map, lm, pa, pe, ascale, freq)
+    )
+    expected = np_beam_cube_dde(beam, extents, freq_map, lm, pa, pe, ascale, freq)
+    assert out.shape == (nsrc, ntime, nants, nchan, 2, 2)
+    assert_allclose(out, expected, rtol=1e-10, atol=1e-12)
+
+
+def test_beam_cube_dde_validates_cube_size(rng, beam_setup):
+    _, extents, freq_map = beam_setup
+    small = rng.normal(size=(1, 10, 8, 4)) + 0j
+    with pytest.raises(ValueError, match=">= 2"):
+        beam_cube_dde(
+            small, extents, freq_map,
+            np.zeros((1, 2)), np.zeros((1, 1)),
+            np.zeros((1, 1, 2, 2)), np.ones((1, 2, 2)), np.ones(2),
+        )
+
+
+def test_feed_rotation(rng):
+    pa = rng.uniform(-np.pi, np.pi, (3, 4))
+
+    lin = np.asarray(feed_rotation(pa, "linear"))
+    assert lin.shape == (3, 4, 2, 2)
+    assert_allclose(lin[..., 0, 0], np.cos(pa))
+    assert_allclose(lin[..., 0, 1], np.sin(pa))
+    assert_allclose(lin[..., 1, 0], -np.sin(pa))
+    assert_allclose(lin[..., 1, 1], np.cos(pa))
+    assert_allclose(lin.imag, 0.0)
+
+    circ = np.asarray(feed_rotation(pa, "circular"))
+    assert_allclose(circ[..., 0, 0], np.exp(-1j * pa))
+    assert_allclose(circ[..., 1, 1], np.exp(1j * pa))
+    assert_allclose(circ[..., 0, 1], 0.0)
+    assert_allclose(circ[..., 1, 0], 0.0)
+
+    with pytest.raises(ValueError, match="feed_type"):
+        feed_rotation(pa, "bogus")
+
+
+def test_transform_sources(rng):
+    nsrc, ntime, na, nchan = 5, 3, 4, 6
+    lm = rng.uniform(-0.01, 0.01, (nsrc, 2))
+    pa = rng.uniform(-np.pi, np.pi, (ntime, na))
+    pe = rng.normal(scale=1e-4, size=(ntime, na, 2))
+    scale = rng.uniform(0.9, 1.1, (na, nchan))
+    freq = np.linspace(0.8e9, 1.7e9, nchan)
+
+    out = np.asarray(transform_sources(lm, pa, pe, scale, freq))
+    assert out.shape == (3, nsrc, ntime, na, nchan)
+
+    # literal oracle incl. the reference's sequential l-update quirk
+    expected = np.empty_like(out)
+    for t in range(ntime):
+        for a in range(na):
+            sp, cp = np.sin(pa[t, a]), np.cos(pa[t, a])
+            for s in range(nsrc):
+                l, m = lm[s]
+                l = l * cp - m * sp
+                m = l * sp + m * cp  # uses updated l — reference parity
+                l += pe[t, a, 0]
+                m += pe[t, a, 1]
+                for c in range(nchan):
+                    expected[0, s, t, a, c] = l * scale[a, c]
+                    expected[1, s, t, a, c] = m * scale[a, c]
+                    expected[2, s, t, a, c] = freq[c]
+    assert_allclose(out, expected, rtol=1e-12)
