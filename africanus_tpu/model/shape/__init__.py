@@ -1,3 +1,4 @@
 from africanus_tpu.model.shape.gaussian_shape import gaussian
+from africanus_tpu.model.shape.shapelets import shapelet, shapelet_with_w_term
 
-__all__ = ["gaussian"]
+__all__ = ["gaussian", "shapelet", "shapelet_with_w_term"]

@@ -13,6 +13,8 @@ from africanus_tpu.rime.fast_beam_cubes import (
     beam_cube_dde_ri,
     freq_grid_interp,
 )
+from africanus_tpu.rime.zernike import zernike_dde, zernike_dde_ri
+from africanus_tpu.rime.wsclean_predict import wsclean_predict, wsclean_predict_ri
 
 __all__ = [
     "phase_delay",
@@ -28,4 +30,8 @@ __all__ = [
     "beam_cube_dde",
     "beam_cube_dde_ri",
     "freq_grid_interp",
+    "zernike_dde",
+    "zernike_dde_ri",
+    "wsclean_predict",
+    "wsclean_predict_ri",
 ]

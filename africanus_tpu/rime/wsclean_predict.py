@@ -1,0 +1,111 @@
+"""Predict visibilities from WSClean component lists.
+
+TPU-native equivalent of reference ``africanus/rime/wsclean_predict.py``
+(wsclean_predict:87, wsclean_predict_main:12): point + gaussian source DFT
+predict with WSClean ordinary/log polynomial spectra, CASA sign convention
+(e^{+2πi…}, two_pi_over_c).
+
+The per-source POINT/GAUSSIAN branch becomes a trace-time mask (source
+types are host metadata): gaussians get the uv envelope, points get an
+envelope of 1, and the source sum is one MXU contraction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from africanus_tpu.constants import two_pi_over_c, c as lightspeed
+from africanus_tpu.model.wsclean.spec_model import spectra
+from africanus_tpu.ops.cplx import Cplx
+
+__all__ = ["wsclean_predict", "wsclean_predict_ri"]
+
+_FWHM = 2.0 * np.sqrt(2.0 * np.log(2.0))
+_GAUSS_SCALE = np.sqrt(2.0) * np.pi / (_FWHM * lightspeed)
+
+
+def wsclean_predict_ri(
+    uvw, lm, source_type, flux, coeffs, log_poly, ref_freq, gauss_shape, frequency
+) -> Cplx:
+    """Pair-native WSClean predict.
+
+    Parameters
+    ----------
+    uvw : (row, 3) array
+    lm : (source, 2) array
+    source_type : (source,) sequence of "POINT"/"GAUSSIAN" strings
+        (host metadata, resolved at trace time)
+    flux : (source,) array
+    coeffs : (source, ncoeff) array
+    log_poly : bool or (source,) bool array
+    ref_freq : (source,) array
+    gauss_shape : (source, 3) array of (emaj, emin, angle)
+    frequency : (chan,) array
+
+    Returns
+    -------
+    Cplx with (row, chan, 1) components.
+    """
+    uvw = jnp.asarray(uvw)
+    lm = jnp.asarray(lm)
+    gauss_shape = jnp.asarray(gauss_shape)
+    frequency = jnp.asarray(frequency)
+
+    stype = np.asarray(source_type)
+    if not np.all(np.isin(stype, ("POINT", "GAUSSIAN"))):
+        raise ValueError("source_type must be POINT or GAUSSIAN")
+    is_gauss = jnp.asarray(stype == "GAUSSIAN")
+
+    spectrum = spectra(flux, coeffs, log_poly, ref_freq, frequency)  # (src, chan)
+
+    l = lm[:, 0]  # noqa: E741
+    m = lm[:, 1]
+    n = jnp.sqrt(jnp.maximum(1.0 - l * l - m * m, 0.0)) - 1.0
+
+    u, v, w = uvw[:, 0], uvw[:, 1], uvw[:, 2]
+
+    # (source, row) real phase dot, elementwise for f32 exactness
+    phase = two_pi_over_c * (
+        l[:, None] * u[None, :] + m[:, None] * v[None, :] + n[:, None] * w[None, :]
+    )
+    p = phase[:, :, None] * frequency  # (source, row, chan)
+
+    # Gaussian envelope; points get envelope 1 via the mask
+    emaj, emin, angle = gauss_shape[:, 0], gauss_shape[:, 1], gauss_shape[:, 2]
+    el = emaj * jnp.sin(angle)
+    em = emaj * jnp.cos(angle)
+    er = emin / jnp.where(emaj == 0.0, 1.0, emaj)
+    u1 = (u[None, :] * em[:, None] - v[None, :] * el[:, None]) * er[:, None]
+    v1 = u[None, :] * el[:, None] + v[None, :] * em[:, None]
+    sf = frequency * _GAUSS_SCALE
+    envelope = jnp.exp(
+        -((u1[:, :, None] * sf) ** 2 + (v1[:, :, None] * sf) ** 2)
+    )
+    envelope = jnp.where(is_gauss[:, None, None], envelope, 1.0)
+
+    # weighted source sum on the MXU: Σ_s e^{ip}·env·spectrum
+    amp = envelope * spectrum[:, None, :]  # (source, row, chan)
+    re = jnp.einsum(
+        "srf,srf->rf", jnp.cos(p), amp, precision=lax.Precision.HIGHEST
+    )
+    im = jnp.einsum(
+        "srf,srf->rf", jnp.sin(p), amp, precision=lax.Precision.HIGHEST
+    )
+    return Cplx(re[:, :, None], im[:, :, None])
+
+
+def wsclean_predict(
+    uvw, lm, source_type, flux, coeffs, log_poly, ref_freq, gauss_shape, frequency
+):
+    """Complex-dtype WSClean predict: (row, chan, 1) visibilities."""
+    out_dtype = jnp.result_type(
+        jnp.complex64,
+        *(jnp.asarray(a).dtype for a in (uvw, lm, flux, coeffs, ref_freq, frequency)),
+    )
+    out = wsclean_predict_ri(
+        uvw, lm, source_type, flux, coeffs, log_poly, ref_freq, gauss_shape, frequency
+    )
+    real = jnp.finfo(out_dtype).dtype
+    return lax.complex(out.re.astype(real), out.im.astype(real))

@@ -1,0 +1,218 @@
+"""Zernike DDE, shapelet, and SPI-fitter parity tests (reference:
+rime/zernike.py, model/shape/shapelets.py, model/spi/component_spi.py)."""
+
+import math
+
+import numpy as np
+from numpy.testing import assert_allclose
+import pytest
+
+from africanus_tpu.rime.zernike import zernike_dde, noll_to_zernike
+from africanus_tpu.model.shape.shapelets import shapelet, shapelet_with_w_term
+from africanus_tpu.model.spi.component_spi import fit_spi_components
+
+C = 2.99792458e8
+
+
+# ---------------- zernike oracle (literal reference port) -----------------
+
+
+def np_zernike(j, rho, phi):
+    if rho > 1:
+        return 0.0
+    j += 1
+    n, j1 = 0, j - 1
+    while j1 > n:
+        n += 1
+        j1 -= n
+    m = (-1) ** j * ((n % 2) + 2 * int((j1 + ((n + 1) % 2)) / 2.0))
+    am = abs(m)
+
+    def rad(mm, nn, r):
+        out = 0.0
+        for k in range((nn - mm) // 2 + 1):
+            num = (-1.0) ** k * math.factorial(nn - k)
+            den = (
+                math.factorial(k)
+                * math.factorial((nn + mm) // 2 - k)
+                * math.factorial((nn - mm) // 2 - k)
+            )
+            out += num / den * r ** (nn - 2.0 * k)
+        return out
+
+    if m > 0:
+        return rad(am, n, rho) * np.cos(am * phi)
+    if m < 0:
+        return rad(am, n, rho) * np.sin(am * phi)
+    return rad(0, n, rho)
+
+
+def np_zernike_dde(coords, coeffs, noll_index, pa, fscale, ascale, pe):
+    _, S, T, A, F = coords.shape
+    corrs = coeffs.shape[2:-1]
+    P = coeffs.shape[-1]
+    nc = int(np.prod(corrs))
+    cf = coeffs.reshape(A, F, nc, P)
+    nl = noll_index.reshape(A, F, nc, P)
+    out = np.empty((S, T, A, F, nc), coeffs.dtype)
+    for s in range(S):
+        for t in range(T):
+            for a in range(A):
+                sp, cp = np.sin(pa[t, a]), np.cos(pa[t, a])
+                for f in range(F):
+                    l, m, _ = coords[:, s, t, a, f]
+                    lc = l * fscale[f] + pe[t, a, f, 0]
+                    mc = m * fscale[f] + pe[t, a, f, 1]
+                    vl = (lc * cp - lc * sp) * ascale[a, f, 0]
+                    vm = (mc * sp + m * cp) * ascale[a, f, 1]
+                    rho = np.hypot(vl, vm)
+                    phi = np.arctan2(vl, vm)
+                    for co in range(nc):
+                        acc = 0.0
+                        for p in range(P):
+                            acc += cf[a, f, co, p] * np_zernike(
+                                int(nl[a, f, co, p]), rho, phi
+                            )
+                        out[s, t, a, f, co] = acc
+    return out.reshape((S, T, A, F) + corrs)
+
+
+def test_noll_to_zernike():
+    # first Noll indices (reference convention with its j+=1 offset:
+    # j=0 is piston, j=1/2 the tilts)
+    assert noll_to_zernike(0) == (0, 0)
+    assert noll_to_zernike(1) == (1, 1)
+    assert noll_to_zernike(2) == (1, -1)
+
+
+def test_zernike_dde_parity(rng):
+    S, T, A, F, P = 3, 2, 2, 4, 6
+    lm = rng.uniform(-0.5, 0.5, (S, 2))
+    freq = np.linspace(0.9e9, 1.2e9, F)
+    coords = np.empty((3, S, T, A, F))
+    coords[0] = lm[:, 0][:, None, None, None]
+    coords[1] = lm[:, 1][:, None, None, None]
+    coords[2] = freq[None, None, None, :]
+    coeffs = rng.normal(size=(A, F, 2, 2, P)) + 1j * rng.normal(size=(A, F, 2, 2, P))
+    noll = rng.integers(0, 10, size=(A, F, 2, 2, P))
+    pa = rng.uniform(-np.pi, np.pi, (T, A))
+    fscale = rng.uniform(0.9, 1.1, F)
+    ascale = rng.uniform(0.9, 1.1, (A, F, 2))
+    pe = rng.normal(scale=0.01, size=(T, A, F, 2))
+
+    out = np.asarray(zernike_dde(coords, coeffs, noll, pa, fscale, ascale, pe))
+    expected = np_zernike_dde(coords, coeffs, noll, pa, fscale, ascale, pe)
+    assert out.shape == (S, T, A, F, 2, 2)
+    assert_allclose(out, expected, rtol=1e-10, atol=1e-12)
+
+
+# ---------------- shapelets oracle ----------------------------------------
+
+
+def np_hermite(n, x):
+    if n == 0:
+        return np.ones_like(x) if isinstance(x, np.ndarray) else 1.0
+    if n == 1:
+        return 2 * x
+    return 2 * x * np_hermite(n - 1, x) - 2 * (n - 1) * np_hermite(n - 2, x)
+
+
+def np_basis(n, xx, beta, delta_x):
+    x = 2 * np.pi * xx
+    scale = 1.0 / beta
+    norm = 1.0 / np.sqrt(2.0**n * np.sqrt(np.pi) * math.factorial(n) * scale)
+    return (
+        1.0j**n
+        * norm
+        * np_hermite(n, x / scale)
+        * np.exp(-(x**2) / (2 * scale**2))
+        * np.sqrt(2 * np.pi)
+        / delta_x
+    )
+
+
+def np_shapelet(coords, freq, coeffs, beta, delta_lm):
+    nrow, nchan, nsrc = coords.shape[0], freq.shape[0], coeffs.shape[0]
+    out = np.empty((nrow, nchan, nsrc), np.complex128)
+    dl, dm = delta_lm
+    for r in range(nrow):
+        u, v, _ = coords[r]
+        for f in range(nchan):
+            fu = u * 2 * np.pi * freq[f] / C
+            fv = v * 2 * np.pi * freq[f] / C
+            for s in range(nsrc):
+                bu, bv = beta[s]
+                if bu == 0 or bv == 0:
+                    out[r, f, s] = 1
+                    continue
+                acc = 0j
+                for n1 in range(coeffs.shape[1]):
+                    for n2 in range(coeffs.shape[2]):
+                        acc += (
+                            coeffs[s, n1, n2]
+                            * np_basis(n1, fu, bu, dl)
+                            * np_basis(n2, fv, bv, dm)
+                        )
+                out[r, f, s] = acc
+    return out
+
+
+def test_shapelet_parity(rng):
+    nrow, nchan, nsrc, nmax = 10, 4, 3, 3
+    coords = rng.uniform(-500, 500, (nrow, 3))
+    freq = np.linspace(1.0e9, 1.4e9, nchan)
+    coeffs = rng.normal(size=(nsrc, nmax, nmax))
+    beta = rng.uniform(0.5, 2.0, (nsrc, 2))
+    beta[2] = 0.0  # degenerate source -> 1
+    delta_lm = np.array([1e-5, 1e-5])
+
+    out = np.asarray(shapelet(coords, freq, coeffs, beta, delta_lm))
+    expected = np_shapelet(coords, freq, coeffs, beta, delta_lm)
+    assert_allclose(out, expected, rtol=1e-9, atol=1e-11)
+
+
+def test_shapelet_w_term(rng):
+    nrow, nchan, nsrc, nmax = 6, 3, 2, 2
+    coords = rng.uniform(-500, 500, (nrow, 3))
+    freq = np.linspace(1.0e9, 1.4e9, nchan)
+    coeffs = rng.normal(size=(nsrc, nmax, nmax))
+    beta = rng.uniform(0.5, 2.0, (nsrc, 2))
+    lm = rng.uniform(-0.01, 0.01, (nsrc, 2))
+    delta_lm = np.array([1e-5, 1e-5])
+
+    base = np_shapelet(coords, freq, coeffs, beta, delta_lm)
+    w_term = np.empty_like(base)
+    for r in range(nrow):
+        u, v, w = coords[r]
+        for s in range(nsrc):
+            l, m = lm[s]
+            n0 = np.sqrt(1 - l * l - m * m)
+            rp = -2 * np.pi / C * freq * (u * l + v * m + w * (n0 - 1))
+            w_term[r, :, s] = np.exp(1j * rp)
+
+    out = np.asarray(shapelet_with_w_term(coords, freq, coeffs, beta, delta_lm, lm))
+    assert_allclose(out, base * w_term, rtol=1e-9, atol=1e-11)
+
+
+# ---------------- SPI fitter -----------------------------------------------
+
+
+def test_fit_spi_components(rng):
+    ncomp, nchan = 8, 32
+    freqs = np.linspace(0.856e9, 1.712e9, nchan)
+    freq0 = 1.2e9
+    alpha_true = rng.uniform(-1.2, -0.2, ncomp)
+    i0_true = rng.uniform(0.5, 5.0, ncomp)
+    data = i0_true[:, None] * (freqs / freq0) ** alpha_true[:, None]
+    noise = 1e-6
+    data = data + rng.normal(scale=noise, size=data.shape)
+    weights = np.full(nchan, 1.0 / noise**2)
+
+    out = np.asarray(fit_spi_components(data, weights, freqs, freq0, maxiter=200))
+    assert out.shape == (4, ncomp)
+    assert_allclose(out[0], alpha_true, atol=1e-4)
+    assert_allclose(out[2], i0_true, rtol=1e-4)
+    assert np.all(out[1] >= 0) and np.all(out[3] >= 0)
+
+    with pytest.raises(ValueError, match="float32 of float64"):
+        fit_spi_components(data.astype(np.int32), weights, freqs, freq0)
