@@ -1,0 +1,218 @@
+"""Phase-only Gauss-Newton gain calibration.
+
+TPU-native equivalent of reference
+``africanus/calibration/phase_only/phase_only.py`` (gauss_newton:243,
+compute_jhj:110, compute_jhr:168, compute_jhj_and_jhr:30). DIAG_DIAG mode:
+the Jacobian of V_pq = g_p m g_q* w.r.t. the phase of g_p is
+i·g_p·m·g_q*, so JᴴJ is |g_p m g_q*|² and JᴴR = ∓i·conj(g_p m g_q*)·R.
+
+The reference's per-time-bin row loops with += into the (time, ant) gain
+table become one gather (per-row gains) + two scatter-adds
+(``.at[t, a].add``), which XLA lowers to sorted segment sums. The outer
+while-loop is a ``lax.while_loop`` carrying the gain *phases*.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from africanus_tpu.ops.cplx import Cplx, cplx
+from africanus_tpu.calibration.utils import (
+    DIAG_DIAG,
+    check_type,
+    residual_vis_ri,
+    _row_time_index,
+)
+
+__all__ = [
+    "compute_jhj",
+    "compute_jhr",
+    "compute_jhj_and_jhr",
+    "gauss_newton",
+    "gauss_newton_ri",
+]
+
+
+def _jac_terms(g, t, antenna1, antenna2, model, flag):
+    """Common per-row pieces: jac = g_p·m·conj(g_q) (sign applied later)."""
+    gp = g[t, antenna1]  # (row, chan, dir, corr)
+    gq = g[t, antenna2]
+    m = cplx(model)  # (row, chan, dir, corr)
+    jac = gp * m * gq.conj()
+
+    flag = jnp.asarray(flag)
+    keep = ~jnp.any(flag != 0, axis=-1)  # (row, chan)
+    keep = keep[:, :, None, None].astype(jac.re.dtype)
+    return Cplx(jac.re * keep, jac.im * keep)
+
+
+def compute_jhj(
+    time_bin_indices, time_bin_counts, antenna1, antenna2, jones, model, flag
+):
+    """Diagonal of JᴴJ per (time, ant, chan, dir, corr) — real array
+    (reference phase_only.py:110)."""
+    g = cplx(jones)
+    mode = check_type(g, cplx(model), vis_type="model")
+    if mode != DIAG_DIAG:
+        # reference zeroes the jacobian outside DIAG_DIAG (phase_only.py:16-21)
+        return jnp.zeros(g.shape, g.re.dtype)
+
+    antenna1 = jnp.asarray(antenna1)
+    antenna2 = jnp.asarray(antenna2)
+    t = _row_time_index(time_bin_indices, antenna1.shape[0])
+
+    jac = _jac_terms(g, t, antenna1, antenna2, model, flag)
+    jac2 = jac.re * jac.re + jac.im * jac.im  # |i·jac|² == |jac|²
+
+    jhj = jnp.zeros(g.shape, g.re.dtype)
+    jhj = jhj.at[t, antenna1].add(jac2)
+    jhj = jhj.at[t, antenna2].add(jac2)
+    return jhj
+
+
+def compute_jhr(
+    time_bin_indices, time_bin_counts, antenna1, antenna2, jones, residual, model, flag
+):
+    """JᴴR per (time, ant, chan, dir, corr) — complex-valued
+    (reference phase_only.py:168). Returns a Cplx pair if ``jones`` is a
+    pair, else a complex array."""
+    pair_in = isinstance(jones, Cplx)
+    g = cplx(jones)
+    mode = check_type(g, cplx(model), vis_type="model")
+    if mode != DIAG_DIAG:
+        zeros = jnp.zeros(g.shape, g.re.dtype)
+        out = Cplx(zeros, zeros)
+        return out if pair_in else lax.complex(out.re, out.im)
+
+    antenna1 = jnp.asarray(antenna1)
+    antenna2 = jnp.asarray(antenna2)
+    t = _row_time_index(time_bin_indices, antenna1.shape[0])
+
+    jac = _jac_terms(g, t, antenna1, antenna2, model, flag)
+    r = cplx(residual)  # (row, chan, corr)
+    r = Cplx(r.re[:, :, None, :], r.im[:, :, None, :])  # broadcast over dir
+
+    # p-antenna: conj(i·jac)·r = -i·conj(jac)·r ; q-antenna: conj(-i·jac)·r
+    cjr = jac.conj() * r
+    contrib_p = Cplx(cjr.im, -cjr.re)  # -i · cjr
+    contrib_q = Cplx(-cjr.im, cjr.re)  # +i · cjr
+
+    zre = jnp.zeros(g.shape, g.re.dtype)
+    zim = jnp.zeros(g.shape, g.re.dtype)
+    jre = zre.at[t, antenna1].add(contrib_p.re).at[t, antenna2].add(contrib_q.re)
+    jim = zim.at[t, antenna1].add(contrib_p.im).at[t, antenna2].add(contrib_q.im)
+    out = Cplx(jre, jim)
+    return out if pair_in else lax.complex(out.re, out.im)
+
+
+def compute_jhj_and_jhr(
+    time_bin_indices, time_bin_counts, antenna1, antenna2, jones, residual, model, flag
+):
+    """(JᴴJ, JᴴR) in one pass (reference phase_only.py:30)."""
+    mode = check_type(cplx(jones), cplx(residual))
+    if mode != DIAG_DIAG:
+        raise NotImplementedError("Only DIAG-DIAG case has been implemented")
+    jhj = compute_jhj(
+        time_bin_indices, time_bin_counts, antenna1, antenna2, jones, model, flag
+    )
+    jhr = compute_jhr(
+        time_bin_indices, time_bin_counts, antenna1, antenna2, jones, residual,
+        model, flag,
+    )
+    return jhj, jhr
+
+
+def gauss_newton_ri(
+    time_bin_indices,
+    time_bin_counts,
+    antenna1,
+    antenna2,
+    jones,
+    vis,
+    flag,
+    model,
+    weight,
+    tol=1e-4,
+    maxiter=100,
+):
+    """Pair-native phase-only Gauss-Newton solve (reference
+    phase_only.py:243-308). Returns (jones, jhj, jhr, iterations)."""
+    g0 = cplx(jones)
+    v = cplx(vis)
+    m = cplx(model)
+    mode = check_type(g0, v)
+    if mode != DIAG_DIAG:
+        raise NotImplementedError("Only DIAG_DIAG mode implemented")
+
+    weight = jnp.asarray(weight)
+    sqrtw = jnp.sqrt(weight)
+    v = Cplx(v.re * sqrtw, v.im * sqrtw)
+    m = Cplx(m.re * sqrtw[:, :, None], m.im * sqrtw[:, :, None])
+
+    antenna1 = jnp.asarray(antenna1)
+    antenna2 = jnp.asarray(antenna2)
+
+    # JHJ is phase-independent in DIAG_DIAG mode (|g|=1): compute once
+    jhj = compute_jhj(
+        time_bin_indices, time_bin_counts, antenna1, antenna2, g0, m, flag
+    )
+
+    phases0 = jnp.arctan2(g0.im, g0.re)
+    zeros = jnp.zeros_like(phases0)
+
+    def cond(state):
+        _, _, eps, k = state
+        return (eps > tol) & (k < maxiter)
+
+    def body(state):
+        phases, _, _, k = state
+        g = Cplx(jnp.cos(phases), jnp.sin(phases))
+        residual = residual_vis_ri(
+            time_bin_indices, time_bin_counts, antenna1, antenna2, g, v, flag, m
+        )
+        jhr = compute_jhr(
+            time_bin_indices, time_bin_counts, antenna1, antenna2, g, residual,
+            m, flag,
+        )
+        # 0.5·Re(JHR/JHJ) phase update (reference :301); guard zero JHJ
+        safe = jnp.where(jhj == 0.0, 1.0, jhj)
+        update = 0.5 * jnp.where(jhj == 0.0, 0.0, jhr.re / safe)
+        new_phases = phases + update
+        eps = jnp.abs(new_phases - phases).max()
+        return new_phases, jhr, eps, k + 1
+
+    init = (phases0, Cplx(zeros, zeros), jnp.asarray(jnp.inf, phases0.dtype), 0)
+    phases, jhr, _, k = lax.while_loop(cond, body, init)
+
+    return Cplx(jnp.cos(phases), jnp.sin(phases)), jhj, jhr, k
+
+
+def gauss_newton(
+    time_bin_indices,
+    time_bin_counts,
+    antenna1,
+    antenna2,
+    jones,
+    vis,
+    flag,
+    model,
+    weight,
+    tol=1e-4,
+    maxiter=100,
+):
+    """Complex-dtype phase-only Gauss-Newton solve (reference API parity)."""
+    g, jhj, jhr, k = gauss_newton_ri(
+        time_bin_indices,
+        time_bin_counts,
+        antenna1,
+        antenna2,
+        jones,
+        vis,
+        flag,
+        model,
+        weight,
+        tol=tol,
+        maxiter=maxiter,
+    )
+    return lax.complex(g.re, g.im), jhj, lax.complex(jhr.re, jhr.im), k
