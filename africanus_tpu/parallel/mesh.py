@@ -1,0 +1,79 @@
+"""Device mesh construction and sharding helpers.
+
+This layer replaces the reference's dask chunking orchestration (every
+``<pkg>/dask.py``; see SURVEY.md §2.11): instead of `da.blockwise` chunk
+contracts, arrays carry `NamedSharding`s over a `jax.sharding.Mesh` and the
+kernels are sharding-transparent jnp code — XLA inserts the collectives.
+
+Axis conventions for radio-interferometry workloads:
+- ``"row"``  — baselines×time rows: the data-parallel axis. Embarrassingly
+  parallel for predict (the source dim is contracted locally).
+- ``"chan"`` — frequency channels: also embarrassingly parallel for
+  predict/averaging; the natural second axis for 2D meshes.
+- Antenna-indexed arrays (gains, DDE Jones) are *replicated* — the TPU
+  analogue of the reference's "antenna dimension must not be chunked"
+  contract (rime/dask_predict.py:478-489).
+- Source-dimension reductions under row sharding stay local; image-space
+  reductions (vis_to_im, gridding) need a ``psum`` over "row".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+__all__ = [
+    "make_mesh",
+    "row_sharding",
+    "replicated",
+    "shard_rows",
+    "pad_rows",
+]
+
+
+def make_mesh(mesh_shape=None, axis_names=("row", "chan"), devices=None):
+    """Build a Mesh over the available devices.
+
+    Parameters
+    ----------
+    mesh_shape : optional tuple — defaults to all devices on the first axis.
+    axis_names : mesh axis names (default ("row", "chan")).
+    devices : optional explicit device list.
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if mesh_shape is None:
+        mesh_shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    n = int(np.prod(mesh_shape))
+    if n > len(devices):
+        raise ValueError(f"mesh {mesh_shape} needs {n} devices, have {len(devices)}")
+    dev_array = np.array(devices[:n]).reshape(mesh_shape)
+    return Mesh(dev_array, axis_names)
+
+
+def row_sharding(mesh, ndim, row_axis=0, chan_axis=None):
+    """NamedSharding placing ``row_axis`` on the mesh "row" axis (and
+    optionally ``chan_axis`` on "chan"), all other dims replicated."""
+    spec = [None] * ndim
+    spec[row_axis] = "row"
+    if chan_axis is not None and "chan" in mesh.axis_names:
+        spec[chan_axis] = "chan"
+    return NamedSharding(mesh, PartitionSpec(*spec))
+
+
+def replicated(mesh):
+    """Fully-replicated sharding (for antenna-indexed arrays)."""
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def pad_rows(n_rows, n_shards):
+    """Rows to add so that n_rows divides evenly across n_shards."""
+    return (-n_rows) % n_shards
+
+
+def shard_rows(mesh, *arrays, row_axis=0):
+    """device_put each array with its row axis sharded over the mesh."""
+    return tuple(
+        jax.device_put(a, row_sharding(mesh, np.ndim(a), row_axis))
+        for a in arrays
+    )
