@@ -1,0 +1,320 @@
+"""Baseline-dependent averaging (BDA) mapping.
+
+Host-side (numpy) equivalent of reference
+``africanus/averaging/bda_mapping.py`` (Binner:62, bda_mapper:295): per
+baseline, rows are greedily binned in time until the sinc-decorrelation
+bound (Atemkeng et al. / Synthesis & Imaging II 18-31) or ``time_bin_secs``
+is exceeded; each bin also gets a per-bin output channel count derived from
+the acceptable frequency-smearing at the bin's central uvw, snapped to a
+factor of the input channel count.
+
+The bin growth is inherently serial per baseline with data-dependent ragged
+output sizes — host metadata in a static-shape TPU design. The returned
+(row, chan) → flat output map + offsets drive device-side scatter-average
+kernels (bda_avg.py).
+"""
+
+from __future__ import annotations
+
+from collections import namedtuple
+
+import numpy as np
+
+from africanus_tpu.constants import c as lightspeed
+from africanus_tpu.averaging.support import unique_baselines, unique_time
+
+__all__ = ["bda_mapper", "RowMapOutput", "RowMapperError"]
+
+RowMapOutput = namedtuple(
+    "RowMapOutput",
+    ["map", "offsets", "decorr_chan_width", "time", "interval", "chan_width",
+     "flag_row"],
+)
+
+
+class RowMapperError(Exception):
+    pass
+
+
+def _factors(n):
+    out = [i for i in range(1, int(n**0.5) + 1) if n % i == 0]
+    out += [n // i for i in out if n // i not in out]
+    return np.unique(np.array(out))
+
+
+class _Binner:
+    """Greedy per-baseline time binner (reference Binner, bda_mapping.py:62)."""
+
+    def __init__(self, max_lm, decorrelation, time_bin_secs, max_chan_freq):
+        self.max_lm = max_lm
+        n = -1.0 if max_lm > 1.0 else np.sqrt(1.0 - max_lm**2) - 1.0
+        self.n_max = abs(n)
+        self.decorrelation = decorrelation
+        self.time_bin_secs = time_bin_secs
+        self.max_chan_freq = max_chan_freq
+        self.reset()
+
+    def reset(self):
+        self.tbin = 0
+        self.bin_count = 0
+        self.bin_flag_count = 0
+        self.rs = 0
+        self.re = 0
+
+    @property
+    def empty(self):
+        return self.bin_count == 0
+
+    def start_bin(self, row, flag_row):
+        self.rs = row
+        self.re = row
+        self.bin_count = 1
+        self.bin_flag_count = (
+            1 if flag_row is not None and flag_row[row] != 0 else 0
+        )
+
+    def add_row(self, row, auto_corr, time, interval, uvw, flag_row):
+        if self.re == row:
+            raise ValueError(
+                "start_bin should be called to start a bin before add_row"
+            )
+        if auto_corr:
+            # duvw == 0 by definition: always within tolerance
+            self.re = row
+            self.bin_count += 1
+            if flag_row is not None and flag_row[row] != 0:
+                self.bin_flag_count += 1
+            return True
+
+        rs = self.rs
+        dt = (time[row] + interval[row] / 2.0) - (time[rs] - interval[rs] / 2.0)
+        duvw = np.sqrt(((uvw[row] - uvw[rs]) ** 2).sum())
+        half_dpsi = (
+            duvw * self.max_chan_freq * np.sin(abs(self.max_lm)) * np.pi / lightspeed
+        ) + 1.0e-8
+        bldecorr = np.sin(half_dpsi) / half_dpsi
+
+        if bldecorr < np.sinc(self.decorrelation) or dt > self.time_bin_secs:
+            return False
+
+        self.re = row
+        self.bin_count += 1
+        if flag_row is not None and flag_row[row] != 0:
+            self.bin_flag_count += 1
+        return True
+
+    def finalise_bin(self, auto_corr, uvw, time, interval, nchan_factors,
+                     chan_width):
+        if self.bin_count == 0:
+            raise ValueError("Attempted to finalise empty bin")
+
+        if self.bin_count == 1:
+            out = (self.tbin, time[self.rs], interval[self.rs],
+                   chan_width.size, self.bin_count == self.bin_flag_count)
+            self.tbin += 1
+            return out
+
+        rs, re = self.rs, self.re
+        if auto_corr:
+            nchan = 1
+        else:
+            # frequency smearing bound at the bin-central uvw
+            # (Atemkeng eq. 40 via the DDFacet formulation)
+            cuvw = (uvw[rs] + uvw[re]) / 2.0
+            cuv = np.sqrt(cuvw[0] ** 2 + cuvw[1] ** 2)
+            max_abs_dist = np.sqrt(
+                abs(cuv) * abs(self.max_lm) + abs(cuvw[2]) * abs(self.n_max)
+            )
+            if max_abs_dist == 0.0:
+                raise ValueError("max_abs_dist == 0.0")
+            delta_nu = (lightspeed / (2.0 * np.pi)) * (
+                self.decorrelation / max_abs_dist
+            )
+            frac = max((delta_nu / chan_width).min(), 1)
+            nchan = np.ceil(chan_width.size / frac)
+            s = np.searchsorted(nchan_factors, nchan, side="left")
+            nchan = nchan_factors[min(nchan_factors.shape[0] - 1, s)]
+
+        t0 = time[rs] - interval[rs] / 2.0
+        t1 = time[re] + interval[re] / 2.0
+        out = (self.tbin, (t0 + t1) / 2.0, t1 - t0, int(nchan),
+               self.bin_count == self.bin_flag_count)
+        self.tbin += 1
+        return out
+
+
+def bda_mapper(
+    time,
+    interval,
+    ant1,
+    ant2,
+    uvw,
+    chan_width,
+    chan_freq,
+    max_uvw_dist,
+    flag_row=None,
+    max_fov=3.0,
+    decorrelation=0.98,
+    time_bin_secs=None,
+    min_nchan=1,
+):
+    """Build the ragged BDA row/channel mapping.
+
+    Returns RowMapOutput with ``map`` (row, chan) → flat output index,
+    ``offsets`` run starts per output row, per-output decorrelated channel
+    width, broadcast time/interval/chan_width columns and flag_row.
+    """
+    time = np.asarray(time)
+    interval = np.asarray(interval)
+    uvw = np.asarray(uvw)
+    chan_width = np.asarray(chan_width)
+    chan_freq = np.asarray(chan_freq)
+    if flag_row is not None:
+        flag_row = np.asarray(flag_row)
+
+    if not 0.0 <= decorrelation <= 1.0:
+        raise ValueError("0.0 <= decorrelation <= 1.0 must hold")
+    if not 0.0 < max_fov <= 90.0:
+        raise ValueError("0.0 < max_fov <= 90.0 must hold")
+    max_lm = np.deg2rad(max_fov)
+
+    ubl, _, bl_inv, _ = unique_baselines(ant1, ant2)
+    utime, _, time_inv, _ = unique_time(time)
+
+    nrow = time.shape[0]
+    ntime = utime.shape[0]
+    nbl = ubl.shape[0]
+    nchan = chan_width.shape[0]
+    if nchan == 0:
+        raise ValueError(
+            "Number of channels passed into averager must be at least size 1"
+        )
+    nchan_factors = _factors(nchan)
+    bandwidth = chan_width.sum()
+
+    if min_nchan is None:
+        min_nchan = 1
+    else:
+        min_nchan = min(min_nchan, nchan)
+        s = np.searchsorted(nchan_factors, min_nchan, side="left")
+        min_nchan = max(min_nchan, int(nchan_factors[s]))
+
+    row_lookup = np.full((nbl, ntime), -1, np.int32)
+    bin_lookup = np.full((nbl, ntime), -1, np.int32)
+    bin_chan_width = np.zeros((nbl, ntime), chan_width.dtype)
+    sentinel = np.finfo(time.dtype).max
+    time_lookup = np.full((nbl, ntime), sentinel, time.dtype)
+    interval_lookup = np.full((nbl, ntime), sentinel, interval.dtype)
+    bin_flagged = np.zeros((nbl, ntime), bool)
+    bin_chan_map = np.empty((nbl, ntime, nchan), np.int32)
+
+    if len(set(zip(bl_inv.tolist(), time_inv.tolist()))) != nrow:
+        raise ValueError("Duplicate (TIME, ANTENNA1, ANTENNA2)")
+    row_lookup[bl_inv, time_inv] = np.arange(nrow)
+
+    if time_bin_secs is None:
+        time_bin_secs = np.finfo(time.dtype).max
+
+    # decorrelation factor -> phase change (S&I II 18-31 approximation)
+    dphi = np.arccos(decorrelation) * np.sqrt(3.0) / np.pi
+    binner = _Binner(max_lm, dphi, time_bin_secs, chan_freq.max())
+
+    out_rows = 0
+    out_row_chans = 0
+
+    def store(finalised, bl):
+        nonlocal out_rows, out_row_chans
+        tbin, btime, bint, fnchan, bflag = finalised
+        time_lookup[bl, tbin] = btime
+        interval_lookup[bl, tbin] = bint
+        bin_flagged[bl, tbin] = bflag
+        use_nchan = max(fnchan, min_nchan)
+        bin_nchan = max(nchan // use_nchan, 1)
+        bin_chan_width[bl, tbin] = bandwidth / fnchan
+        bin_chan_map[bl, tbin, :] = np.arange(nchan) // bin_nchan
+        out_rows += 1
+        out_row_chans += use_nchan
+
+    for bl in range(nbl):
+        binner.reset()
+        auto_corr = ubl[bl, 0] == ubl[bl, 1]
+        for t in range(ntime):
+            r = row_lookup[bl, t]
+            if r == -1:
+                continue
+            if binner.empty:
+                binner.start_bin(r, flag_row)
+            elif not binner.add_row(r, auto_corr, time, interval, uvw, flag_row):
+                store(
+                    binner.finalise_bin(auto_corr, uvw, time, interval,
+                                        nchan_factors, chan_width),
+                    bl,
+                )
+                binner.start_bin(r, flag_row)
+            bin_lookup[bl, t] = binner.tbin
+        if not binner.empty:
+            store(
+                binner.finalise_bin(auto_corr, uvw, time, interval,
+                                    nchan_factors, chan_width),
+                bl,
+            )
+        time_lookup[bl, binner.tbin:] = sentinel
+        bin_flagged[bl, binner.tbin:] = False
+
+    flat_time = time_lookup.ravel()
+    argsort = np.argsort(flat_time, kind="mergesort")
+    inv_argsort = np.empty_like(argsort)
+    inv_argsort[argsort] = np.arange(argsort.size)
+
+    fbin_chan_map = bin_chan_map.reshape(-1, nchan)
+    offsets = np.zeros(out_rows + 1, np.uint32)
+    decorr_chan_width = np.empty(out_rows, chan_width.dtype)
+    for r in range(1, out_rows + 1):
+        prev_bin_chans = fbin_chan_map[argsort[r - 1]].max() + 1
+        offsets[r] = offsets[r - 1] + prev_bin_chans
+
+    row_chan_map = np.full((nrow, nchan), -1, np.int32)
+    time_ret = np.full(out_row_chans, -1, time.dtype)
+    int_ret = np.full(out_row_chans, -1, interval.dtype)
+    chan_width_ret = np.zeros(out_row_chans, chan_width.dtype)
+    out_flag_row = (
+        None if flag_row is None else np.empty(out_row_chans, flag_row.dtype)
+    )
+
+    for in_row in range(nrow):
+        bl = bl_inv[in_row]
+        t = time_inv[in_row]
+        tbin = bin_lookup[bl, t]
+        bin_time = time_lookup[bl, tbin]
+        bin_interval = interval_lookup[bl, tbin]
+        flagged = bin_flagged[bl, tbin]
+        out_row = inv_argsort[bl * ntime + tbin]
+        if out_row >= out_rows:
+            raise RowMapperError("out_row >= out_rows")
+        decorr_chan_width[out_row] = bin_chan_width[bl, tbin]
+
+        if flag_row is not None and flag_row[in_row] == 0 and flagged:
+            raise RowMapperError(
+                "Unflagged input row contributing to flagged output row. "
+                "This should never happen!"
+            )
+
+        out_offsets = offsets[out_row] + bin_chan_map[bl, tbin]
+        if (out_offsets >= out_row_chans).any():
+            raise RowMapperError("out_offset >= out_row_chans")
+        row_chan_map[in_row] = out_offsets
+        time_ret[out_offsets] = bin_time
+        int_ret[out_offsets] = bin_interval
+        np.add.at(chan_width_ret, out_offsets, chan_width)
+        if flag_row is not None:
+            out_flag_row[out_offsets] = 1 if flagged else 0
+
+    return RowMapOutput(
+        row_chan_map,
+        offsets,
+        decorr_chan_width,
+        time_ret,
+        int_ret,
+        chan_width_ret,
+        out_flag_row,
+    )

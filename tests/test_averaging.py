@@ -1,0 +1,234 @@
+"""Time+channel averaging parity vs literal numpy oracles of the reference
+loops (averaging/time_and_channel_mapping.py, time_and_channel_avg.py)."""
+
+import numpy as np
+from numpy.testing import assert_allclose, assert_array_equal
+import pytest
+
+from africanus_tpu.averaging import (
+    row_mapper,
+    channel_mapper,
+    row_average,
+    row_chan_average,
+    chan_average,
+    time_and_channel,
+)
+
+
+@pytest.fixture
+def synth_obs(rng):
+    """Synthesised observation: 3 baselines x 6 times, interval 1s."""
+    ntime, nbl = 6, 3
+    ants = [(0, 1), (0, 2), (1, 2)]
+    time = np.repeat(np.arange(ntime, dtype=np.float64) * 1.0 + 5000.0, nbl)
+    interval = np.full(time.shape, 1.0)
+    antenna1 = np.array([a for _ in range(ntime) for a, _ in ants])
+    antenna2 = np.array([b for _ in range(ntime) for _, b in ants])
+    flag_row = (rng.uniform(size=time.shape) < 0.3).astype(np.uint8)
+    return time, interval, antenna1, antenna2, flag_row
+
+
+def test_channel_mapper():
+    chan_map, out_chans = channel_mapper(10, 3)
+    assert_array_equal(chan_map, [0, 0, 0, 1, 1, 1, 2, 2, 2, 3])
+    assert out_chans == 4
+
+
+def test_row_mapper_bins(synth_obs):
+    time, interval, a1, a2, flag_row = synth_obs
+    meta = row_mapper(time, interval, a1, a2, flag_row=flag_row, time_bin_secs=2.0)
+
+    nbl = 3
+    # 6 times, bins of 2s with 1s intervals -> 3 bins per baseline
+    assert meta.time.shape[0] == 3 * nbl
+    # each input row maps somewhere valid
+    assert meta.map.max() < meta.time.shape[0]
+    # intervals sum to 2 per bin
+    assert_allclose(meta.interval, 2.0)
+    # recompute time average using the map (docstring invariant,
+    # time_and_channel_mapping.py:133-147)
+    counts = np.zeros(meta.time.shape[0])
+    tsum = np.zeros(meta.time.shape[0])
+    np.add.at(tsum, meta.map, time)
+    np.add.at(counts, meta.map, 1)
+    assert_allclose(tsum / counts, meta.time, rtol=1e-12)
+    # bin flagged iff all contributing rows flagged
+    fsum = np.zeros(meta.time.shape[0])
+    np.add.at(fsum, meta.map, flag_row)
+    assert_array_equal(meta.flag_row.astype(bool), fsum == counts)
+
+
+def test_row_mapper_duplicate_rows(synth_obs):
+    time, interval, a1, a2, _ = synth_obs
+    time2 = time.copy()
+    time2[3] = time2[0]  # duplicate (time, bl)
+    with pytest.raises(ValueError, match="Duplicate"):
+        row_mapper(time2, interval, a1, a2)
+
+
+def test_row_average(rng, synth_obs):
+    time, interval, a1, a2, flag_row = synth_obs
+    nrow = time.shape[0]
+    meta = row_mapper(time, interval, a1, a2, flag_row=flag_row, time_bin_secs=2.0)
+    out_rows = meta.time.shape[0]
+
+    uvw = rng.normal(size=(nrow, 3))
+    tc = time + rng.normal(scale=0.01, size=nrow)
+    exp = interval * 0.9
+    weight = rng.uniform(0.5, 2.0, (nrow, 2))
+    sigma = rng.uniform(0.5, 2.0, (nrow, 2))
+
+    out = row_average(meta, a1, a2, flag_row=flag_row, time_centroid=tc,
+                      exposure=exp, uvw=uvw, weight=weight, sigma=sigma)
+
+    # oracle: literal reference loops
+    counts = np.zeros(out_rows)
+    uvw_o = np.zeros((out_rows, 3))
+    tc_o = np.zeros(out_rows)
+    exp_o = np.zeros(out_rows)
+    w_o = np.zeros((out_rows, 2))
+    s_o = np.zeros((out_rows, 2))
+    sw_o = np.zeros((out_rows, 2))
+    a1_o = np.zeros(out_rows, a1.dtype)
+    a2_o = np.zeros(out_rows, a2.dtype)
+    for ri, ro in enumerate(meta.map):
+        if flag_row[ri] == meta.flag_row[ro]:
+            uvw_o[ro] += uvw[ri]
+            tc_o[ro] += tc[ri]
+            exp_o[ro] += exp[ri]
+            w_o[ro] += weight[ri]
+            s_o[ro] += sigma[ri] ** 2 * weight[ri] ** 2
+            sw_o[ro] += weight[ri]
+            counts[ro] += 1
+        a1_o[ro] = a1[ri]
+        a2_o[ro] = a2[ri]
+    pos = counts > 0
+    uvw_o[pos] /= counts[pos, None]
+    tc_o[pos] /= counts[pos]
+    s_o = np.where(sw_o != 0, s_o / np.where(sw_o == 0, 1, sw_o) ** 2, s_o)
+    s_o = np.sqrt(s_o)
+
+    assert_array_equal(np.asarray(out.antenna1), a1_o)
+    assert_array_equal(np.asarray(out.antenna2), a2_o)
+    assert_allclose(np.asarray(out.uvw), uvw_o, rtol=1e-12)
+    assert_allclose(np.asarray(out.time_centroid), tc_o, rtol=1e-12)
+    assert_allclose(np.asarray(out.exposure), exp_o, rtol=1e-12)
+    assert_allclose(np.asarray(out.weight), w_o, rtol=1e-12)
+    assert_allclose(np.asarray(out.sigma), s_o, rtol=1e-12)
+
+
+def np_row_chan_avg(meta, chan_meta, flag_row, vis, flag, ws):
+    """Literal oracle of reference row_chan_average (vis + weight_spectrum)."""
+    chan_map, out_chans = chan_meta
+    out_rows = meta.time.shape[0]
+    nrow, nchan, ncorr = vis.shape
+    out_shape = (out_rows, out_chans, ncorr)
+
+    counts = np.zeros(out_shape, np.uint32)
+    for ri, ro in enumerate(meta.map):
+        rf = flag_row[ri] != 0
+        for fi, fo in enumerate(chan_map):
+            for co in range(ncorr):
+                flagged = rf or flag[ri, fi, co] != 0
+                if not flagged:
+                    counts[ro, fo, co] += 1
+
+    out_flag = counts == 0
+    vis_o = np.zeros(out_shape, vis.dtype)
+    wsum = np.zeros(out_shape)
+    ws_o = np.zeros(out_shape)
+    for ri, ro in enumerate(meta.map):
+        rf = flag_row[ri] != 0
+        for fi, fo in enumerate(chan_map):
+            for co in range(ncorr):
+                flagged = rf or flag[ri, fi, co] != 0
+                if flagged != out_flag[ro, fo, co]:
+                    continue
+                w = ws[ri, fi, co]
+                vis_o[ro, fo, co] += vis[ri, fi, co] * w
+                wsum[ro, fo, co] += w
+                ws_o[ro, fo, co] += w
+    sel = wsum != 0
+    vis_o[sel] /= wsum[sel]
+    return vis_o, out_flag, ws_o
+
+
+def test_row_chan_average(rng, synth_obs):
+    time, interval, a1, a2, flag_row = synth_obs
+    nrow = time.shape[0]
+    nchan, ncorr = 8, 2
+    meta = row_mapper(time, interval, a1, a2, flag_row=flag_row, time_bin_secs=2.0)
+    chan_meta = channel_mapper(nchan, 4)
+
+    vis = rng.normal(size=(nrow, nchan, ncorr)) + 1j * rng.normal(
+        size=(nrow, nchan, ncorr)
+    )
+    flag = rng.uniform(size=vis.shape) < 0.2
+    ws = rng.uniform(0.5, 2.0, vis.shape)
+
+    out = row_chan_average(meta, chan_meta, flag_row=flag_row,
+                           visibilities=vis, flag=flag, weight_spectrum=ws)
+    vis_o, flag_o, ws_o = np_row_chan_avg(meta, chan_meta, flag_row, vis,
+                                          flag, ws)
+    assert_allclose(np.asarray(out.visibilities), vis_o, rtol=1e-11, atol=1e-12)
+    assert_array_equal(np.asarray(out.flag), flag_o)
+    assert_allclose(np.asarray(out.weight_spectrum), ws_o, rtol=1e-12)
+
+
+def test_row_chan_average_tuple_vis(rng, synth_obs):
+    """Tuple-of-visibilities input (reference @intrinsic tuple support)."""
+    time, interval, a1, a2, flag_row = synth_obs
+    nrow, nchan, ncorr = time.shape[0], 4, 1
+    meta = row_mapper(time, interval, a1, a2, flag_row=flag_row, time_bin_secs=2.0)
+    chan_meta = channel_mapper(nchan, 2)
+    v1 = rng.normal(size=(nrow, nchan, ncorr)) + 0j
+    v2 = rng.normal(size=(nrow, nchan, ncorr)) + 0j
+    flag = np.zeros(v1.shape, bool)
+
+    out = row_chan_average(meta, chan_meta, flag_row=flag_row,
+                           visibilities=(v1, v2), flag=flag)
+    single1 = row_chan_average(meta, chan_meta, flag_row=flag_row,
+                               visibilities=v1, flag=flag)
+    assert isinstance(out.visibilities, tuple)
+    assert_allclose(np.asarray(out.visibilities[0]),
+                    np.asarray(single1.visibilities), rtol=1e-12)
+
+
+def test_chan_average(rng):
+    nchan = 9
+    chan_meta = channel_mapper(nchan, 3)
+    freq = np.linspace(1e9, 2e9, nchan)
+    width = np.full(nchan, 1e6)
+    out = chan_average(chan_meta, chan_freq=freq, chan_width=width)
+    assert_allclose(np.asarray(out.chan_freq), freq.reshape(3, 3).mean(axis=1))
+    assert_allclose(np.asarray(out.chan_width), 3e6)
+
+
+def test_time_and_channel_end_to_end(rng, synth_obs):
+    time, interval, a1, a2, flag_row = synth_obs
+    nrow, nchan, ncorr = time.shape[0], 6, 2
+    vis = rng.normal(size=(nrow, nchan, ncorr)) + 1j * rng.normal(
+        size=(nrow, nchan, ncorr)
+    )
+    flag = rng.uniform(size=vis.shape) < 0.2
+    freq = np.linspace(1e9, 2e9, nchan)
+
+    out = time_and_channel(
+        time, interval, a1, a2, flag_row=flag_row, visibilities=vis,
+        flag=flag, chan_freq=freq, time_bin_secs=2.0, chan_bin_size=2,
+    )
+    assert out.time.shape[0] == 9
+    assert np.asarray(out.visibilities).shape == (9, 3, ncorr)
+    assert out.chan_freq.shape[0] == 3
+    assert out.flag.shape == (9, 3, ncorr)
+    # averaging with bin size 1 in both axes is (sorted) identity
+    out_id = time_and_channel(
+        time, interval, a1, a2, flag_row=flag_row, visibilities=vis,
+        flag=flag, chan_freq=freq, time_bin_secs=1.0, chan_bin_size=1,
+    )
+    assert out_id.time.shape[0] == nrow
+    got = np.asarray(out_id.visibilities)[np.asarray(out_id.time).argsort(kind="stable")]
+    # identity map: every output row contains exactly its input row's data
+    perm = np.asarray(row_mapper(time, interval, a1, a2,
+                                 flag_row=flag_row, time_bin_secs=1.0).map)
+    assert_allclose(np.asarray(out_id.visibilities)[perm], vis, rtol=1e-12)
