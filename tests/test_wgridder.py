@@ -1,0 +1,176 @@
+"""w-gridder accuracy vs explicit DFT — the reference's own oracle strategy
+(gridding/wgridder/tests/test_wgridder.py:18-46 explicit_gridder,
+l2 error <= epsilon)."""
+
+import numpy as np
+from numpy.testing import assert_allclose
+import pytest
+
+from africanus_tpu.gridding.wgridder import dirty, model, residual, hessian
+from africanus_tpu.gridding.util import estimate_cell_size
+
+C = 2.99792458e8
+
+
+def _l2error(a, b):
+    return np.sqrt(
+        np.sum(np.abs(a - b) ** 2)
+        / np.maximum(np.sum(np.abs(a) ** 2), np.sum(np.abs(b) ** 2))
+    )
+
+
+def explicit_gridder(uvw, freq, ms, wgt, nx, ny, px, py, apply_w):
+    x, y = np.meshgrid(
+        *[-s / 2 + np.arange(s) for s in (nx, ny)], indexing="ij"
+    )
+    x *= px
+    y *= py
+    eps = x**2 + y**2
+    if apply_w:
+        nm1 = -eps / (np.sqrt(1.0 - eps) + 1.0)
+        n = nm1 + 1
+    else:
+        nm1 = 0.0
+        n = 1.0
+    res = np.zeros((nx, ny))
+    for r in range(ms.shape[0]):
+        for c in range(ms.shape[1]):
+            phase = freq[c] / C * (x * uvw[r, 0] + y * uvw[r, 1] - uvw[r, 2] * nm1)
+            v = ms[r, c] * (wgt[r, c] if wgt is not None else 1.0)
+            res += (v * np.exp(2j * np.pi * phase)).real
+    return res / n
+
+
+def explicit_degridder(uvw, freq, image, px, py, apply_w):
+    nx, ny = image.shape
+    x, y = np.meshgrid(
+        *[-s / 2 + np.arange(s) for s in (nx, ny)], indexing="ij"
+    )
+    x *= px
+    y *= py
+    eps = x**2 + y**2
+    if apply_w:
+        nm1 = -eps / (np.sqrt(1.0 - eps) + 1.0)
+        n = nm1 + 1
+    else:
+        nm1 = 0.0
+        n = 1.0
+    nrow, nchan = uvw.shape[0], freq.shape[0]
+    out = np.zeros((nrow, nchan), np.complex128)
+    for r in range(nrow):
+        for c in range(nchan):
+            phase = freq[c] / C * (x * uvw[r, 0] + y * uvw[r, 1] - uvw[r, 2] * nm1)
+            out[r, c] = np.sum(image / n * np.exp(-2j * np.pi * phase))
+    return out
+
+
+@pytest.fixture
+def grid_problem(rng):
+    nx, ny, fov, nrow, nchan = 16, 18, 5.0, 400, 2
+    cell = fov * np.pi / 180 / nx
+    freq = 1e9 + np.arange(nchan) * (1e9 / nchan)
+    uvw = (rng.uniform(size=(nrow, 3)) - 0.5) / (cell * freq[-1] / C)
+    vis = (
+        rng.uniform(size=(nrow, nchan)) - 0.5
+        + 1j * (rng.uniform(size=(nrow, nchan)) - 0.5)
+    )
+    wgt = rng.uniform(size=(nrow, nchan))
+    return nx, ny, cell, freq, uvw, vis, wgt
+
+
+@pytest.mark.parametrize("epsilon", [1e-3, 1e-5])
+@pytest.mark.parametrize("do_wstacking", [False, True])
+def test_dirty_vs_explicit(grid_problem, epsilon, do_wstacking):
+    nx, ny, cell, freq, uvw, vis, wgt = grid_problem
+    fbin_idx = np.array([0])
+    fbin_counts = np.array([freq.shape[0]])
+
+    d = np.asarray(
+        dirty(uvw, freq, vis, fbin_idx, fbin_counts, nx, ny, cell,
+              weights=wgt, epsilon=epsilon, do_wstacking=do_wstacking)
+    )
+    ref = explicit_gridder(uvw, freq, vis, wgt, nx, ny, cell, cell, do_wstacking)
+    assert d.shape == (1, nx, ny)
+    assert _l2error(d[0], ref) <= epsilon
+
+
+def test_dirty_freq_bands(grid_problem):
+    """Band-split dirty images must match per-band explicit DFTs."""
+    nx, ny, cell, freq, uvw, vis, wgt = grid_problem
+    fbin_idx = np.array([0, 1])
+    fbin_counts = np.array([1, 1])
+    d = np.asarray(
+        dirty(uvw, freq, vis, fbin_idx, fbin_counts, nx, ny, cell,
+              weights=wgt, epsilon=1e-5)
+    )
+    for b in range(2):
+        ref = explicit_gridder(uvw, freq[b:b+1], vis[:, b:b+1],
+                               wgt[:, b:b+1], nx, ny, cell, cell, True)
+        assert _l2error(d[b], ref) <= 1e-5
+
+
+@pytest.mark.parametrize("do_wstacking", [False, True])
+def test_model_vs_explicit(rng, grid_problem, do_wstacking):
+    nx, ny, cell, freq, uvw, vis, wgt = grid_problem
+    uvw = uvw[:50]
+    image = rng.normal(size=(1, nx, ny))
+    fbin_idx = np.array([0])
+    fbin_counts = np.array([freq.shape[0]])
+
+    mvis = np.asarray(
+        model(uvw, freq, image, fbin_idx, fbin_counts, cell,
+              epsilon=1e-5, do_wstacking=do_wstacking)
+    )
+    ref = explicit_degridder(uvw, freq, image[0], cell, cell, do_wstacking)
+    assert _l2error(mvis, ref) <= 1e-5
+
+
+def test_residual_identity(grid_problem):
+    """residual(image, vis) == dirty(vis - model(image))."""
+    nx, ny, cell, freq, uvw, vis, wgt = grid_problem
+    rng = np.random.default_rng(3)
+    image = rng.normal(size=(1, nx, ny))
+    fbin_idx = np.array([0])
+    fbin_counts = np.array([freq.shape[0]])
+
+    res = np.asarray(
+        residual(uvw, freq, image, vis, fbin_idx, fbin_counts, cell,
+                 weights=wgt, epsilon=1e-5)
+    )
+    mvis = np.asarray(
+        model(uvw, freq, image, fbin_idx, fbin_counts, cell, epsilon=1e-5)
+    )
+    d = np.asarray(
+        dirty(uvw, freq, vis - mvis, fbin_idx, fbin_counts, nx, ny, cell,
+              weights=wgt, epsilon=1e-5)
+    )
+    assert_allclose(res, d, rtol=1e-10, atol=1e-10)
+
+
+def test_hessian_positive_semidefinite(grid_problem):
+    """<I, H I> = ||A I||² >= 0 (hessian = AᴴA)."""
+    nx, ny, cell, freq, uvw, vis, wgt = grid_problem
+    rng = np.random.default_rng(4)
+    image = rng.normal(size=(1, nx, ny))
+    fbin_idx = np.array([0])
+    fbin_counts = np.array([freq.shape[0]])
+
+    h = np.asarray(
+        hessian(uvw, freq, image, fbin_idx, fbin_counts, cell, epsilon=1e-5)
+    )
+    assert h.shape == image.shape
+    assert np.sum(image * h) >= 0.0
+
+
+def test_estimate_cell_size():
+    u = np.array([10.0, 100.0, 1000.0])
+    v = np.array([20.0, 200.0, 2000.0])
+    wavelength = np.array([0.3, 0.21])
+    cells = estimate_cell_size(u, v, wavelength, factor=3.0)
+    assert cells.shape == (2,)
+    expected_u = np.rad2deg(1.0 / (2 * 3.0 * 1000.0 / 0.21)) * 3600
+    assert_allclose(cells[0], expected_u, rtol=1e-12)
+    with pytest.raises(ValueError):
+        estimate_cell_size(u, v, wavelength, factor=3.0, ny=2, nx=2)
+    with pytest.raises(TypeError):
+        estimate_cell_size("bad", v, wavelength)
