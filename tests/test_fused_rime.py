@@ -1,0 +1,155 @@
+"""Fused RIME vs the unfused API composition — the reference's own oracle
+strategy (experimental/rime/fused/tests/test_rime.py imports
+phase_delay/spectral_model/convert as the oracle)."""
+
+import numpy as np
+from numpy.testing import assert_allclose
+import pytest
+
+from africanus_tpu.ops.cplx import to_numpy
+from africanus_tpu.rime.fused import (
+    RimeFactory,
+    RimeParseError,
+    RimeSpecification,
+    rime,
+)
+from africanus_tpu.rime import phase_delay, feed_rotation, parallactic_angles
+from africanus_tpu.model.spectral import spectral_model
+from africanus_tpu.model.coherency import convert
+from africanus_tpu.model.shape import gaussian
+
+
+@pytest.fixture
+def obs(rng, wsrt_ants):
+    nsrc, ntime, nchan = 5, 3, 4
+    nant = wsrt_ants.shape[0]
+    a1, a2 = np.triu_indices(nant, 1)
+    antenna1 = np.tile(a1, ntime)
+    antenna2 = np.tile(a2, ntime)
+    time = np.repeat(5.03e9 + np.arange(ntime) * 8.0, a1.size)
+    nrow = time.shape[0]
+    return dict(
+        time=time,
+        antenna1=antenna1,
+        antenna2=antenna2,
+        feed1=np.zeros(nrow, np.int32),
+        feed2=np.zeros(nrow, np.int32),
+        radec=rng.uniform(-0.01, 0.01, (nsrc, 2)) + np.array([0.2, -0.6]),
+        phase_dir=np.array([0.2, -0.6]),
+        uvw=rng.uniform(-1000, 1000, (nrow, 3)),
+        chan_freq=np.linspace(0.856e9, 1.712e9, nchan),
+        stokes=rng.uniform(0.5, 2.0, (nsrc, 4)),
+        spi=rng.normal(scale=0.2, size=(nsrc, 2, 4)),
+        ref_freq=np.full(nsrc, 1.2e9),
+        gauss_shape=np.abs(rng.normal(size=(nsrc, 3))) * 1e-4,
+        antenna_position=wsrt_ants,
+    )
+
+
+def _oracle_KB(obs, corrs):
+    """Unfused composition: K * B summed over sources."""
+    from africanus_tpu.coordinates import radec_to_lm
+
+    lm = np.asarray(radec_to_lm(obs["radec"], obs["phase_dir"]))
+    K = np.asarray(phase_delay(lm, obs["uvw"], obs["chan_freq"]))
+    spec = np.asarray(
+        spectral_model(obs["stokes"], obs["spi"], obs["ref_freq"],
+                       obs["chan_freq"], base="std")
+    )
+    B = np.asarray(convert(spec, ["I", "Q", "U", "V"], corrs))
+    return np.einsum("srf,sfc->rfc", K, B)
+
+
+def test_fused_rime_KB(obs):
+    out = rime("(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]", obs,
+               spi_base="standard")
+    got = to_numpy(out)
+    expected = _oracle_KB(obs, ["XX", "XY", "YX", "YY"])
+    assert got.shape == expected.shape
+    assert_allclose(got, expected, rtol=1e-9, atol=1e-10)
+
+
+def test_fused_rime_KGB(obs):
+    out = rime("(Kpq, Gpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]", obs)
+    got = to_numpy(out)
+
+    from africanus_tpu.coordinates import radec_to_lm
+
+    lm = np.asarray(radec_to_lm(obs["radec"], obs["phase_dir"]))
+    K = np.asarray(phase_delay(lm, obs["uvw"], obs["chan_freq"]))
+    env = np.asarray(gaussian(obs["uvw"], obs["chan_freq"], obs["gauss_shape"]))
+    spec = np.asarray(
+        spectral_model(obs["stokes"], obs["spi"], obs["ref_freq"],
+                       obs["chan_freq"], base="std")
+    )
+    B = np.asarray(convert(spec, ["I", "Q", "U", "V"],
+                           ["XX", "XY", "YX", "YY"]))
+    expected = np.einsum("srf,sfc->rfc", K * env, B)
+    assert_allclose(got, expected, rtol=1e-9, atol=1e-10)
+
+
+def test_fused_rime_feed_rotation(obs):
+    """L (feed rotation) wrapping the K·B chain must equal the explicit
+    per-row 2x2 sandwich L1 · V · L2ᴴ."""
+    out = rime("[Lp, (Kpq, Bpq), Lq]: [I,Q,U,V] -> [XX,XY,YX,YY]", obs)
+    got = to_numpy(out)
+
+    coh = _oracle_KB(obs, ["XX", "XY", "YX", "YY"])
+    nrow, nchan = coh.shape[:2]
+    coh = coh.reshape(nrow, nchan, 2, 2)
+
+    utime, tinv = np.unique(obs["time"], return_inverse=True)
+    pa = parallactic_angles(utime, obs["antenna_position"],
+                            obs["phase_dir"], backend="numpy")
+    L = np.asarray(feed_rotation(pa, "linear"))  # (utime, ant, 2, 2)
+    L1 = L[tinv, obs["antenna1"]][:, None]  # (row, 1, 2, 2)
+    L2 = L[tinv, obs["antenna2"]][:, None]
+    expected = L1 @ coh @ np.conj(np.swapaxes(L2, -1, -2))
+    assert_allclose(got.reshape(expected.shape), expected, rtol=1e-8,
+                    atol=1e-9)
+
+
+def test_fused_rime_diag(obs):
+    out = rime("(Kpq, Bpq): [I,Q] -> [XX,YY]", obs)
+    got = to_numpy(out)
+    from africanus_tpu.coordinates import radec_to_lm
+
+    lm = np.asarray(radec_to_lm(obs["radec"], obs["phase_dir"]))
+    K = np.asarray(phase_delay(lm, obs["uvw"], obs["chan_freq"]))
+    spec = np.asarray(
+        spectral_model(obs["stokes"][:, :2], obs["spi"][:, :, :2],
+                       obs["ref_freq"], obs["chan_freq"], base="std")
+    )
+    B = np.asarray(convert(spec, ["I", "Q"], ["XX", "YY"]))
+    expected = np.einsum("srf,sfc->rfc", K, B)
+    assert_allclose(got, expected, rtol=1e-9)
+
+
+def test_spec_parsing_and_errors():
+    spec = RimeSpecification("(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]")
+    assert spec.equation == ["Kpq", "Bpq"]
+    assert spec.stokes == ["I", "Q", "U", "V"]
+    assert spec.corrs == ["XX", "XY", "YX", "YY"]
+    assert spec.feed_type == "linear"
+    assert hash(spec) == hash(
+        RimeSpecification("(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]")
+    )
+
+    circ = RimeSpecification("(Kpq, Bpq): [I,V] -> [RR,LL]")
+    assert circ.feed_type == "circular"
+
+    with pytest.raises(RimeParseError):
+        RimeSpecification("no colon here")
+    with pytest.raises(RimeParseError):
+        RimeSpecification("(Kpq): [I] - [XX]")
+    with pytest.raises(ValueError):
+        RimeSpecification("(Zpq, Bpq): [I] -> [XX]")
+
+
+def test_factory_cached(obs):
+    f1 = rime("(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]", obs)
+    from africanus_tpu.rime.fused.core import _cached_factory
+
+    a = _cached_factory("(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]")
+    b = _cached_factory("(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]")
+    assert a is b
