@@ -1,0 +1,73 @@
+"""Kronecker-structured linear algebra.
+
+Equivalents of reference ``africanus/linalg/kronecker_tools.py``
+(kron_matvec:29, kron_tensorvec, kron_matmat, kron_cholesky:157): operate
+with A = K₀ ⊗ K₁ ⊗ … without materialising the Kronecker product. Inputs
+are sequences of factor matrices; computation is jnp (jit-compatible when
+factor shapes are static).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["kron_N", "kron_matvec", "kron_tensorvec", "kron_matmat",
+           "kron_tensormat", "kron_cholesky"]
+
+
+def kron_N(x):
+    """Total number of rows of the Kronecker product of the factors."""
+    return int(np.prod([np.asarray(xi).shape[0] for xi in x]))
+
+
+def kron_matvec(A, b):
+    """A @ b for square Kronecker factors A = [K0, K1, …], in linear time."""
+    x = jnp.asarray(b)
+    N = x.size
+    for Ad in A:
+        Ad = jnp.asarray(Ad)
+        Gd = Ad.shape[0]
+        X = x.reshape(Gd, N // Gd)
+        x = (Ad @ X).T.ravel()
+    return x
+
+
+def kron_tensorvec(A, b):
+    """A @ b for arbitrary (possibly rectangular) Kronecker factors."""
+    D = len(A)
+    G = [np.asarray(Ad).shape[1] for Ad in A]
+    M = [np.asarray(Ad).shape[0] for Ad in A]
+    x = jnp.asarray(b)
+    for d in range(D):
+        Gd = G[d]
+        rem = int(np.prod([G[i] if i > d else M[i] for i in range(D) if i != d]))
+        X = x.reshape(Gd, rem)
+        x = (jnp.asarray(A[d]) @ X).T.ravel()
+        G[d] = M[d]
+    return x
+
+
+def kron_matmat(A, B):
+    """A @ B where B's columns are treated independently."""
+    B = jnp.asarray(B)
+    cols = [kron_matvec(A, B[:, i]) for i in range(B.shape[1])]
+    return jnp.stack(cols, axis=1)
+
+
+def kron_tensormat(A, B):
+    """As kron_matmat for rectangular factors."""
+    B = jnp.asarray(B)
+    cols = [kron_tensorvec(A, B[:, i]) for i in range(B.shape[1])]
+    return jnp.stack(cols, axis=1)
+
+
+def kron_cholesky(A):
+    """Cholesky factors of each Kronecker factor: chol(⊗Kᵢ) = ⊗chol(Kᵢ)."""
+    out = []
+    for Ad in A:
+        Ad = jnp.asarray(Ad)
+        # jitter for numerical stability (reference adds 1e-13 diagonals)
+        eye = jnp.eye(Ad.shape[0], dtype=Ad.dtype)
+        out.append(jnp.linalg.cholesky(Ad + 1e-13 * eye))
+    return out
