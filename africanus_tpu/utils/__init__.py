@@ -1,3 +1,19 @@
 from africanus_tpu.utils.types import complex_dtype_for, real_dtype_for
+from africanus_tpu.utils.docs import DocstringTemplate, doc_tuple_to_str, mod_docs
+from africanus_tpu.utils.shapes import aggregate_chunks, corr_shape
+from africanus_tpu.utils.cmdline import parse_python_assigns
+from africanus_tpu.utils.patterns import freeze, Multiton, LazyProxy, LazyProxyMultiton
+from africanus_tpu.utils.requirements import requires_optional, MissingPackageException
+from africanus_tpu.utils.code import format_code, memoize_on_key
+from africanus_tpu.utils.progress import EstimatingProgressBar, progress
 
-__all__ = ["complex_dtype_for", "real_dtype_for"]
+__all__ = [
+    "complex_dtype_for", "real_dtype_for",
+    "DocstringTemplate", "doc_tuple_to_str", "mod_docs",
+    "aggregate_chunks", "corr_shape",
+    "parse_python_assigns",
+    "freeze", "Multiton", "LazyProxy", "LazyProxyMultiton",
+    "requires_optional", "MissingPackageException",
+    "format_code", "memoize_on_key",
+    "EstimatingProgressBar", "progress",
+]

@@ -1,0 +1,123 @@
+"""Utility module tests (reference: africanus/util/*)."""
+
+import pickle
+
+import numpy as np
+from numpy.testing import assert_allclose
+import pytest
+
+from africanus_tpu.utils import (
+    DocstringTemplate,
+    aggregate_chunks,
+    corr_shape,
+    parse_python_assigns,
+    freeze,
+    Multiton,
+    LazyProxy,
+    format_code,
+    memoize_on_key,
+    requires_optional,
+    MissingPackageException,
+)
+
+
+def test_docstring_template():
+    t = DocstringTemplate("array of $(array_type) values")
+    assert t.substitute(array_type="jax.Array") == "array of jax.Array values"
+
+
+def test_aggregate_chunks():
+    chunks, max_c = ((3, 4, 6, 3, 6, 7), (1, 1, 1, 1, 1, 1)), (10, 3)
+    assert aggregate_chunks(chunks, max_c) == ((7, 9, 6, 7), (2, 2, 1, 1))
+    assert aggregate_chunks((3, 4, 6, 3), 10) == (7, 9)
+
+
+def test_corr_shape():
+    assert corr_shape(4, "flat") == (4,)
+    assert corr_shape(4, "matrix") == (2, 2)
+    assert corr_shape(2, "matrix") == (2,)
+    assert corr_shape(1, "matrix") == (1,)
+    with pytest.raises(ValueError):
+        corr_shape(3, "matrix")
+
+
+def test_parse_python_assigns():
+    data = parse_python_assigns("beta=5.6; l=[2,3]; s='hello, world'")
+    assert data == {"beta": 5.6, "l": [2, 3], "s": "hello, world"}
+    assert parse_python_assigns("sl=slice(0, 10)") == {"sl": slice(0, 10)}
+    assert parse_python_assigns("a, b = (1, 2)") == {"a": 1, "b": 2}
+    assert parse_python_assigns("") == {}
+    with pytest.raises(ValueError, match="not builtin"):
+        parse_python_assigns("x=eval('1')")
+    with pytest.raises(ValueError, match="not a variable assignment"):
+        parse_python_assigns("1 + 1")
+
+
+def test_freeze_and_multiton():
+    assert freeze([1, {"a": [2, 3]}]) == (1, frozenset({("a", (2, 3))}))
+
+    class A(metaclass=Multiton):
+        def __init__(self, *args, **kw):
+            self.args = args
+
+    assert A(1) is A(1)
+    assert A(1, "bob") is not A(1)
+
+
+def test_lazy_proxy(tmp_path):
+    calls = []
+
+    def factory(x):
+        calls.append(x)
+        return {"value": x}
+
+    p = LazyProxy(factory, 42)
+    assert calls == []  # not yet instantiated
+    assert p["value"] if False else p.__lazy_resolve__()["value"] == 42
+    assert calls == [42]
+
+    # pickling does not instantiate the resource
+    p2 = LazyProxy(open, tmp_path / "f.txt", mode="w")
+    blob = pickle.dumps(p2)
+    p3 = pickle.loads(blob)
+    p3.write("hello")
+    p3.close()
+    assert (tmp_path / "f.txt").read_text() == "hello"
+
+
+def test_format_code_and_memoize():
+    assert format_code("a\nb").splitlines()[0].endswith("a")
+
+    ncalls = []
+
+    @memoize_on_key(lambda x: x)
+    def fn(x):
+        ncalls.append(x)
+        return x * 2
+
+    assert fn(2) == 4 and fn(2) == 4
+    assert ncalls == [2]
+
+
+def test_requires_optional():
+    @requires_optional("numpy")
+    def fine():
+        return 42
+
+    assert fine() == 42
+
+    @requires_optional("no_such_package_xyz")
+    def broken():
+        return 42
+
+    with pytest.raises(MissingPackageException):
+        broken()
+
+    err = ImportError("boom")
+
+    @requires_optional("numpy", err)
+    def broken2():
+        return 1
+
+    with pytest.raises(ImportError, match="boom"):
+        broken2()
