@@ -1,0 +1,208 @@
+"""nifty-gridder API compatibility layer.
+
+The reference wraps the external C++ ``nifty_gridder`` in a dask-only
+module (``africanus/gridding/nifty/dask.py``: grid_config:65, grid:270,
+dirty:411, model:454, degrid:495) with custom serialized GridStreamReduction
+graph layers. The same capability class is provided here on top of the
+TPU-native w-stacking core (gridding/wgridder/core.py) — the stream/serial
+grid accumulation that bounds dask worker memory is unnecessary under XLA
+(one fused scatter); multi-device scaling is a `shard_map` + psum of
+partial grids instead (see africanus_tpu.parallel).
+
+Per-correlation visibilities are gridded onto per-correlation uv grids of
+shape (nu, nv, ncorr); ``dirty``/``model`` convert between grids and images
+with the kernel-taper corrections handled internally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from africanus_tpu.constants import ARCSEC2RAD
+from africanus_tpu.ops.cplx import Cplx, cplx
+
+__all__ = ["GridderConfigWrapper", "grid_config", "grid", "degrid", "dirty",
+           "model"]
+
+
+class GridderConfigWrapper:
+    """Gridding configuration (picklable plain data)."""
+
+    def __init__(self, nx=1024, ny=1024, eps=2e-13, cell_size_x=2.0,
+                 cell_size_y=2.0):
+        self.nx = nx
+        self.ny = ny
+        self.csx = cell_size_x
+        self.csy = cell_size_y
+        self.eps = eps
+
+    @property
+    def object(self):
+        return self
+
+    def __reduce__(self):
+        return (
+            GridderConfigWrapper,
+            (self.nx, self.ny, self.eps, self.csx, self.csy),
+        )
+
+
+def grid_config(nx=1024, ny=1024, eps=2e-13, cell_size_x=2.0, cell_size_y=2.0):
+    """Create a gridder configuration (cell sizes in arcseconds)."""
+    return GridderConfigWrapper(nx, ny, eps, cell_size_x, cell_size_y)
+
+
+def _epsilon(gc):
+    # our ES kernels bottom out around 1e-9 accuracy; clamp tighter requests
+    return max(float(gc.eps), 1e-9)
+
+
+def grid(vis, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
+         wmax=1e30, streams=None):
+    """Grid (row, chan, corr) visibilities → (nu, nv, ncorr) grids.
+
+    ``streams`` (the reference's memory-bounding serial chains) is accepted
+    and ignored: a single fused scatter has no per-stream intermediates.
+    """
+    gc = grid_config
+    v = cplx(vis)
+    nrow, nchan, ncorr = v.shape
+    flags = jnp.asarray(flags)
+    weights = None if weights is None else jnp.asarray(weights)
+
+    from africanus_tpu.gridding.wgridder.core import (
+        _plan, _spread_indices_weights, _wavelength_coords,
+    )
+
+    cellx = gc.csx * ARCSEC2RAD
+    celly = gc.csy * ARCSEC2RAD
+    plan = _plan(np.asarray(uvw), np.asarray(frequencies), gc.nx, gc.ny,
+                 cellx, celly, _epsilon(gc), False)
+    nu, nv = plan["nu"], plan["nv"]
+    support = plan["support"]
+
+    u_np, v_np, w_np = _wavelength_coords(np.asarray(uvw),
+                                          np.asarray(frequencies))
+    iu0, iv0, _, ku, kv, _ = _spread_indices_weights(
+        jnp.asarray(u_np), jnp.asarray(v_np), jnp.asarray(w_np), plan,
+        gc.nx, gc.ny, cellx, celly, plan["beta"],
+    )
+
+    offs = jnp.arange(support)
+    iu_all = jnp.mod(iu0[:, None] + offs, nu)
+    iv_all = jnp.mod(iv0[:, None] + offs, nv)
+    wj = ku[:, :, None] * kv[:, None, :]  # (N, W, W)
+    idx = (iu_all[:, :, None], iv_all[:, None, :])
+
+    # unflagged & weighted per (row, chan, corr), flattened to samples
+    keep = (~(flags != 0)).astype(v.re.dtype)
+    wgt = keep if weights is None else keep * weights
+
+    grids_re, grids_im = [], []
+    for c in range(ncorr):
+        val_re = (v.re[..., c] * wgt[..., c]).reshape(-1)
+        val_im = (v.im[..., c] * wgt[..., c]).reshape(-1)
+        gre = jnp.zeros((nu, nv), v.re.dtype).at[idx].add(
+            val_re[:, None, None] * wj
+        )
+        gim = jnp.zeros((nu, nv), v.re.dtype).at[idx].add(
+            val_im[:, None, None] * wj
+        )
+        grids_re.append(gre)
+        grids_im.append(gim)
+
+    return Cplx(jnp.stack(grids_re, axis=-1), jnp.stack(grids_im, axis=-1))
+
+
+def dirty(grid, grid_config):
+    """Gridded visibilities (nu, nv, ncorr) → dirty image (nx, ny, ncorr)."""
+    gc = grid_config
+    g = cplx(grid)
+    from africanus_tpu.ops.fft import cifft2
+    from africanus_tpu.gridding.wgridder.core import _kernel_params, kernel_taper
+
+    support, beta = _kernel_params(_epsilon(gc))
+    nu, nv, ncorr = g.shape
+    nx, ny = gc.nx, gc.ny
+
+    re, im = cifft2(
+        jnp.moveaxis(g.re, -1, 0), jnp.moveaxis(g.im, -1, 0), axes=(1, 2)
+    )
+    re = jnp.fft.fftshift(re, axes=(1, 2)) * (nu * nv)
+    cu, cv = (nu - nx) // 2, (nv - ny) // 2
+    re = re[:, cu : cu + nx, cv : cv + ny]
+
+    cx = kernel_taper((np.arange(nx) - nx / 2) / nu, support, beta)
+    cy = kernel_taper((np.arange(ny) - ny / 2) / nv, support, beta)
+    taper = jnp.asarray(np.outer(cx, cy))
+    return jnp.moveaxis(re / taper, 0, -1)
+
+
+def model(image, grid_config):
+    """Image (nx, ny, ncorr) → uv grids (nu, nv, ncorr) (adjoint of dirty)."""
+    gc = grid_config
+    image = jnp.asarray(image)
+    from africanus_tpu.ops.fft import cfft2
+    from africanus_tpu.gridding.wgridder.core import _kernel_params, kernel_taper
+
+    support, beta = _kernel_params(_epsilon(gc))
+    nx, ny, ncorr = image.shape
+    nu, nv = 2 * nx, 2 * ny
+
+    cx = kernel_taper((np.arange(nx) - nx / 2) / nu, support, beta)
+    cy = kernel_taper((np.arange(ny) - ny / 2) / nv, support, beta)
+    taper = jnp.asarray(np.outer(cx, cy))
+
+    img = jnp.moveaxis(image, -1, 0) / taper
+    cu, cv = (nu - nx) // 2, (nv - ny) // 2
+    img = jnp.pad(img, ((0, 0), (cu, nu - nx - cu), (cv, nv - ny - cv)))
+    img = jnp.fft.ifftshift(img, axes=(1, 2))
+    re, im = cfft2(img, jnp.zeros_like(img), axes=(1, 2))
+    return Cplx(jnp.moveaxis(re, 0, -1), jnp.moveaxis(im, 0, -1))
+
+
+def degrid(grid, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
+           wmax=1e30):
+    """uv grids (nu, nv, ncorr) → (row, chan, corr) visibilities."""
+    gc = grid_config
+    g = cplx(grid)
+    flags = jnp.asarray(flags)
+
+    from africanus_tpu.gridding.wgridder.core import (
+        _plan, _spread_indices_weights, _wavelength_coords,
+    )
+
+    cellx = gc.csx * ARCSEC2RAD
+    celly = gc.csy * ARCSEC2RAD
+    plan = _plan(np.asarray(uvw), np.asarray(frequencies), gc.nx, gc.ny,
+                 cellx, celly, _epsilon(gc), False)
+    nu, nv = plan["nu"], plan["nv"]
+    support = plan["support"]
+
+    u_np, v_np, w_np = _wavelength_coords(np.asarray(uvw),
+                                          np.asarray(frequencies))
+    nrow = np.asarray(uvw).shape[0]
+    nchan = np.asarray(frequencies).shape[0]
+    iu0, iv0, _, ku, kv, _ = _spread_indices_weights(
+        jnp.asarray(u_np), jnp.asarray(v_np), jnp.asarray(w_np), plan,
+        gc.nx, gc.ny, cellx, celly, plan["beta"],
+    )
+    offs = jnp.arange(support)
+    iu_all = jnp.mod(iu0[:, None] + offs, nu)
+    iv_all = jnp.mod(iv0[:, None] + offs, nv)
+    wj = ku[:, :, None] * kv[:, None, :]
+    idx = (iu_all[:, :, None], iv_all[:, None, :])
+
+    ncorr = g.shape[-1]
+    outs_re, outs_im = [], []
+    for c in range(ncorr):
+        outs_re.append((g.re[..., c][idx] * wj).sum(axis=(1, 2)))
+        outs_im.append((g.im[..., c][idx] * wj).sum(axis=(1, 2)))
+    re = jnp.stack(outs_re, axis=-1).reshape(nrow, nchan, ncorr)
+    im = jnp.stack(outs_im, axis=-1).reshape(nrow, nchan, ncorr)
+
+    keep = (~(flags != 0)).astype(re.dtype)
+    if weights is not None:
+        keep = keep * jnp.asarray(weights)
+    return Cplx(re * keep, im * keep)
