@@ -1,0 +1,173 @@
+"""Fused Pallas RIME predict kernel.
+
+The hot loop of BASELINE config 2 (phase delay × gaussian envelope ×
+brightness, summed over sources — reference predict.py:199-252 /
+predict.cu.j2). The XLA einsum formulation materialises the
+(source, row, chan) K and envelope intermediates in HBM (~GBs of traffic
+at MeerKAT scale); this kernel tiles (row, chan), loops over source blocks
+in VMEM, and fuses phase → sin/cos → envelope → per-correlation complex
+accumulation, so HBM sees only the small inputs and the output tile.
+
+Layout notes (see pallas guide): tiles are (ROW_TILE, CHAN_TILE) =
+(128, 128) f32; the source-block contraction is a (TF-batched) dot_general
+on the MXU; correlations live in an outer static loop (≤4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from africanus_tpu.ops.cplx import Cplx
+
+__all__ = ["predict_kb_pallas"]
+
+
+def _predict_kernel(dot_ref, u1_ref, v1_ref, freq_ref, sfreq_ref,
+                    bre_ref, bim_ref, out_re_ref, out_im_ref, *,
+                    src_block, have_env):
+    """One (row_tile, chan_tile) output tile; loop over source blocks."""
+    nsrc = dot_ref.shape[0]
+    nblocks = nsrc // src_block
+
+    freq = freq_ref[0, :]  # (TF,)
+    sfreq = sfreq_ref[0, :]
+
+    def body(blk, acc):
+        acc_re, acc_im = acc
+        s0 = blk * src_block
+
+        dot = dot_ref[pl.ds(s0, src_block), :]  # (SB, TR)
+        p = dot[:, :, None] * freq[None, None, :]  # (SB, TR, TF)
+        kre = jnp.cos(p)
+        kim = jnp.sin(p)
+
+        if have_env:
+            u1 = u1_ref[pl.ds(s0, src_block), :]
+            v1 = v1_ref[pl.ds(s0, src_block), :]
+            fu = u1[:, :, None] * sfreq[None, None, :]
+            fv = v1[:, :, None] * sfreq[None, None, :]
+            env = jnp.exp(-(fu * fu + fv * fv))
+            kre = kre * env
+            kim = kim * env
+
+        # contract the source block per correlation on the VPU
+        # (Mosaic lacks mismatched-batch dot_general; SB and C are small)
+        new_re = []
+        new_im = []
+        for c in range(len(acc_re)):
+            brc = bre_ref[c, pl.ds(s0, src_block), :][:, None, :]  # (SB,1,TF)
+            bic = bim_ref[c, pl.ds(s0, src_block), :][:, None, :]
+            new_re.append(acc_re[c] + (kre * brc - kim * bic).sum(axis=0))
+            new_im.append(acc_im[c] + (kre * bic + kim * brc).sum(axis=0))
+        return tuple(new_re), tuple(new_im)
+
+    tf, tr = freq.shape[0], dot_ref.shape[1]
+    ncorr = bre_ref.shape[0]
+    zeros = tuple(jnp.zeros((tr, tf), jnp.float32) for _ in range(ncorr))
+    acc_re, acc_im = lax.fori_loop(0, nblocks, body, (zeros, zeros))
+
+    for c in range(ncorr):
+        out_re_ref[c] = acc_re[c]  # (C, TR, TF) corr-major layout
+        out_im_ref[c] = acc_im[c]
+
+
+def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
+                      row_tile=128, chan_tile=128, src_block=8):
+    """Fused K[×env]×B predict.
+
+    Parameters
+    ----------
+    phase_dot : (src, row) f32 — 2π/c-scaled geometric delay (phase = dot·ν)
+    u1, v1 : (src, row) f32 or None — gaussian-envelope coordinates
+        (envelope = exp(−((u1·sf)² + (v1·sf)²))); pass None for points
+    freq : (chan,) f32; scaled_freq : (chan,) f32 (gauss-scaled)
+    b : Cplx (src, chan, corr) brightness
+
+    Returns
+    -------
+    Cplx (row, chan, corr) visibilities.
+
+    Shapes must tile exactly: row % row_tile == chan % chan_tile ==
+    src % src_block == 0 (pad inputs with zero-flux sources / dummy rows).
+    """
+    nsrc, nrow = phase_dot.shape
+    nchan = freq.shape[0]
+    ncorr = b.re.shape[2]
+    have_env = u1 is not None
+
+    if nrow % row_tile or nchan % chan_tile or nsrc % src_block:
+        raise ValueError(
+            f"shapes (src={nsrc}, row={nrow}, chan={nchan}) must be "
+            f"divisible by (src_block={src_block}, row_tile={row_tile}, "
+            f"chan_tile={chan_tile})"
+        )
+
+    if not have_env:
+        u1 = jnp.zeros_like(phase_dot)
+        v1 = jnp.zeros_like(phase_dot)
+
+    grid = (nrow // row_tile, nchan // chan_tile)
+
+    kernel = partial(_predict_kernel, src_block=src_block, have_env=have_env)
+
+    # corr-major device layouts: a trailing corr dim of 4 would be padded
+    # to the 128-lane tile, inflating VMEM 32x
+    out_shape = [
+        jax.ShapeDtypeStruct((ncorr, nrow, nchan), jnp.float32),
+        jax.ShapeDtypeStruct((ncorr, nrow, nchan), jnp.float32),
+    ]
+
+    in_specs = [
+        pl.BlockSpec((nsrc, row_tile), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),  # phase_dot
+        pl.BlockSpec((nsrc, row_tile), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),  # u1
+        pl.BlockSpec((nsrc, row_tile), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),  # v1
+        pl.BlockSpec((1, chan_tile), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),  # freq
+        pl.BlockSpec((1, chan_tile), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),  # scaled_freq
+        pl.BlockSpec((ncorr, nsrc, chan_tile), lambda i, j: (0, 0, j),
+                     memory_space=pltpu.VMEM),  # b.re (corr-major)
+        pl.BlockSpec((ncorr, nsrc, chan_tile), lambda i, j: (0, 0, j),
+                     memory_space=pltpu.VMEM),  # b.im
+    ]
+    out_specs = [
+        pl.BlockSpec((ncorr, row_tile, chan_tile), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ncorr, row_tile, chan_tile), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    flops = 2 * nsrc * nrow * nchan * (4 * ncorr + 8)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (3 * nsrc * nrow + 2 * nchan
+                                + 2 * nsrc * nchan * ncorr
+                                + 2 * nrow * nchan * ncorr),
+            transcendentals=3 * nsrc * nrow * nchan,
+        ),
+    )(
+        phase_dot.astype(jnp.float32),
+        u1.astype(jnp.float32),
+        v1.astype(jnp.float32),
+        freq.astype(jnp.float32).reshape(1, -1),
+        scaled_freq.astype(jnp.float32).reshape(1, -1),
+        b.re.astype(jnp.float32).transpose(2, 0, 1),
+        b.im.astype(jnp.float32).transpose(2, 0, 1),
+    )
+    return Cplx(out_re.transpose(1, 2, 0), out_im.transpose(1, 2, 0))

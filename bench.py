@@ -101,11 +101,13 @@ def bench_cpu_baseline():
     return mvis, out, args
 
 
-def bench_tpu():
+def bench_tpu(use_pallas=True):
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from __graft_entry__ import _predict_step
+    from __graft_entry__ import _predict_step, _predict_step_pallas
+
+    step = _predict_step_pallas if use_pallas else _predict_step
 
     args = make_inputs(NCHAN, np.float32)
     dargs = jax.device_put(args)
@@ -118,7 +120,7 @@ def bench_tpu():
     def loop(ti, a1, a2, lm, uvw, freq, stokes, spi, ref_freq, gs, gphase):
         def body(carry, i):
             uvw_i = uvw + (i * 1e-12).astype(uvw.dtype)
-            out = _predict_step(
+            out = step(
                 ti, a1, a2, lm, uvw_i, freq, stokes, spi, ref_freq, gs, gphase
             )
             return carry + out.re[0, 0, 0], None
