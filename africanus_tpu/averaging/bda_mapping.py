@@ -235,31 +235,73 @@ def bda_mapper(
         out_rows += 1
         out_row_chans += use_nchan
 
-    for bl in range(nbl):
-        binner.reset()
-        auto_corr = ubl[bl, 0] == ubl[bl, 1]
-        for t in range(ntime):
-            r = row_lookup[bl, t]
-            if r == -1:
-                continue
-            if binner.empty:
-                binner.start_bin(r, flag_row)
-            elif not binner.add_row(r, auto_corr, time, interval, uvw, flag_row):
+    from africanus_tpu import native
+
+    if native.available():
+        # C++ binner core (~100x at production row counts)
+        auto_corr_arr = (ubl[:, 0] == ubl[:, 1]).astype(np.uint8)
+        flags8 = (
+            np.ascontiguousarray(flag_row != 0).astype(np.uint8)
+            if flag_row is not None
+            else None
+        )
+        tl64 = np.full((nbl, ntime), sentinel, np.float64)
+        il64 = np.full((nbl, ntime), sentinel, np.float64)
+        bin_flagged8 = np.zeros((nbl, ntime), np.uint8)
+        bin_nchan = np.zeros((nbl, ntime), np.int64)
+        bcw64 = np.zeros((nbl, ntime), np.float64)
+
+        out_rows, out_row_chans = native.bda_binner_core(
+            np.ascontiguousarray(row_lookup),
+            auto_corr_arr,
+            np.ascontiguousarray(time, dtype=np.float64),
+            np.ascontiguousarray(interval, dtype=np.float64),
+            np.ascontiguousarray(uvw, dtype=np.float64),
+            flags8,
+            np.ascontiguousarray(chan_width, dtype=np.float64),
+            nchan_factors.astype(np.int64),
+            float(binner.max_lm), float(binner.n_max), float(dphi),
+            float(time_bin_secs), float(chan_freq.max()),
+            float(bandwidth), int(min_nchan), float(sentinel),
+            bin_lookup, tl64, il64, bin_flagged8, bin_nchan, bcw64,
+        )
+        time_lookup[:] = tl64.astype(time_lookup.dtype)
+        interval_lookup[:] = il64.astype(interval_lookup.dtype)
+        bin_flagged[:] = bin_flagged8.astype(bool)
+        bin_chan_width[:] = bcw64.astype(bin_chan_width.dtype)
+        # derive the channel maps from the per-bin output channel counts
+        use_nchan = np.maximum(bin_nchan, min_nchan)
+        per_bin = np.maximum(nchan // np.maximum(use_nchan, 1), 1)
+        bin_chan_map[:] = (
+            np.arange(nchan)[None, None, :] // per_bin[:, :, None]
+        ).astype(np.int32)
+    else:
+        for bl in range(nbl):
+            binner.reset()
+            auto_corr = ubl[bl, 0] == ubl[bl, 1]
+            for t in range(ntime):
+                r = row_lookup[bl, t]
+                if r == -1:
+                    continue
+                if binner.empty:
+                    binner.start_bin(r, flag_row)
+                elif not binner.add_row(r, auto_corr, time, interval, uvw,
+                                        flag_row):
+                    store(
+                        binner.finalise_bin(auto_corr, uvw, time, interval,
+                                            nchan_factors, chan_width),
+                        bl,
+                    )
+                    binner.start_bin(r, flag_row)
+                bin_lookup[bl, t] = binner.tbin
+            if not binner.empty:
                 store(
                     binner.finalise_bin(auto_corr, uvw, time, interval,
                                         nchan_factors, chan_width),
                     bl,
                 )
-                binner.start_bin(r, flag_row)
-            bin_lookup[bl, t] = binner.tbin
-        if not binner.empty:
-            store(
-                binner.finalise_bin(auto_corr, uvw, time, interval,
-                                    nchan_factors, chan_width),
-                bl,
-            )
-        time_lookup[bl, binner.tbin:] = sentinel
-        bin_flagged[bl, binner.tbin:] = False
+            time_lookup[bl, binner.tbin:] = sentinel
+            bin_flagged[bl, binner.tbin:] = False
 
     flat_time = time_lookup.ravel()
     argsort = np.argsort(flat_time, kind="mergesort")
@@ -281,33 +323,35 @@ def bda_mapper(
         None if flag_row is None else np.empty(out_row_chans, flag_row.dtype)
     )
 
-    for in_row in range(nrow):
-        bl = bl_inv[in_row]
-        t = time_inv[in_row]
-        tbin = bin_lookup[bl, t]
-        bin_time = time_lookup[bl, tbin]
-        bin_interval = interval_lookup[bl, tbin]
-        flagged = bin_flagged[bl, tbin]
-        out_row = inv_argsort[bl * ntime + tbin]
-        if out_row >= out_rows:
-            raise RowMapperError("out_row >= out_rows")
-        decorr_chan_width[out_row] = bin_chan_width[bl, tbin]
+    # vectorised over input rows
+    row_tbin = bin_lookup[bl_inv, time_inv]  # (nrow,)
+    row_out = inv_argsort[bl_inv * ntime + row_tbin]
+    if (row_out >= out_rows).any():
+        raise RowMapperError("out_row >= out_rows")
+    decorr_chan_width[row_out] = bin_chan_width[bl_inv, row_tbin]
 
-        if flag_row is not None and flag_row[in_row] == 0 and flagged:
-            raise RowMapperError(
-                "Unflagged input row contributing to flagged output row. "
-                "This should never happen!"
-            )
+    row_flagged = bin_flagged[bl_inv, row_tbin]
+    if flag_row is not None and ((flag_row == 0) & row_flagged).any():
+        raise RowMapperError(
+            "Unflagged input row contributing to flagged output row. "
+            "This should never happen!"
+        )
 
-        out_offsets = offsets[out_row] + bin_chan_map[bl, tbin]
-        if (out_offsets >= out_row_chans).any():
-            raise RowMapperError("out_offset >= out_row_chans")
-        row_chan_map[in_row] = out_offsets
-        time_ret[out_offsets] = bin_time
-        int_ret[out_offsets] = bin_interval
-        np.add.at(chan_width_ret, out_offsets, chan_width)
-        if flag_row is not None:
-            out_flag_row[out_offsets] = 1 if flagged else 0
+    row_chan_map = (
+        offsets[row_out][:, None].astype(np.int64)
+        + bin_chan_map[bl_inv, row_tbin]
+    ).astype(np.int32)
+    if (row_chan_map >= out_row_chans).any():
+        raise RowMapperError("out_offset >= out_row_chans")
+
+    flat = row_chan_map.ravel()
+    time_ret[flat] = np.repeat(time_lookup[bl_inv, row_tbin], nchan)
+    int_ret[flat] = np.repeat(interval_lookup[bl_inv, row_tbin], nchan)
+    np.add.at(chan_width_ret, flat, np.tile(chan_width, nrow))
+    if flag_row is not None:
+        out_flag_row[flat] = np.repeat(
+            row_flagged.astype(out_flag_row.dtype), nchan
+        )
 
     return RowMapOutput(
         row_chan_map,

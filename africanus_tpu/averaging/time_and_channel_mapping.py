@@ -68,45 +68,73 @@ def row_mapper(time, interval, antenna1, antenna2, flag_row=None, time_bin_secs=
         )
     row_lookup[bl_inv, time_inv] = np.arange(time.shape[0])
 
-    out_rows = 0
-    for bl in range(nbl):
-        tbin = 0
-        bin_count = 0
-        bin_flag_count = 0
-        bin_low = 0.0
+    from africanus_tpu import native
 
-        for t in range(ntime):
-            r = row_lookup[bl, t]
-            if r == -1:
-                continue
+    if native.available():
+        # C++ core (~100x at production row counts); identical semantics
+        flags8 = (
+            np.ascontiguousarray(flag_row != 0).astype(np.uint8)
+            if have_flag_row
+            else None
+        )
+        bin_flagged8 = np.zeros((nbl, ntime), np.uint8)
+        tl64 = np.zeros((nbl, ntime), np.float64)
+        il64 = np.zeros((nbl, ntime), np.float64)
+        out_rows = native.tc_row_mapper_core(
+            np.ascontiguousarray(row_lookup),
+            np.ascontiguousarray(time, dtype=np.float64),
+            np.ascontiguousarray(interval, dtype=np.float64),
+            flags8,
+            float(time_bin_secs),
+            float(sentinel),
+            bin_lookup,
+            tl64,
+            il64,
+            bin_flagged8,
+        )
+        time_lookup[:] = tl64.astype(time_lookup.dtype)
+        interval_lookup[:] = il64.astype(interval_lookup.dtype)
+        bin_flagged[:] = bin_flagged8.astype(bool)
+    else:
+        out_rows = 0
+        for bl in range(nbl):
+            tbin = 0
+            bin_count = 0
+            bin_flag_count = 0
+            bin_low = 0.0
 
-            half_int = interval[r] * 0.5
-            if bin_count == 0:
-                bin_low = time[r] - half_int
-            elif time[r] + half_int - bin_low > time_bin_secs:
-                # close the current bin and start a new one
+            for t in range(ntime):
+                r = row_lookup[bl, t]
+                if r == -1:
+                    continue
+
+                half_int = interval[r] * 0.5
+                if bin_count == 0:
+                    bin_low = time[r] - half_int
+                elif time[r] + half_int - bin_low > time_bin_secs:
+                    # close the current bin and start a new one
+                    time_lookup[bl, tbin] /= bin_count
+                    bin_flagged[bl, tbin] = bin_count == bin_flag_count
+                    tbin += 1
+                    bin_count = 0
+                    bin_low = time[r] - half_int
+                    bin_flag_count = 0
+
+                bin_lookup[bl, t] = tbin
+                time_lookup[bl, tbin] += time[r]
+                interval_lookup[bl, tbin] += interval[r]
+                bin_count += 1
+                if have_flag_row and flag_row[r] != 0:
+                    bin_flag_count += 1
+
+            if bin_count > 0:
                 time_lookup[bl, tbin] /= bin_count
                 bin_flagged[bl, tbin] = bin_count == bin_flag_count
                 tbin += 1
-                bin_count = 0
-                bin_low = time[r] - half_int
-                bin_flag_count = 0
 
-            bin_lookup[bl, t] = tbin
-            time_lookup[bl, tbin] += time[r]
-            interval_lookup[bl, tbin] += interval[r]
-            bin_count += 1
-            if have_flag_row and flag_row[r] != 0:
-                bin_flag_count += 1
-
-        if bin_count > 0:
-            time_lookup[bl, tbin] /= bin_count
-            bin_flagged[bl, tbin] = bin_count == bin_flag_count
-            tbin += 1
-
-        out_rows += tbin
-        time_lookup[bl, tbin:] = sentinel
-        bin_flagged[bl, tbin:] = False
+            out_rows += tbin
+            time_lookup[bl, tbin:] = sentinel
+            bin_flagged[bl, tbin:] = False
 
     flat_time = time_lookup.ravel()
     flat_int = interval_lookup.ravel()
