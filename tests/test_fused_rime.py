@@ -153,3 +153,51 @@ def test_factory_cached(obs):
     a = _cached_factory("(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]")
     b = _cached_factory("(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]")
     assert a is b
+
+
+def test_fused_rime_beam_term(tmp_path, rng, obs, wsrt_ants):
+    """E (beam) term through the fused RIME with a fabricated FITS beam:
+    at beam centre the cos^3 model is ~1 so [Ep,(Kpq,Bpq),Eq] ~= K*B."""
+    from africanus_tpu.testing.beam_factory import beam_factory
+    from africanus_tpu.utils.beams import load_beam_cube
+
+    schema = tmp_path / "fused_beam_$(corr)_$(reim).fits"
+    beam_factory(polarisation_type="linear", npix=17, schema=schema, rng=rng)
+    beam, extents, freq_map = load_beam_cube(schema, [9, 10, 11, 12])
+
+    # single source: the attenuation bound below only holds per source
+    # (a multi-source sum of attenuated terms can interfere upward)
+    obs = dict(obs)
+    for key in ("radec", "stokes", "spi", "ref_freq", "gauss_shape"):
+        obs[key] = obs[key][:1]
+
+    # zero parallactic angle: sources stay at their lm positions
+    nutime = np.unique(obs["time"]).shape[0]
+    nant = obs["antenna_position"].shape[0]
+
+    # beam_factory writes the same cos^3 pattern to every correlation and
+    # to both re/im parts; keep only the real diagonal so the beam is a
+    # pure attenuation for this test
+    beam2x2 = beam.reshape(beam.shape[:3] + (2, 2)).real.astype(complex)
+    beam2x2[..., 0, 1] = 0
+    beam2x2[..., 1, 0] = 0
+
+    out = rime(
+        "[Ep, (Kpq, Bpq), Eq]: [I,Q,U,V] -> [XX,XY,YX,YY]",
+        obs,
+        beam=beam2x2,
+        beam_lm_extents=extents,
+        beam_freq_map=freq_map,
+        beam_parangle=np.zeros((nutime, nant)),
+    )
+    got = to_numpy(out)
+
+    kb = _oracle_KB(obs, ["XX", "XY", "YX", "YY"])
+    # beam gain at the (small) source offsets is close to but below 1;
+    # XX/YY must be attenuated versions of the K*B chain
+    ratio = np.abs(got[..., 0]) / np.abs(kb[..., 0])
+    assert np.isfinite(got).all()
+    assert (ratio < 1.0 + 1e-6).all()
+    assert ratio.min() > 0.1  # source is inside the beam
+    # the cos^3 beam narrows with frequency: attenuation must deepen
+    assert (np.diff(ratio[0]) < 0).all()
