@@ -35,7 +35,7 @@ from africanus_tpu.constants import c as lightspeed
 from africanus_tpu.ops.cplx import Cplx, cplx
 from africanus_tpu.ops.fft import cfft2, cifft2
 
-__all__ = ["grid_adjoint", "degrid", "degrid_ri", "es_kernel", "kernel_taper"]
+__all__ = ["grid_adjoint", "degrid", "degrid_ri", "es_kernel", "kernel_taper", "make_plan"]
 
 _SIGMA = 2  # oversampling factor
 
@@ -80,11 +80,20 @@ def kernel_taper(xi, support, beta, quad_points=64):
 
 
 def _wavelength_coords(uvw, freq):
-    """(row·chan,) u, v, w in wavelengths."""
+    """(row·chan,) u, v, w in wavelengths (host numpy inputs)."""
     scale = np.asarray(freq) / lightspeed
     u = np.multiply.outer(np.asarray(uvw)[:, 0], scale).ravel()
     v = np.multiply.outer(np.asarray(uvw)[:, 1], scale).ravel()
     w = np.multiply.outer(np.asarray(uvw)[:, 2], scale).ravel()
+    return u, v, w
+
+
+def _wavelength_coords_jnp(uvw, freq):
+    """Traced variant of :func:`_wavelength_coords`."""
+    scale = jnp.asarray(freq) / lightspeed
+    u = (uvw[:, 0:1] * scale[None, :]).ravel()
+    v = (uvw[:, 1:2] * scale[None, :]).ravel()
+    w = (uvw[:, 2:3] * scale[None, :]).ravel()
     return u, v, w
 
 
@@ -168,17 +177,30 @@ def _spread_indices_weights(u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta):
     return iu0, iv0, iw0, ku, kv, kw
 
 
-def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
-                 do_wstacking=True, mask=None):
-    """ms2dirty equivalent: visibilities → dirty image (nx, ny)."""
-    plan = _plan(np.asarray(uvw), np.asarray(freq), nx, ny, cellx, celly,
+def make_plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking=True):
+    """Public wrapper building the host-side gridding plan from concrete
+    uvw/freq, for use with traced gridding calls (shard_map etc.)."""
+    return _plan(np.asarray(uvw), np.asarray(freq), nx, ny, cellx, celly,
                  epsilon, do_wstacking)
+
+
+def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
+                 do_wstacking=True, mask=None, plan=None):
+    """ms2dirty equivalent: visibilities → dirty image (nx, ny).
+
+    ``plan`` may be precomputed with :func:`_plan` from *concrete* uvw —
+    required when uvw is traced (e.g. inside shard_map), since the w-plane
+    layout is data-dependent host metadata.
+    """
+    if plan is None:
+        plan = _plan(np.asarray(uvw), np.asarray(freq), nx, ny, cellx,
+                     celly, epsilon, do_wstacking)
     support = plan["support"]
     beta = plan["beta"]
     nu, nv, nplanes = plan["nu"], plan["nv"], plan["nplanes"]
 
-    u_np, v_np, w_np = _wavelength_coords(uvw, freq)
-    u_l, v_l, w_l = jnp.asarray(u_np), jnp.asarray(v_np), jnp.asarray(w_np)
+    u_l, v_l, w_l = _wavelength_coords_jnp(jnp.asarray(uvw),
+                                           jnp.asarray(freq))
 
     v = cplx(vis)
     vre = v.re.reshape(-1)
@@ -252,7 +274,7 @@ def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
 
 
 def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
-              do_wstacking=True, mask=None) -> Cplx:
+              do_wstacking=True, mask=None, plan=None) -> Cplx:
     """dirty2ms equivalent: image (nx, ny) → model visibilities (row, chan)
     as a split re/im pair.
 
@@ -261,14 +283,15 @@ def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
     """
     image = jnp.asarray(image)
     nx, ny = image.shape
-    plan = _plan(np.asarray(uvw), np.asarray(freq), nx, ny, cellx, celly,
-                 epsilon, do_wstacking)
+    if plan is None:
+        plan = _plan(np.asarray(uvw), np.asarray(freq), nx, ny, cellx,
+                     celly, epsilon, do_wstacking)
     support, beta = plan["support"], plan["beta"]
     nu, nv, nplanes = plan["nu"], plan["nv"], plan["nplanes"]
 
-    u_np, v_np, w_np = _wavelength_coords(uvw, freq)
-    u_l, v_l, w_l = jnp.asarray(u_np), jnp.asarray(v_np), jnp.asarray(w_np)
-    nsamp = u_np.shape[0]
+    u_l, v_l, w_l = _wavelength_coords_jnp(jnp.asarray(uvw),
+                                           jnp.asarray(freq))
+    nsamp = u_l.shape[0]
 
     img = image / jnp.asarray(plan["uv_taper"])
     nm1 = jnp.asarray(plan["nm1"])

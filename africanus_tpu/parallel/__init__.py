@@ -10,6 +10,7 @@ from africanus_tpu.parallel.predict import (
     sharded_vis_to_im,
     sharded_rime_predict,
 )
+from africanus_tpu.parallel.imaging import sharded_dirty, sharded_psf
 
 __all__ = [
     "make_mesh",
@@ -20,4 +21,6 @@ __all__ = [
     "sharded_im_to_vis",
     "sharded_vis_to_im",
     "sharded_rime_predict",
+    "sharded_dirty",
+    "sharded_psf",
 ]

@@ -13,7 +13,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
+    import os
+
     import jax
+
+    if os.environ.get("AFRICANUS_TPU_FORCE_CPU"):
+        # the axon plugin ignores JAX_PLATFORMS; tests use this escape hatch
+        jax.config.update("jax_platforms", "cpu")
 
     from africanus_tpu.model.spi import fit_spi_components
 

@@ -28,7 +28,13 @@ def main():
     p.add_argument("--ntime", type=int, default=10)
     args = p.parse_args()
 
+    import os
+
     import jax
+
+    if os.environ.get("AFRICANUS_TPU_FORCE_CPU"):
+        # the axon plugin ignores JAX_PLATFORMS; tests use this escape hatch
+        jax.config.update("jax_platforms", "cpu")
 
     from africanus_tpu.coordinates import radec_to_lm
     from africanus_tpu.dft import im_to_vis_ri

@@ -27,7 +27,13 @@ s2,POINT,03:59:30.0,-50.31.00.0,0.4,[],false,,,,
 
 
 def main():
+    import os
+
     import jax
+
+    if os.environ.get("AFRICANUS_TPU_FORCE_CPU"):
+        # the axon plugin ignores JAX_PLATFORMS; tests use this escape hatch
+        jax.config.update("jax_platforms", "cpu")
 
     from africanus_tpu.coordinates import radec_to_lm
     from africanus_tpu.model.wsclean import load

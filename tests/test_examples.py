@@ -1,0 +1,43 @@
+"""Smoke tests for the example scripts and CLI utilities (reference
+strategy: rime/examples/tests/test_examples.py smoke-imports)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+ENV_PATCH = {"AFRICANUS_TPU_FORCE_CPU": "1"}
+
+
+def _run(args, timeout=240):
+    import os
+
+    env = dict(os.environ)
+    env.update(ENV_PATCH)
+    return subprocess.run(
+        [sys.executable, *args], capture_output=True, text=True,
+        timeout=timeout, cwd=REPO, env=env,
+    )
+
+
+def test_predict_dft_example():
+    r = _run([REPO / "examples" / "predict_dft.py", "--nsrc", "10",
+              "--nchan", "8", "--ntime", "2"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "throughput" in r.stdout
+
+
+def test_predict_wsclean_example():
+    r = _run([REPO / "examples" / "predict_wsclean.py"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "predicted vis" in r.stdout
+
+
+def test_plot_cli(tmp_path):
+    out = tmp_path / "f.png"
+    r = _run([REPO / "africanus_tpu" / "scripts" / "plot_filter.py",
+              "--output", str(out)])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert out.exists()
