@@ -28,7 +28,7 @@ NANT = 64  # MeerKAT-64 -> 2016 baselines
 NTIME = 4
 NCHAN = 128
 NCORR = 4
-REPS = 10
+REPS = 20
 
 
 def log(msg):
@@ -128,9 +128,11 @@ def bench_tpu(use_pallas=True):
         c, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(REPS))
         return c
 
-    jax.block_until_ready(loop(*dargs))  # compile
+    # NOTE: jax.block_until_ready does NOT synchronize on the axon
+    # backend; fetching the scalar value is the only reliable barrier.
+    float(np.asarray(loop(*dargs)))  # compile + run
     t0 = time.perf_counter()
-    jax.block_until_ready(loop(*dargs))
+    float(np.asarray(loop(*dargs)))
     dt = (time.perf_counter() - t0) / REPS
     nvis = nrow * NCHAN * NCORR
     mvis = nvis / dt / 1e6
