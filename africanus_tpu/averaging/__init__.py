@@ -27,3 +27,5 @@ __all__ = [
 from africanus_tpu.averaging.bda_mapping import bda_mapper
 from africanus_tpu.averaging.bda_avg import bda
 __all__ += ["bda_mapper", "bda"]
+from africanus_tpu.averaging.shared import merge_flags
+__all__ += ["merge_flags"]

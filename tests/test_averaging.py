@@ -232,3 +232,21 @@ def test_time_and_channel_end_to_end(rng, synth_obs):
     perm = np.asarray(row_mapper(time, interval, a1, a2,
                                  flag_row=flag_row, time_bin_secs=1.0).map)
     assert_allclose(np.asarray(out_id.visibilities)[perm], vis, rtol=1e-12)
+
+
+def test_merge_flags(rng):
+    from africanus_tpu.averaging import merge_flags
+
+    flag = rng.uniform(size=(10, 4, 2)) < 0.4
+    derived = merge_flags(None, flag)
+    assert_array_equal(derived.astype(bool),
+                       flag.reshape(10, -1).all(axis=1))
+
+    fr = derived
+    assert merge_flags(fr, flag) is fr  # consistent pair validates
+    assert merge_flags(fr, None) is fr
+    assert merge_flags(None, None) is None
+    bad = fr.copy()
+    bad[0] = 1 - bad[0]
+    with pytest.raises(ValueError, match="mismatch"):
+        merge_flags(bad, flag)
