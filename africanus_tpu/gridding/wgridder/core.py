@@ -97,6 +97,58 @@ def _wavelength_coords_jnp(uvw, freq):
     return u, v, w
 
 
+def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly):
+    """Pallas tile-binning sub-plan (host metadata; see ops/pallas_grid).
+
+    Mirrors :func:`_spread_indices_weights` in f64 host numpy: uv window
+    starts + fractional offsets per (row·chan) sample, expanded to one
+    virtual sample per touched w-plane with the w-axis ES tap as scale.
+    """
+    from africanus_tpu.ops import pallas_grid as pg
+
+    support, beta = plan["support"], plan["beta"]
+    nu, nv, nplanes = plan["nu"], plan["nv"], plan["nplanes"]
+    if support > min(pg.choose_tile(nu), pg.choose_tile(nv)):
+        return None  # grid too awkward to tile; scatter fallback
+
+    u_l, v_l, w_l = _wavelength_coords(uvw, freq)
+    u_pix = np.mod(u_l * (nu * cellx), nu)
+    v_pix = np.mod(v_l * (nv * celly), nv)
+    iu0 = np.floor(u_pix).astype(np.int64) - (support // 2 - 1)
+    iv0 = np.floor(v_pix).astype(np.int64) - (support // 2 - 1)
+    uf = u_pix - iu0
+    vf = v_pix - iv0
+
+    if nplanes > 1:
+        half = support / 2.0
+        offs = np.arange(support)
+        w_pix = (w_l - plan["w0"]) / plan["dw"]
+        iw0 = np.floor(w_pix).astype(np.int64) - (support // 2 - 1)
+        z = (w_pix[:, None] - (iw0[:, None] + offs)) / half
+        inside = np.abs(z) < 1.0
+        zc = np.where(inside, z, 0.0)
+        kw = np.where(
+            inside, np.exp(beta * (np.sqrt(1.0 - zc * zc) - 1.0)), 0.0
+        )
+        n = iu0.shape[0]
+        plane_v = np.clip((iw0[:, None] + offs), 0, nplanes - 1).ravel()
+        return pg.plan_tiles(
+            np.repeat(iu0, support), np.repeat(iv0, support),
+            np.repeat(uf, support), np.repeat(vf, support),
+            support, beta, nu, nv,
+            sample_id=np.repeat(np.arange(n), support),
+            scale=kw.ravel(), plane=plane_v, nplanes=nplanes,
+        )
+
+    return pg.plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv)
+
+
+def _use_tiles_default():
+    """Pallas tile gridding: on for real TPU backends, off elsewhere
+    (tests exercise it explicitly in interpret mode)."""
+    return jax.default_backend() == "tpu"
+
+
 def _plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking):
     """Host-side gridding plan: grid sizes, w-plane layout, tapers."""
     support, beta = _kernel_params(epsilon)
@@ -177,24 +229,47 @@ def _spread_indices_weights(u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta):
     return iu0, iv0, iw0, ku, kv, kw
 
 
-def make_plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking=True):
+def make_plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking=True,
+              use_tiles=None):
     """Public wrapper building the host-side gridding plan from concrete
-    uvw/freq, for use with traced gridding calls (shard_map etc.)."""
-    return _plan(np.asarray(uvw), np.asarray(freq), nx, ny, cellx, celly,
-                 epsilon, do_wstacking)
+    uvw/freq, for use with traced gridding calls (shard_map etc.).
+
+    ``use_tiles`` additionally builds the Pallas tile-binning sub-plan
+    (default: auto — on for TPU backends)."""
+    uvw = np.asarray(uvw)
+    freq = np.asarray(freq)
+    plan = _plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking)
+    if use_tiles is None:
+        use_tiles = _use_tiles_default()
+    if use_tiles:
+        plan["tile_plan"] = _tile_plan(uvw, freq, plan, nx, ny, cellx,
+                                       celly)
+    return plan
 
 
 def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
-                 do_wstacking=True, mask=None, plan=None):
+                 do_wstacking=True, mask=None, plan=None, use_tiles=None):
     """ms2dirty equivalent: visibilities → dirty image (nx, ny).
 
-    ``plan`` may be precomputed with :func:`_plan` from *concrete* uvw —
-    required when uvw is traced (e.g. inside shard_map), since the w-plane
-    layout is data-dependent host metadata.
+    ``plan`` may be precomputed with :func:`make_plan` from *concrete*
+    uvw — required when uvw is traced (e.g. inside shard_map), since the
+    w-plane layout is data-dependent host metadata.
+
+    On TPU the spreading step runs in the Pallas tile gridder
+    (ops/pallas_grid.py) instead of an XLA scatter (~5-7x faster);
+    ``use_tiles`` forces it on/off (on non-TPU backends "on" means
+    pallas interpret mode — for tests).
     """
+    if use_tiles is None:
+        use_tiles = _use_tiles_default()
     if plan is None:
         plan = _plan(np.asarray(uvw), np.asarray(freq), nx, ny, cellx,
                      celly, epsilon, do_wstacking)
+    if use_tiles and "tile_plan" not in plan:
+        plan["tile_plan"] = _tile_plan(
+            np.asarray(uvw), np.asarray(freq), plan, nx, ny, cellx, celly
+        )
+    tile_plan = plan.get("tile_plan") if use_tiles else None
     support = plan["support"]
     beta = plan["beta"]
     nu, nv, nplanes = plan["nu"], plan["nv"], plan["nplanes"]
@@ -214,39 +289,56 @@ def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
         vre = vre * m
         vim = vim * m
 
-    iu0, iv0, iw0, ku, kv, kw = _spread_indices_weights(
-        u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta
-    )
+    if tile_plan is not None:
+        from africanus_tpu.ops.pallas_grid import (
+            assemble_tiles,
+            grid_tiles_pallas,
+        )
 
-    grid_re = jnp.zeros((nplanes, nu, nv), vre.dtype)
-    grid_im = jnp.zeros((nplanes, nu, nv), vre.dtype)
-
-    # One broadcasted scatter over all W (xWxW) kernel offsets: index arrays
-    # (N, Ww, Wu, Wv) by broadcasting, weights as the kernel outer product.
-    # XLA lowers this to a single sorted segment-sum.
-    offs = jnp.arange(support)
-    iu_all = jnp.mod(iu0[:, None] + offs, nu)  # (N, W)
-    iv_all = jnp.mod(iv0[:, None] + offs, nv)
-    if nplanes > 1:
-        iw_all = jnp.clip(iw0[:, None] + offs, 0, nplanes - 1)
-        kw_all = kw
+        interpret = jax.default_backend() != "tpu"
+        t_re, t_im = grid_tiles_pallas(tile_plan, vre, vim,
+                                       interpret=interpret)
+        grid_re, grid_im = assemble_tiles(t_re, t_im, tile_plan)
     else:
-        iw_all = jnp.zeros((iu0.shape[0], 1), jnp.int32)
-        kw_all = jnp.ones((iu0.shape[0], 1), vre.dtype)
-    wsup = iw_all.shape[1]
+        iu0, iv0, iw0, ku, kv, kw = _spread_indices_weights(
+            u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta
+        )
 
-    wj = (
-        kw_all[:, :, None, None]
-        * ku[:, None, :, None]
-        * kv[:, None, None, :]
-    )  # (N, Ww, Wu, Wv)
-    idx = (
-        iw_all[:, :, None, None],
-        iu_all[:, None, :, None],
-        iv_all[:, None, None, :],
-    )
-    grid_re = grid_re.at[idx].add(vre[:, None, None, None] * wj)
-    grid_im = grid_im.at[idx].add(vim[:, None, None, None] * wj)
+        # One flat scatter over all W (xWxW) kernel offsets. Index/weight
+        # arrays are shaped (offsets, N): a trailing small dim (e.g.
+        # (N,6,6,6)) would be padded to the (8,128) tile — 30x memory at
+        # production sizes.
+        offs = jnp.arange(support)
+        iu_all = jnp.mod(iu0[None, :] + offs[:, None], nu)  # (W, N)
+        iv_all = jnp.mod(iv0[None, :] + offs[:, None], nv)
+        if nplanes > 1:
+            iw_all = jnp.clip(iw0[None, :] + offs[:, None], 0, nplanes - 1)
+            kw_all = kw.T  # (W, N)
+            wsup = support
+        else:
+            iw_all = jnp.zeros((1, iu0.shape[0]), jnp.int32)
+            kw_all = jnp.ones((1, iu0.shape[0]), vre.dtype)
+            wsup = 1
+
+        # ((Ww·Wu·Wv), N) flat grid indices and weights
+        flat_idx = (
+            (iw_all[:, None, None, :] * nu + iu_all[None, :, None, :]) * nv
+            + iv_all[None, None, :, :]
+        ).reshape(wsup * support * support, -1)
+        wj = (
+            kw_all[:, None, None, :]
+            * ku.T[None, :, None, :]
+            * kv.T[None, None, :, :]
+        ).reshape(wsup * support * support, -1)
+
+        flat_re = jnp.zeros(nplanes * nu * nv, vre.dtype).at[
+            flat_idx.reshape(-1)
+        ].add((vre[None, :] * wj).reshape(-1))
+        flat_im = jnp.zeros(nplanes * nu * nv, vre.dtype).at[
+            flat_idx.reshape(-1)
+        ].add((vim[None, :] * wj).reshape(-1))
+        grid_re = flat_re.reshape(nplanes, nu, nv)
+        grid_im = flat_im.reshape(nplanes, nu, nv)
 
     # FFT with the e^{+2πi} convention: split-pair ifft2 * (nu*nv), centred
     ire, iim = cifft2(grid_re, grid_im, axes=(1, 2))
@@ -323,27 +415,31 @@ def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
     )
 
     offs = jnp.arange(support)
-    iu_all = jnp.mod(iu0[:, None] + offs, nu)
-    iv_all = jnp.mod(iv0[:, None] + offs, nv)
+    iu_all = jnp.mod(iu0[None, :] + offs[:, None], nu)  # (W, N)
+    iv_all = jnp.mod(iv0[None, :] + offs[:, None], nv)
     if nplanes > 1:
-        iw_all = jnp.clip(iw0[:, None] + offs, 0, nplanes - 1)
-        kw_all = kw
+        iw_all = jnp.clip(iw0[None, :] + offs[:, None], 0, nplanes - 1)
+        kw_all = kw.T
+        wsup = support
     else:
-        iw_all = jnp.zeros((iu0.shape[0], 1), jnp.int32)
-        kw_all = jnp.ones((iu0.shape[0], 1), image.dtype)
+        iw_all = jnp.zeros((1, iu0.shape[0]), jnp.int32)
+        kw_all = jnp.ones((1, iu0.shape[0]), image.dtype)
+        wsup = 1
 
+    flat_idx = (
+        (iw_all[:, None, None, :] * nu + iu_all[None, :, None, :]) * nv
+        + iv_all[None, None, :, :]
+    ).reshape(wsup * support * support, -1)
     wj = (
-        kw_all[:, :, None, None]
-        * ku[:, None, :, None]
-        * kv[:, None, None, :]
-    )
-    idx = (
-        iw_all[:, :, None, None],
-        iu_all[:, None, :, None],
-        iv_all[:, None, None, :],
-    )
-    out_re = (gre[idx] * wj).sum(axis=(1, 2, 3))
-    out_im = (gim[idx] * wj).sum(axis=(1, 2, 3))
+        kw_all[:, None, None, :]
+        * ku.T[None, :, None, :]
+        * kv.T[None, None, :, :]
+    ).reshape(wsup * support * support, -1)
+
+    gre_flat = gre.reshape(-1)
+    gim_flat = gim.reshape(-1)
+    out_re = (gre_flat[flat_idx] * wj).sum(axis=0)
+    out_im = (gim_flat[flat_idx] * wj).sum(axis=0)
 
     if wgt is not None:
         wgt_f = jnp.asarray(wgt).reshape(-1)

@@ -1,0 +1,364 @@
+"""Pallas tile-binned convolutional gridder (TPU scatter replacement).
+
+TPU scatter (XLA sorted segment-sum) tops out around ~1.4e8 scattered
+elements/s, capping convolutional gridding well under 1 Mvis/s. This
+kernel implements SURVEY.md's "hard part #1": visibilities are binned to
+uv tiles on the host (gridding geometry is host metadata — uvw is
+concrete at plan time), packed into fixed-size entry groups per tile, and
+each tile accumulates its samples' W×W ES-kernel windows into a
+VMEM-resident padded tile. Each window is owned by exactly the tile
+containing its start cell; it spreads into that tile's core and
+bottom/right halo, and :func:`assemble_tiles` folds halos back onto
+neighbouring tiles with grid wraparound (single ownership keeps the fold
+additive-exact).
+
+w-stacking rides the same machinery: each visibility becomes ~W "virtual
+samples", one per touched w-plane, with a per-entry ``scale`` (the w-axis
+ES tap) and a ``plane`` index folded into the tile id. Real visibility
+values stay traced; only geometry/weights are host metadata.
+
+Mosaic constraints shape the inner loop (probed on this toolchain):
+- dynamic *lane* slicing is unsupported → the window's lane position is
+  baked into the ES argument: tap values are evaluated *at absolute lane
+  coordinates* with a lane iota, so no shift is ever needed;
+- dynamic *sublane* slicing is supported only at 8-aligned offsets → the
+  window start row is aligned down to a multiple of 8 (``pl.multiple_of``
+  hint) and the whole W×W window lands as ONE (16, lanes) block
+  read-modify-write; the sub-8 row shift is folded into the ES argument,
+  and rows outside the support evaluate to zero;
+- per-entry scalars (row offset, fractional coords, vis values) live in
+  SMEM blocks, which allow dynamic scalar indexing;
+- SMEM is ~1 MB per buffer set → only O(group) scalars may live there,
+  which is why ES taps are computed in-kernel rather than precomputed;
+- ``lax.fori_loop`` in pallas only supports unroll ∈ {1, full} → the
+  entry loop is unrolled by hand (8×) to pipeline load→compute→RMW.
+
+Groups of one tile are consecutive in the Pallas grid so the output block
+stays VMEM-resident across them; each tile's first group zero-initialises
+it. Axis convention matches gridding/wgridder/core.py: grid rows are u,
+columns v.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["plan_tiles", "grid_tiles_pallas", "assemble_tiles",
+           "choose_tile"]
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def choose_tile(n, target=256):
+    """Largest divisor of ``n`` that is ≤ target (tiles must divide the
+    grid so halo wraparound is a clean block roll)."""
+    for t in range(min(target, n), 0, -1):
+        if n % t == 0:
+            return t
+    return n
+
+
+def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
+               tile_c=None, group=1024, sample_id=None, scale=None,
+               plane=None, nplanes=1):
+    """Host-side tile binning.
+
+    Parameters
+    ----------
+    iu0, iv0 : (E,) int window start coordinates. May be negative or
+        ≥ nu/nv: windows wrap modulo the grid (handled by halo fold-back
+        in :func:`assemble_tiles`). Requires support ≤ tile.
+    uf, vf : (E,) float fractional positions relative to the window start
+        (u_pix − iu0); tap t's ES argument is (uf − t)·2/W.
+    support : W; beta : ES shape parameter.
+    nu, nv : grid shape (rows=u, cols=v). Tiles must divide them.
+    tile_r, tile_c : tile edges (default: largest divisor ≤ 256).
+    group : entries per kernel invocation.
+    sample_id : (E,) int index into the flat visibility array for each
+        (virtual) sample; default ``arange(E)``.
+    scale : (E,) float weight applied to the visibility (w-plane ES tap
+        for w-stacking); default 1.
+    plane : (E,) int w-plane per virtual sample; default 0.
+    nplanes : number of w-planes.
+
+    Returns
+    -------
+    plan dict of packed (ngroups, …) entry arrays + geometry.
+    """
+    iu0 = np.asarray(iu0)
+    iv0 = np.asarray(iv0)
+    uf = np.asarray(uf, np.float32)
+    vf = np.asarray(vf, np.float32)
+    n = iu0.shape[0]
+    w = support
+
+    if tile_r is None:
+        tile_r = choose_tile(nu)
+    if tile_c is None:
+        tile_c = choose_tile(nv)
+    if nu % tile_r or nv % tile_c:
+        raise ValueError(f"tiles ({tile_r},{tile_c}) must divide ({nu},{nv})")
+    if w > min(tile_r, tile_c):
+        raise ValueError(f"support {w} exceeds tile ({tile_r},{tile_c})")
+
+    if sample_id is None:
+        sample_id = np.arange(n, dtype=np.int64)
+    else:
+        sample_id = np.asarray(sample_id)
+    if scale is None:
+        scale = np.ones(n, np.float32)
+    else:
+        scale = np.asarray(scale, np.float32)
+    if plane is None:
+        plane = np.zeros(n, np.int64)
+    else:
+        plane = np.asarray(plane, np.int64)
+
+    ntr = nu // tile_r
+    ntc = nv // tile_c
+    ntiles = nplanes * ntr * ntc
+
+    # each window is owned by EXACTLY the tile containing its start cell:
+    # its whole extent fits in that tile's core + bottom/right halo, and
+    # assemble_tiles folds the halos onto neighbouring tiles (with wrap).
+    # Single ownership is what makes the fold additive-exact.
+    tr_raw = iu0 // tile_r
+    tc_raw = iv0 // tile_c
+    tile_ids = (plane * ntr + tr_raw % ntr) * ntc + tc_raw % ntc
+
+    order = np.argsort(tile_ids, kind="stable")
+    tile_ids = tile_ids[order]
+    entries = order
+
+    # local window coords inside the padded tile (W halo each side),
+    # relative to the *unwrapped* tile origin — wraparound is resolved by
+    # assemble_tiles' halo roll
+    ir_all = (iu0 - tr_raw * tile_r + w).astype(np.int32)[entries]
+    ic_all = (iv0 - tc_raw * tile_c + w).astype(np.int32)[entries]
+
+    uniq, counts = np.unique(tile_ids, return_counts=True)
+    ngroups_per = -(-counts // group)
+    ngroups = int(ngroups_per.sum())
+
+    group_tile = np.zeros(ngroups, np.int64)
+    sample_pack = np.zeros((ngroups, group), np.int32)
+    ir_loc = np.zeros((ngroups, group), np.int32)
+    ic_loc = np.zeros((ngroups, group), np.int32)
+    uf_pack = np.full((ngroups, group), -2.0 * w, np.float32)
+    vf_pack = np.full((ngroups, group), -2.0 * w, np.float32)
+    scale_pack = np.zeros((ngroups, group), np.float32)
+
+    gpos = epos = 0
+    for t, cnt, ng in zip(uniq, counts, ngroups_per):
+        for gi in range(ng):
+            lo = epos + gi * group
+            hi = min(lo + group, epos + cnt)
+            m = hi - lo
+            e = entries[lo:hi]
+            group_tile[gpos] = t
+            sample_pack[gpos, :m] = sample_id[e]
+            ir_loc[gpos, :m] = ir_all[lo:hi]
+            ic_loc[gpos, :m] = ic_all[lo:hi]
+            uf_pack[gpos, :m] = uf[e]
+            vf_pack[gpos, :m] = vf[e]
+            scale_pack[gpos, :m] = scale[e]
+            gpos += 1
+        epos += cnt
+
+    # tiles with no entries still need one (all-invalid) group so their
+    # output block is zero-initialised (pallas outputs start uninitialised)
+    missing = np.setdiff1d(np.arange(ntiles, dtype=np.int64), uniq)
+    if missing.size:
+        group_tile = np.concatenate([group_tile, missing])
+        zi = np.zeros((missing.size, group), np.int32)
+        zf = np.full((missing.size, group), -2.0 * w, np.float32)
+        sample_pack = np.concatenate([sample_pack, zi], axis=0)
+        ir_loc = np.concatenate([ir_loc, zi], axis=0)
+        ic_loc = np.concatenate([ic_loc, zi], axis=0)
+        uf_pack = np.concatenate([uf_pack, zf], axis=0)
+        vf_pack = np.concatenate([vf_pack, zf], axis=0)
+        scale_pack = np.concatenate(
+            [scale_pack, np.zeros((missing.size, group), np.float32)], axis=0
+        )
+        ngroups += missing.size
+
+    first = np.ones(ngroups, np.int32)
+    first[1:] = (group_tile[1:] != group_tile[:-1]).astype(np.int32)
+
+    # padded tile: W halo each side; rows 8-aligned (with room for the
+    # aligned 16-row window RMW at the last start offset), cols 128-aligned
+    max_r0a = ((tile_r + w - 1) // 8) * 8
+    tpad_r = max(_round_up(tile_r + 2 * w, 8), max_r0a + 16)
+    tpad_c = _round_up(tile_c + 2 * w, 128)
+
+    # row start aligned down to 8; the residual shift folds into the u
+    # fractional coordinate. Fractional coords are absolute within the
+    # RMW block (u) / the padded tile (v).
+    ir_al = (ir_loc // 8) * 8
+    uf_pack = uf_pack + (ir_loc - ir_al)
+    vfa_pack = vf_pack + ic_loc
+
+    return dict(
+        tile_r=tile_r, tile_c=tile_c, support=w, beta=float(beta),
+        ntr=ntr, ntc=ntc, nu=nu, nv=nv, nplanes=nplanes,
+        tpad_r=tpad_r, tpad_c=tpad_c,
+        ngroups=ngroups, group=group,
+        group_tile=group_tile.astype(np.int32),
+        sample_pack=sample_pack, ir_loc=ir_al,
+        uf=uf_pack.astype(np.float32), vfa=vfa_pack.astype(np.float32),
+        scale=scale_pack, first=first,
+    )
+
+
+def _es(z, beta):
+    inside = jnp.abs(z) < 1.0
+    zc = jnp.where(inside, z, 0.0)
+    return jnp.where(
+        inside, jnp.exp(beta * (jnp.sqrt(1.0 - zc * zc) - 1.0)), 0.0
+    )
+
+
+def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
+                 vre_ref, vim_ref, out_re_ref, out_im_ref, *,
+                 group, support, beta, tpad_r, tpad_c):
+    g = pl.program_id(0)
+    half = support / 2.0
+
+    @pl.when(first_ref[g] == 1)
+    def _():
+        out_re_ref[...] = jnp.zeros_like(out_re_ref)
+        out_im_ref[...] = jnp.zeros_like(out_im_ref)
+
+    lanes_f = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 1).astype(
+        jnp.float32
+    )
+    subl_f = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 0).astype(
+        jnp.float32
+    )
+
+    # pallas only supports unroll ∈ {1, full} on fori_loop → unroll by
+    # hand to pipeline the load→compute→RMW chain across entries
+    unroll = 8 if group % 8 == 0 else 1
+
+    def body(j, _):
+        for k in range(unroll):
+            e = j * unroll + k
+            r0 = ir_ref[0, 0, e]
+            vr = vre_ref[0, 0, e]
+            vi = vim_ref[0, 0, e]
+            uf = uf_ref[0, 0, e]
+            vfa = vfa_ref[0, 0, e]
+
+            # The whole W×W window in one (16, lanes) block: ES taps are
+            # evaluated at absolute lane coords (vfa includes the column
+            # offset) and block-relative sublanes (uf includes the sub-8
+            # row shift); positions outside the support evaluate to zero
+            # via _es.
+            base = _es((vfa - lanes_f) / half, beta) * _es(
+                (uf - subl_f) / half, beta
+            )
+            sl = (0, pl.ds(pl.multiple_of(r0, 8), 16), slice(None))
+            out_re_ref[sl] = out_re_ref[sl] + vr * base
+            out_im_ref[sl] = out_im_ref[sl] + vi * base
+        return 0
+
+    lax.fori_loop(0, group // unroll, body, 0, unroll=False)
+
+
+def grid_tiles_pallas(plan, vre_flat, vim_flat, interpret=False):
+    """Run the tile plan over flat (N,) visibility values.
+
+    Returns padded tiles (ntiles, tpad_r, tpad_c) (re, im) — assemble with
+    :func:`assemble_tiles`.
+    """
+    w = plan["support"]
+    group, ngroups = plan["group"], plan["ngroups"]
+    ntiles = plan["nplanes"] * plan["ntr"] * plan["ntc"]
+    tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+
+    sample_pack = jnp.asarray(plan["sample_pack"])
+    scale = jnp.asarray(plan["scale"])
+    vre = (vre_flat[sample_pack] * scale).astype(jnp.float32)
+    vim = (vim_flat[sample_pack] * scale).astype(jnp.float32)
+
+    kernel = partial(_grid_kernel, group=group, support=w,
+                     beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c)
+
+    smem_vec = pl.BlockSpec((1, 1, group), lambda g, f, t: (g, 0, 0),
+                            memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, tpad_r, tpad_c),
+                            lambda g, f, t: (t[g], 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # first, group_tile
+        grid=(ngroups,),
+        in_specs=[smem_vec] * 5,
+        out_specs=[out_spec, out_spec],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((ntiles, tpad_r, tpad_c), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles, tpad_r, tpad_c), jnp.float32),
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        jnp.asarray(plan["first"]),
+        jnp.asarray(plan["group_tile"]),
+        jnp.asarray(plan["ir_loc"])[:, None, :],
+        jnp.asarray(plan["uf"])[:, None, :],
+        jnp.asarray(plan["vfa"])[:, None, :],
+        vre[:, None, :],
+        vim[:, None, :],
+    )
+
+
+def _fold(x, plan):
+    """Overlap-add padded tiles into (nplanes, nu, nv) with wraparound."""
+    tile_r, tile_c, w = plan["tile_r"], plan["tile_c"], plan["support"]
+    ntr, ntc = plan["ntr"], plan["ntc"]
+    npl = plan["nplanes"]
+
+    p = x[:, : tile_r + 2 * w, : tile_c + 2 * w]
+    p = p.reshape(npl, ntr, ntc, tile_r + 2 * w, tile_c + 2 * w)
+
+    # region (da, db) of a padded tile belongs to block (tr+da, tc+db):
+    # rolling the tile axes by (da, db) lands it on its owner (mod wrap).
+    # Per axis: (src slice in padded coords, dst slice in core coords).
+    def axis_regions(tile):
+        return {
+            -1: (slice(0, w), slice(tile - w, tile)),
+            0: (slice(w, w + tile), slice(0, tile)),
+            1: (slice(w + tile, 2 * w + tile), slice(0, w)),
+        }
+
+    rreg = axis_regions(tile_r)
+    creg = axis_regions(tile_c)
+    out = jnp.zeros((npl, ntr, ntc, tile_r, tile_c), x.dtype)
+    for da, (sra, dra) in rreg.items():
+        for db, (srb, drb) in creg.items():
+            part = p[:, :, :, sra, srb]
+            part = jnp.roll(part, shift=(da, db), axis=(1, 2))
+            out = out.at[:, :, :, dra, drb].add(part)
+    return out.transpose(0, 1, 3, 2, 4).reshape(
+        npl, ntr * tile_r, ntc * tile_c
+    )
+
+
+def assemble_tiles(out_re, out_im, plan):
+    """Fold padded tiles (core + wrapped halos) into (nplanes, nu, nv)."""
+    return _fold(out_re, plan), _fold(out_im, plan)

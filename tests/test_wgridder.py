@@ -174,3 +174,22 @@ def test_estimate_cell_size():
         estimate_cell_size(u, v, wavelength, factor=3.0, ny=2, nx=2)
     with pytest.raises(TypeError):
         estimate_cell_size("bad", v, wavelength)
+
+
+@pytest.mark.parametrize("do_wstacking", [False, True])
+def test_pallas_tile_gridding_matches_scatter(grid_problem, do_wstacking):
+    """The Pallas tile-binned spreading path (interpret mode on CPU) must
+    match the XLA scatter path (ops/pallas_grid.py)."""
+    from africanus_tpu.gridding.wgridder.core import grid_adjoint
+
+    nx, ny, cell, freq, uvw, vis, wgt = grid_problem
+    ref = np.asarray(
+        grid_adjoint(uvw, freq, vis, wgt, nx, ny, cell, cell, 1e-5,
+                     do_wstacking=do_wstacking, use_tiles=False)
+    )
+    got = np.asarray(
+        grid_adjoint(uvw, freq, vis, wgt, nx, ny, cell, cell, 1e-5,
+                     do_wstacking=do_wstacking, use_tiles=True)
+    )
+    # tile path accumulates in f32
+    assert _l2error(got, ref) < 5e-6
