@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["plan_tiles", "grid_tiles_pallas", "assemble_tiles",
-           "choose_tile"]
+           "extract_tiles", "degrid_tiles_pallas", "choose_tile"]
 
 
 def _round_up(x, m):
@@ -362,3 +362,124 @@ def _fold(x, plan):
 def assemble_tiles(out_re, out_im, plan):
     """Fold padded tiles (core + wrapped halos) into (nplanes, nu, nv)."""
     return _fold(out_re, plan), _fold(out_im, plan)
+
+
+def _unfold(grid, plan):
+    """Inverse of :func:`_fold`: padded tiles (core + wrapped halo copies)
+    from a (nplanes, nu, nv) grid. Built from a wrap-padded grid with
+    static slices + stacks only (strided scatter/rolls lower terribly)."""
+    tile_r, tile_c, w = plan["tile_r"], plan["tile_c"], plan["support"]
+    ntr, ntc = plan["ntr"], plan["ntc"]
+    npl = plan["nplanes"]
+    tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+    r, c = tile_r + 2 * w, tile_c + 2 * w
+
+    gpad = jnp.pad(grid, ((0, 0), (w, w), (w, w)), mode="wrap")
+    rows = jnp.stack(
+        [gpad[:, tr * tile_r : tr * tile_r + r, :] for tr in range(ntr)],
+        axis=1,
+    )  # (npl, ntr, r, nv + 2w)
+    p = jnp.stack(
+        [rows[..., tc * tile_c : tc * tile_c + c] for tc in range(ntc)],
+        axis=2,
+    )  # (npl, ntr, ntc, r, c)
+    p = p.reshape(npl * ntr * ntc, r, c)
+    return jnp.pad(p, ((0, 0), (0, tpad_r - r), (0, tpad_c - c)))
+
+
+def extract_tiles(grid_re, grid_im, plan):
+    """Padded-tile views of a (nplanes, nu, nv) grid pair, ready for
+    :func:`degrid_tiles_pallas`."""
+    return _unfold(grid_re, plan), _unfold(grid_im, plan)
+
+
+def _degrid_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, scale_ref,
+                   tre_ref, tim_ref, out_re_ref, out_im_ref, *,
+                   group, support, beta, tpad_r, tpad_c):
+    half = support / 2.0
+
+    lanes_f = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 1).astype(
+        jnp.float32
+    )
+    subl_f = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 0).astype(
+        jnp.float32
+    )
+
+    unroll = 8 if group % 8 == 0 else 1
+
+    def body(j, _):
+        for k in range(unroll):
+            e = j * unroll + k
+            r0 = ir_ref[0, 0, e]
+            uf = uf_ref[0, 0, e]
+            vfa = vfa_ref[0, 0, e]
+            sc = scale_ref[0, 0, e]
+
+            base = _es((vfa - lanes_f) / half, beta) * _es(
+                (uf - subl_f) / half, beta
+            )
+            sl = (0, pl.ds(pl.multiple_of(r0, 8), 16), slice(None))
+            out_re_ref[0, 0, e] = sc * jnp.sum(
+                jnp.sum(tre_ref[sl] * base, axis=0)
+            )
+            out_im_ref[0, 0, e] = sc * jnp.sum(
+                jnp.sum(tim_ref[sl] * base, axis=0)
+            )
+        return 0
+
+    lax.fori_loop(0, group // unroll, body, 0, unroll=False)
+
+
+def degrid_tiles_pallas(plan, tiles_re, tiles_im, nvis, interpret=False):
+    """Gather model visibilities from padded grid tiles.
+
+    Mirror of :func:`grid_tiles_pallas`: per entry, the aligned 16-row
+    block is read, weighted by the in-kernel ES window and reduced to a
+    scalar (written to an SMEM output); virtual samples (w-planes) are
+    then scatter-summed back onto their owning visibility.
+
+    Returns flat (nvis,) re/im model visibilities.
+    """
+    w = plan["support"]
+    group, ngroups = plan["group"], plan["ngroups"]
+    tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+
+    kernel = partial(_degrid_kernel, group=group, support=w,
+                     beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c)
+
+    smem_vec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
+                            memory_space=pltpu.SMEM)
+    tile_spec = pl.BlockSpec((1, tpad_r, tpad_c), lambda g, t: (t[g], 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # group_tile
+        grid=(ngroups,),
+        in_specs=[smem_vec] * 4 + [tile_spec, tile_spec],
+        out_specs=[smem_vec, smem_vec],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((ngroups, 1, group), jnp.float32),
+        jax.ShapeDtypeStruct((ngroups, 1, group), jnp.float32),
+    ]
+
+    vals_re, vals_im = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        jnp.asarray(plan["group_tile"]),
+        jnp.asarray(plan["ir_loc"])[:, None, :],
+        jnp.asarray(plan["uf"])[:, None, :],
+        jnp.asarray(plan["vfa"])[:, None, :],
+        jnp.asarray(plan["scale"])[:, None, :],
+        tiles_re.astype(jnp.float32),
+        tiles_im.astype(jnp.float32),
+    )
+
+    sample = jnp.asarray(plan["sample_pack"]).reshape(-1)
+    out_re = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_re.reshape(-1))
+    out_im = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_im.reshape(-1))
+    return out_re, out_im

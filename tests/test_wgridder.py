@@ -193,3 +193,23 @@ def test_pallas_tile_gridding_matches_scatter(grid_problem, do_wstacking):
     )
     # tile path accumulates in f32
     assert _l2error(got, ref) < 5e-6
+
+
+@pytest.mark.parametrize("do_wstacking", [False, True])
+def test_pallas_tile_degridding_matches_gather(grid_problem, do_wstacking):
+    """The Pallas tile degrid path (interpret mode on CPU) must match the
+    XLA gather path (ops/pallas_grid.py extract/degrid)."""
+    from africanus_tpu.gridding.wgridder.core import degrid_ri
+
+    nx, ny, cell, freq, uvw, vis, wgt = grid_problem
+    rng = np.random.default_rng(7)
+    image = rng.normal(size=(nx, ny))
+
+    ref = degrid_ri(uvw, freq, image, wgt, cell, cell, 1e-5,
+                    do_wstacking=do_wstacking, use_tiles=False)
+    got = degrid_ri(uvw, freq, image, wgt, cell, cell, 1e-5,
+                    do_wstacking=do_wstacking, use_tiles=True)
+    ref_c = np.asarray(ref.re) + 1j * np.asarray(ref.im)
+    got_c = np.asarray(got.re) + 1j * np.asarray(got.im)
+    # tile path accumulates in f32
+    assert _l2error(got_c, ref_c) < 5e-6
