@@ -71,48 +71,85 @@ def grid(vis, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
     flags = jnp.asarray(flags)
     weights = None if weights is None else jnp.asarray(weights)
 
-    from africanus_tpu.gridding.wgridder.core import (
-        _plan, _spread_indices_weights, _wavelength_coords,
-    )
+    from africanus_tpu.gridding.wgridder.core import _plan
 
     cellx = gc.csx * ARCSEC2RAD
     celly = gc.csy * ARCSEC2RAD
     plan = _plan(np.asarray(uvw), np.asarray(frequencies), gc.nx, gc.ny,
                  cellx, celly, _epsilon(gc), False)
     nu, nv = plan["nu"], plan["nv"]
-    support = plan["support"]
 
+    # unflagged & weighted per (row, chan, corr), flattened to samples
+    keep = (~(flags != 0)).astype(v.re.dtype)
+    wgt = keep if weights is None else keep * weights
+
+    tile_plan = _nifty_tile_plan(uvw, frequencies, plan, gc, cellx, celly)
+
+    grids_re, grids_im = [], []
+    for c in range(ncorr):
+        val_re = (v.re[..., c] * wgt[..., c]).reshape(-1)
+        val_im = (v.im[..., c] * wgt[..., c]).reshape(-1)
+        if tile_plan is not None:
+            from africanus_tpu.ops.pallas_grid import (
+                assemble_tiles, grid_tiles_pallas,
+            )
+            import jax
+
+            t_re, t_im = grid_tiles_pallas(
+                tile_plan, val_re, val_im,
+                interpret=jax.default_backend() != "tpu",
+            )
+            gre, gim = assemble_tiles(t_re, t_im, tile_plan)
+            gre, gim = gre[0], gim[0]
+        else:
+            idx, wj = _flat_spread(uvw, frequencies, plan, gc, cellx, celly)
+            gre = jnp.zeros(nu * nv, v.re.dtype).at[idx.reshape(-1)].add(
+                (val_re[None, :] * wj).reshape(-1)
+            ).reshape(nu, nv)
+            gim = jnp.zeros(nu * nv, v.re.dtype).at[idx.reshape(-1)].add(
+                (val_im[None, :] * wj).reshape(-1)
+            ).reshape(nu, nv)
+        grids_re.append(gre)
+        grids_im.append(gim)
+
+    return Cplx(jnp.stack(grids_re, axis=-1), jnp.stack(grids_im, axis=-1))
+
+
+def _nifty_tile_plan(uvw, frequencies, plan, gc, cellx, celly):
+    """Pallas tile plan for the 2D (no w-stacking) nifty paths; None when
+    tiles are off (non-TPU) or unsupported geometry."""
+    from africanus_tpu.gridding.wgridder.core import (
+        _tile_plan, _use_tiles_default,
+    )
+
+    if not _use_tiles_default():
+        return None
+    return _tile_plan(np.asarray(uvw), np.asarray(frequencies), plan,
+                      gc.nx, gc.ny, cellx, celly)
+
+
+def _flat_spread(uvw, frequencies, plan, gc, cellx, celly):
+    """(W·W, N) flat scatter/gather indices + weights (trailing small dims
+    would be lane-padded 30x on TPU)."""
+    from africanus_tpu.gridding.wgridder.core import (
+        _spread_indices_weights, _wavelength_coords,
+    )
+
+    nu, nv, support = plan["nu"], plan["nv"], plan["support"]
     u_np, v_np, w_np = _wavelength_coords(np.asarray(uvw),
                                           np.asarray(frequencies))
     iu0, iv0, _, ku, kv, _ = _spread_indices_weights(
         jnp.asarray(u_np), jnp.asarray(v_np), jnp.asarray(w_np), plan,
         gc.nx, gc.ny, cellx, celly, plan["beta"],
     )
-
     offs = jnp.arange(support)
-    iu_all = jnp.mod(iu0[:, None] + offs, nu)
-    iv_all = jnp.mod(iv0[:, None] + offs, nv)
-    wj = ku[:, :, None] * kv[:, None, :]  # (N, W, W)
-    idx = (iu_all[:, :, None], iv_all[:, None, :])
-
-    # unflagged & weighted per (row, chan, corr), flattened to samples
-    keep = (~(flags != 0)).astype(v.re.dtype)
-    wgt = keep if weights is None else keep * weights
-
-    grids_re, grids_im = [], []
-    for c in range(ncorr):
-        val_re = (v.re[..., c] * wgt[..., c]).reshape(-1)
-        val_im = (v.im[..., c] * wgt[..., c]).reshape(-1)
-        gre = jnp.zeros((nu, nv), v.re.dtype).at[idx].add(
-            val_re[:, None, None] * wj
-        )
-        gim = jnp.zeros((nu, nv), v.re.dtype).at[idx].add(
-            val_im[:, None, None] * wj
-        )
-        grids_re.append(gre)
-        grids_im.append(gim)
-
-    return Cplx(jnp.stack(grids_re, axis=-1), jnp.stack(grids_im, axis=-1))
+    iu_all = jnp.mod(iu0[None, :] + offs[:, None], nu)  # (W, N)
+    iv_all = jnp.mod(iv0[None, :] + offs[:, None], nv)
+    idx = (
+        iu_all[:, None, :] * nv + iv_all[None, :, :]
+    ).reshape(support * support, -1)
+    wj = (ku.T[:, None, :] * kv.T[None, :, :]).reshape(support * support, -1)
+    return idx, wj
 
 
 def dirty(grid, grid_config):
@@ -169,36 +206,40 @@ def degrid(grid, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
     g = cplx(grid)
     flags = jnp.asarray(flags)
 
-    from africanus_tpu.gridding.wgridder.core import (
-        _plan, _spread_indices_weights, _wavelength_coords,
-    )
+    from africanus_tpu.gridding.wgridder.core import _plan
 
     cellx = gc.csx * ARCSEC2RAD
     celly = gc.csy * ARCSEC2RAD
     plan = _plan(np.asarray(uvw), np.asarray(frequencies), gc.nx, gc.ny,
                  cellx, celly, _epsilon(gc), False)
     nu, nv = plan["nu"], plan["nv"]
-    support = plan["support"]
 
-    u_np, v_np, w_np = _wavelength_coords(np.asarray(uvw),
-                                          np.asarray(frequencies))
     nrow = np.asarray(uvw).shape[0]
     nchan = np.asarray(frequencies).shape[0]
-    iu0, iv0, _, ku, kv, _ = _spread_indices_weights(
-        jnp.asarray(u_np), jnp.asarray(v_np), jnp.asarray(w_np), plan,
-        gc.nx, gc.ny, cellx, celly, plan["beta"],
-    )
-    offs = jnp.arange(support)
-    iu_all = jnp.mod(iu0[:, None] + offs, nu)
-    iv_all = jnp.mod(iv0[:, None] + offs, nv)
-    wj = ku[:, :, None] * kv[:, None, :]
-    idx = (iu_all[:, :, None], iv_all[:, None, :])
+    nsamp = nrow * nchan
+    tile_plan = _nifty_tile_plan(uvw, frequencies, plan, gc, cellx, celly)
 
     ncorr = g.shape[-1]
     outs_re, outs_im = [], []
-    for c in range(ncorr):
-        outs_re.append((g.re[..., c][idx] * wj).sum(axis=(1, 2)))
-        outs_im.append((g.im[..., c][idx] * wj).sum(axis=(1, 2)))
+    if tile_plan is not None:
+        from africanus_tpu.ops.pallas_grid import (
+            degrid_tiles_pallas, extract_tiles,
+        )
+        import jax
+
+        interpret = jax.default_backend() != "tpu"
+        for c in range(ncorr):
+            tre, tim = extract_tiles(g.re[None, ..., c], g.im[None, ..., c],
+                                     tile_plan)
+            o_re, o_im = degrid_tiles_pallas(tile_plan, tre, tim, nsamp,
+                                             interpret=interpret)
+            outs_re.append(o_re)
+            outs_im.append(o_im)
+    else:
+        idx, wj = _flat_spread(uvw, frequencies, plan, gc, cellx, celly)
+        for c in range(ncorr):
+            outs_re.append((g.re[..., c].reshape(-1)[idx] * wj).sum(axis=0))
+            outs_im.append((g.im[..., c].reshape(-1)[idx] * wj).sum(axis=0))
     re = jnp.stack(outs_re, axis=-1).reshape(nrow, nchan, ncorr)
     im = jnp.stack(outs_im, axis=-1).reshape(nrow, nchan, ncorr)
 

@@ -44,12 +44,17 @@ def sharded_dirty(mesh, uvw, freq, vis, nx, ny, cell, epsilon=1e-4,
     v = vis if isinstance(vis, Cplx) else Cplx(jnp.real(jnp.asarray(vis)),
                                                jnp.imag(jnp.asarray(vis)))
 
-    # one shared grid geometry from the full uvw (host metadata)
-    plan = make_plan(uvw, freq, nx, ny, cell, cell, epsilon, do_wstacking)
+    # one shared grid geometry from the full uvw (host metadata).
+    # use_tiles=False: the Pallas tile plan is built against the FULL flat
+    # visibility vector, while shard_map hands each device only its row
+    # shard — a sharded tile path needs per-shard plans (future work), so
+    # the multi-device path stays on the fused-scatter spreading step.
+    plan = make_plan(uvw, freq, nx, ny, cell, cell, epsilon, do_wstacking,
+                     use_tiles=False)
 
     def local(uvw_s, v_s, wgt_s):
         d = grid_adjoint(uvw_s, freq, v_s, wgt_s, nx, ny, cell, cell,
-                         epsilon, do_wstacking, plan=plan)
+                         epsilon, do_wstacking, plan=plan, use_tiles=False)
         return jax.lax.psum(d, "row")
 
     wgt_arr = jnp.ones(v.re.shape, v.re.dtype) if wgt is None else jnp.asarray(wgt)
