@@ -248,7 +248,8 @@ def make_plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking=True,
 
 
 def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
-                 do_wstacking=True, mask=None, plan=None, use_tiles=None):
+                 do_wstacking=True, mask=None, plan=None, use_tiles=None,
+                 tile_arrays=None):
     """ms2dirty equivalent: visibilities → dirty image (nx, ny).
 
     ``plan`` may be precomputed with :func:`make_plan` from *concrete*
@@ -258,7 +259,9 @@ def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
     On TPU the spreading step runs in the Pallas tile gridder
     (ops/pallas_grid.py) instead of an XLA scatter (~5-7x faster);
     ``use_tiles`` forces it on/off (on non-TPU backends "on" means
-    pallas interpret mode — for tests).
+    pallas interpret mode — for tests). ``tile_arrays`` optionally
+    substitutes traced packed entry arrays for the tile plan's — the
+    per-shard plan mechanism (see ops.pallas_grid.pack_shard_plans).
     """
     if use_tiles is None:
         use_tiles = _use_tiles_default()
@@ -297,7 +300,8 @@ def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
 
         interpret = jax.default_backend() != "tpu"
         t_re, t_im = grid_tiles_pallas(tile_plan, vre, vim,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       arrays=tile_arrays)
         grid_re, grid_im = assemble_tiles(t_re, t_im, tile_plan)
     else:
         iu0, iv0, iw0, ku, kv, kw = _spread_indices_weights(

@@ -51,7 +51,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["plan_tiles", "grid_tiles_pallas", "assemble_tiles",
-           "extract_tiles", "degrid_tiles_pallas", "choose_tile"]
+           "extract_tiles", "degrid_tiles_pallas", "choose_tile",
+           "pack_shard_plans", "PLAN_ARRAY_KEYS"]
+
+PLAN_ARRAY_KEYS = ("first", "group_tile", "ir_loc", "uf", "vfa", "scale",
+                   "sample_pack")
 
 
 def _round_up(x, m):
@@ -274,8 +278,13 @@ def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
     lax.fori_loop(0, group // unroll, body, 0, unroll=False)
 
 
-def grid_tiles_pallas(plan, vre_flat, vim_flat, interpret=False):
+def grid_tiles_pallas(plan, vre_flat, vim_flat, interpret=False,
+                      arrays=None):
     """Run the tile plan over flat (N,) visibility values.
+
+    ``arrays`` optionally overrides the plan's packed entry arrays with
+    (possibly traced) replacements of identical shape — this is how
+    per-shard plans ride one shard_map trace (parallel/imaging.py).
 
     Returns padded tiles (ntiles, tpad_r, tpad_c) (re, im) — assemble with
     :func:`assemble_tiles`.
@@ -284,9 +293,11 @@ def grid_tiles_pallas(plan, vre_flat, vim_flat, interpret=False):
     group, ngroups = plan["group"], plan["ngroups"]
     ntiles = plan["nplanes"] * plan["ntr"] * plan["ntc"]
     tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+    if arrays is None:
+        arrays = plan
 
-    sample_pack = jnp.asarray(plan["sample_pack"])
-    scale = jnp.asarray(plan["scale"])
+    sample_pack = jnp.asarray(arrays["sample_pack"])
+    scale = jnp.asarray(arrays["scale"])
     vre = (vre_flat[sample_pack] * scale).astype(jnp.float32)
     vim = (vim_flat[sample_pack] * scale).astype(jnp.float32)
 
@@ -317,11 +328,11 @@ def grid_tiles_pallas(plan, vre_flat, vim_flat, interpret=False):
         out_shape=out_shape,
         interpret=interpret,
     )(
-        jnp.asarray(plan["first"]),
-        jnp.asarray(plan["group_tile"]),
-        jnp.asarray(plan["ir_loc"])[:, None, :],
-        jnp.asarray(plan["uf"])[:, None, :],
-        jnp.asarray(plan["vfa"])[:, None, :],
+        jnp.asarray(arrays["first"]),
+        jnp.asarray(arrays["group_tile"]),
+        jnp.asarray(arrays["ir_loc"])[:, None, :],
+        jnp.asarray(arrays["uf"])[:, None, :],
+        jnp.asarray(arrays["vfa"])[:, None, :],
         vre[:, None, :],
         vim[:, None, :],
     )
@@ -483,3 +494,51 @@ def degrid_tiles_pallas(plan, tiles_re, tiles_im, nvis, interpret=False):
     out_re = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_re.reshape(-1))
     out_im = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_im.reshape(-1))
     return out_re, out_im
+
+
+def pack_shard_plans(plans):
+    """Stack per-shard tile plans into one static geometry + stacked arrays.
+
+    All plans must share tile geometry (same grid/support/tiles/group).
+    Each shard's packed arrays are padded to the max ngroups with inert
+    groups (first=0, scale=0, repeating the shard's last tile id so
+    output-block revisits stay contiguous), then stacked on a leading
+    shard axis for use as shard_map inputs (``arrays`` override of
+    :func:`grid_tiles_pallas`).
+
+    Returns (plan_static, arrays) where ``arrays`` maps PLAN_ARRAY_KEYS to
+    (nshard, ngroups_max, ...) numpy arrays.
+    """
+    geo_keys = ("tile_r", "tile_c", "support", "beta", "ntr", "ntc", "nu",
+                "nv", "nplanes", "tpad_r", "tpad_c", "group")
+    geo = {k: plans[0][k] for k in geo_keys}
+    for p in plans[1:]:
+        for k in geo_keys:
+            if p[k] != geo[k]:
+                raise ValueError(f"shard plans disagree on {k}")
+
+    ng_max = max(p["ngroups"] for p in plans)
+    arrays = {k: [] for k in PLAN_ARRAY_KEYS}
+    for p in plans:
+        pad = ng_max - p["ngroups"]
+        for k in PLAN_ARRAY_KEYS:
+            a = p[k]
+            if pad:
+                if k == "first":
+                    tail = np.zeros((pad,), a.dtype)
+                elif k == "group_tile":
+                    tail = np.full((pad,), a[-1], a.dtype)
+                elif k == "scale":
+                    tail = np.zeros((pad,) + a.shape[1:], a.dtype)
+                elif k in ("uf", "vfa"):
+                    tail = np.full((pad,) + a.shape[1:],
+                                   -2.0 * geo["support"], a.dtype)
+                else:
+                    tail = np.zeros((pad,) + a.shape[1:], a.dtype)
+                a = np.concatenate([a, tail], axis=0)
+            arrays[k].append(a)
+    arrays = {k: np.stack(v, axis=0) for k, v in arrays.items()}
+
+    plan_static = dict(geo)
+    plan_static["ngroups"] = ng_max
+    return plan_static, arrays

@@ -13,7 +13,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from africanus_tpu.ops.cplx import Cplx
 
@@ -21,17 +20,23 @@ __all__ = ["sharded_dirty", "sharded_psf"]
 
 
 def sharded_dirty(mesh, uvw, freq, vis, nx, ny, cell, epsilon=1e-4,
-                  do_wstacking=False, wgt=None):
+                  do_wstacking=False, wgt=None, use_tiles=None):
     """Dirty image with rows sharded over the mesh "row" axis.
 
     Each device grids its row shard and FFTs locally; partial dirty images
     are psum-reduced — the TPU analogue of the reference's dask
     row-chunked ``dirty`` blockwise + sum (gridding/wgridder/dask.py:159).
 
-    Note: the gridding plan (w-planes, tapers) is built from the *full*
-    uvw on the host so every shard shares one grid geometry.
+    The gridding plan (w-planes, tapers) is built from the *full* uvw on
+    the host so every shard shares one grid geometry. With ``use_tiles``
+    (auto-on for TPU) each shard additionally gets its own Pallas
+    tile-binning plan; the per-shard packed entry arrays are padded to a
+    common group count and fed through shard_map as row-sharded inputs,
+    so one SPMD trace serves every shard (ops.pallas_grid.pack_shard_plans).
     """
-    from africanus_tpu.gridding.wgridder.core import grid_adjoint, make_plan
+    from africanus_tpu.gridding.wgridder.core import (
+        _tile_plan, _use_tiles_default, grid_adjoint, make_plan,
+    )
 
     uvw = np.asarray(uvw)
     freq = np.asarray(freq)
@@ -44,28 +49,53 @@ def sharded_dirty(mesh, uvw, freq, vis, nx, ny, cell, epsilon=1e-4,
     v = vis if isinstance(vis, Cplx) else Cplx(jnp.real(jnp.asarray(vis)),
                                                jnp.imag(jnp.asarray(vis)))
 
-    # one shared grid geometry from the full uvw (host metadata).
-    # use_tiles=False: the Pallas tile plan is built against the FULL flat
-    # visibility vector, while shard_map hands each device only its row
-    # shard — a sharded tile path needs per-shard plans (future work), so
-    # the multi-device path stays on the fused-scatter spreading step.
+    # one shared grid geometry from the full uvw (host metadata)
     plan = make_plan(uvw, freq, nx, ny, cell, cell, epsilon, do_wstacking,
                      use_tiles=False)
 
-    def local(uvw_s, v_s, wgt_s):
+    if use_tiles is None:
+        use_tiles = _use_tiles_default()
+    tile_arrays = None
+    if use_tiles:
+        from africanus_tpu.ops.pallas_grid import pack_shard_plans
+
+        rows_per = nrow // nshard
+        shard_plans = [
+            _tile_plan(uvw[s * rows_per : (s + 1) * rows_per], freq, plan,
+                       nx, ny, cell, cell)
+            for s in range(nshard)
+        ]
+        if all(p is not None for p in shard_plans):
+            plan["tile_plan"], tile_arrays = pack_shard_plans(shard_plans)
+        else:
+            use_tiles = False
+
+    def local(uvw_s, v_s, wgt_s, arrs_s):
+        if arrs_s is not None:
+            arrs_s = {k: a[0] for k, a in arrs_s.items()}
         d = grid_adjoint(uvw_s, freq, v_s, wgt_s, nx, ny, cell, cell,
-                         epsilon, do_wstacking, plan=plan, use_tiles=False)
+                         epsilon, do_wstacking, plan=plan,
+                         use_tiles=use_tiles, tile_arrays=arrs_s)
         return jax.lax.psum(d, "row")
 
     wgt_arr = jnp.ones(v.re.shape, v.re.dtype) if wgt is None else jnp.asarray(wgt)
 
-    fn = shard_map(
+    if tile_arrays is None:
+        arr_spec = None
+        tile_in = None
+    else:
+        arr_spec = {k: P("row") for k in tile_arrays}
+        tile_in = {k: jnp.asarray(a) for k, a in tile_arrays.items()}
+
+    fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("row"), Cplx(P("row"), P("row")), P("row")),
+        in_specs=(P("row"), Cplx(P("row"), P("row")), P("row"), arr_spec),
         out_specs=P(),
+        # pallas_call outputs carry no varying-mesh-axes annotation
+        check_vma=False,
     )
-    return fn(jnp.asarray(uvw), v, wgt_arr)
+    return fn(jnp.asarray(uvw), v, wgt_arr, tile_in)
 
 
 def sharded_psf(mesh, uvw, freq, nx, ny, cell, epsilon=1e-4,

@@ -85,3 +85,25 @@ def test_sharded_dirty_and_psf(rng):
 
     with pytest.raises(ValueError, match="shards"):
         sharded_dirty(mesh, uvw[:239], freq, vis[:239], nx, nx, cell)
+
+
+@pytest.mark.parametrize("do_wstacking", [False, True])
+def test_sharded_dirty_pallas_tiles(rng, do_wstacking):
+    """Sharded dirty with per-shard Pallas tile plans (interpret mode on
+    the virtual CPU mesh) must match the scatter-path result."""
+    nx = 16
+    cell = 5.0 * np.pi / 180 / nx
+    freq = 1e9 + np.arange(2) * 1e8
+    uvw = (rng.uniform(size=(240, 3)) - 0.5) / (cell * freq[-1] / C)
+    vis = rng.normal(size=(240, 2)) + 1j * rng.normal(size=(240, 2))
+    mesh = make_mesh((8,), ("row",))
+
+    ref = np.asarray(sharded_dirty(mesh, uvw, freq, vis, nx, nx, cell,
+                                   epsilon=1e-5, do_wstacking=do_wstacking,
+                                   use_tiles=False))
+    got = np.asarray(sharded_dirty(mesh, uvw, freq, vis, nx, nx, cell,
+                                   epsilon=1e-5, do_wstacking=do_wstacking,
+                                   use_tiles=True))
+    # tile path accumulates in f32
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 5e-6
