@@ -29,3 +29,9 @@ from africanus_tpu.averaging.bda_avg import bda
 __all__ += ["bda_mapper", "bda"]
 from africanus_tpu.averaging.shared import merge_flags
 __all__ += ["merge_flags"]
+from africanus_tpu.averaging.splines import (
+    Spline,
+    fit_cubic_spline,
+    evaluate_spline,
+)
+__all__ += ["Spline", "fit_cubic_spline", "evaluate_spline"]

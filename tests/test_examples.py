@@ -41,3 +41,21 @@ def test_plot_cli(tmp_path):
               "--output", str(out)])
     assert r.returncode == 0, r.stderr[-800:]
     assert out.exists()
+
+
+def test_predict_shapelet_example():
+    r = _run([REPO / "examples" / "predict_shapelet.py"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "predicted vis" in r.stdout
+
+
+def test_make_dirty_example():
+    r = _run([REPO / "examples" / "make_dirty.py", "48", "2000"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "peak at" in r.stdout
+    # every source recovered within 10%
+    for line in r.stdout.splitlines():
+        if "recovered" in line:
+            true = float(line.split("true")[1].split(",")[0])
+            got = float(line.split("recovered")[1])
+            assert abs(got - true) < 0.1 * true

@@ -121,3 +121,21 @@ def test_requires_optional():
 
     with pytest.raises(ImportError, match="boom"):
         broken2()
+
+
+def test_sha_hash_file(tmp_path):
+    from africanus_tpu.utils.files import sha_hash_file, user_data_dir
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"hello world")
+    import hashlib
+    assert sha_hash_file(str(p)) == hashlib.sha1(b"hello world").hexdigest()
+    assert "africanus-tpu" in user_data_dir
+
+
+def test_jax_init_import():
+    import africanus_tpu.utils.jax_init  # noqa: F401
+    import jax
+
+    # on the CPU test backend x64 must be active
+    assert jax.config.jax_enable_x64
