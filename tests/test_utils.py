@@ -139,3 +139,17 @@ def test_jax_init_import():
 
     # on the CPU test backend x64 must be active
     assert jax.config.jax_enable_x64
+
+
+def test_profiling_measure_and_roofline():
+    import jax.numpy as jnp
+    from africanus_tpu.utils.profiling import measure, roofline
+
+    x = jnp.arange(4096, dtype=jnp.float32)
+    dt = measure(lambda v: v * 2.0 + 1.0, x, reps=3)
+    assert dt > 0
+
+    r = roofline(seconds=1e-3, flops=1e9, bytes=1e6)
+    assert r.intensity == 1000.0
+    assert 0 < r.fraction <= 1.0 or r.achieved > 0
+    assert "TFLOP/s" in str(r)
