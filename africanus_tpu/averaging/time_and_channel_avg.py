@@ -16,6 +16,14 @@ matches the output bin's flag state.
 Visibility-like inputs may be single arrays (complex on CPU), Cplx pairs,
 or tuples thereof (the reference's @intrinsic tuple handling,
 time_and_channel_avg.py:278).
+
+Performance note: XLA scatter on TPU caps at ~1.4e8 elements/s, so the
+(row, chan, corr) accumulations are instead expressed as *padded
+gather+sum*: the host builds, per output bin, the (padded) list of
+contributing input rows; the device gathers whole row payloads
+(contiguous, bandwidth-bound) and mask-reduces. Channel bins from
+``channel_mapper`` are contiguous/uniform and reduce by reshape. A
+scatter fallback remains for arbitrary user-supplied channel maps.
 """
 
 from __future__ import annotations
@@ -68,6 +76,38 @@ AverageOutput = namedtuple(
 )
 
 
+def _bin_gather_table(row_map, out_rows):
+    """Host-side inverse of a row map: (out_rows, R) input-row indices +
+    validity mask, R = largest bin."""
+    row_map = np.asarray(row_map)
+    nrow = row_map.shape[0]
+    order = np.argsort(row_map, kind="stable")
+    counts = np.bincount(row_map, minlength=out_rows)
+    r = max(int(counts.max()), 1) if nrow else 1
+    starts = np.zeros(out_rows, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    slot = np.arange(nrow) - starts[row_map[order]]
+    row_sel = np.zeros((out_rows, r), np.int32)
+    row_valid = np.zeros((out_rows, r), bool)
+    row_sel[row_map[order], slot] = order
+    row_valid[row_map[order], slot] = True
+    return row_sel, row_valid
+
+
+def _uniform_chan_bins(chan_map, out_chans):
+    """(bin_size, chan_valid) when channel bins are the contiguous uniform
+    layout produced by channel_mapper, else None."""
+    chan_map = np.asarray(chan_map)
+    nchan = chan_map.shape[0]
+    if nchan == 0 or out_chans == 0:
+        return None
+    b = -(-nchan // out_chans)
+    if not np.array_equal(chan_map, np.arange(nchan) // b):
+        return None
+    valid = (np.arange(out_chans)[:, None] * b + np.arange(b)) < nchan
+    return b, valid
+
+
 def _tree_scatter_add(out_shape_leaf, tree, idx, mask=None):
     """Scatter-add every leaf of ``tree`` (array/Cplx/tuple) at ``idx``."""
 
@@ -93,26 +133,36 @@ def row_average(
 ):
     """Average row-indexed columns into output bins (reference
     row_average:76-258). ``meta`` is a RowMapOutput."""
-    row_map = jnp.asarray(np.asarray(meta.map).astype(np.int32))
+    row_map_np = np.asarray(meta.map)
     out_rows = meta.time.shape[0]
     ant1 = jnp.asarray(ant1)
     ant2 = jnp.asarray(ant2)
 
-    if flag_row is not None and meta.flag_row is not None:
-        match = jnp.asarray(flag_row) == jnp.asarray(meta.flag_row)[row_map]
-    else:
-        match = jnp.ones(row_map.shape, bool)
+    row_sel_np, row_valid_np = _bin_gather_table(row_map_np, out_rows)
+    row_sel = jnp.asarray(row_sel_np)
+    row_valid = jnp.asarray(row_valid_np)
 
-    counts = jnp.zeros(out_rows, jnp.uint32).at[row_map].add(
-        match.astype(jnp.uint32)
-    )
+    if flag_row is not None and meta.flag_row is not None:
+        match_in = (
+            jnp.asarray(flag_row) == jnp.asarray(meta.flag_row)[
+                jnp.asarray(row_map_np.astype(np.int32))
+            ]
+        )
+        match = match_in[row_sel] & row_valid
+    else:
+        match = row_valid
+
+    counts = match.sum(axis=1, dtype=jnp.uint32)
+
+    def _masked(x):
+        shape = (1,) * (x.ndim - 2)
+        return jnp.where(match.reshape(match.shape + shape), x, 0)
 
     def mean_rows(x):
         if x is None:
             return None
         x = jnp.asarray(x)
-        acc = _tree_scatter_add(lambda a: (out_rows,) + a.shape[1:], x, row_map,
-                                match.reshape((-1,) + (1,) * (x.ndim - 1)))
+        acc = _masked(x[row_sel]).sum(axis=1)
         c = counts.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
         return jnp.where(c > 0, acc / jnp.maximum(c, 1), acc)
 
@@ -120,11 +170,15 @@ def row_average(
         if x is None:
             return None
         x = jnp.asarray(x)
-        return _tree_scatter_add(lambda a: (out_rows,) + a.shape[1:], x, row_map,
-                                 match.reshape((-1,) + (1,) * (x.ndim - 1)))
+        return _masked(x[row_sel]).sum(axis=1)
 
-    ant1_avg = jnp.zeros(out_rows, ant1.dtype).at[row_map].set(ant1)
-    ant2_avg = jnp.zeros(out_rows, ant2.dtype).at[row_map].set(ant2)
+    # reference loop semantics: the *last* contributing row's antenna wins
+    last = row_sel[
+        jnp.arange(out_rows),
+        jnp.maximum(row_valid.sum(axis=1) - 1, 0),
+    ]
+    ant1_avg = ant1[last]
+    ant2_avg = ant2[last]
 
     uvw_avg = mean_rows(uvw)
     tc_avg = mean_rows(time_centroid)
@@ -134,16 +188,15 @@ def row_average(
     sigma_avg = None
     if sigma is not None:
         sigma = jnp.asarray(sigma)
-        m = match[:, None].astype(sigma.dtype)
         if weight is not None:
             wt = jnp.asarray(weight)
         else:
             wt = jnp.ones_like(sigma)
-        sva = sigma**2 * wt**2 * m
-        swt = wt * m
-        acc = jnp.zeros((out_rows,) + sigma.shape[1:], sigma.dtype).at[row_map].add(sva)
-        wsum = jnp.zeros((out_rows,) + sigma.shape[1:], sigma.dtype).at[row_map].add(swt)
-        acc = jnp.where(wsum != 0.0, acc / jnp.where(wsum == 0.0, 1.0, wsum) ** 2, acc)
+        acc = _masked((sigma**2 * wt**2)[row_sel]).sum(axis=1)
+        wsum = _masked(wt[row_sel]).sum(axis=1)
+        acc = jnp.where(
+            wsum != 0.0, acc / jnp.where(wsum == 0.0, 1.0, wsum) ** 2, acc
+        )
         sigma_avg = jnp.sqrt(acc)
 
     return RowAverageOutput(
@@ -184,11 +237,13 @@ def row_chan_average(
     sigma_spectrum=None,
 ):
     """Average (row, chan, corr) data into output bins (reference
-    row_chan_average:414-660)."""
-    row_map = jnp.asarray(np.asarray(row_meta.map).astype(np.int32))
+    row_chan_average:414-660).
+
+    Contiguous/uniform channel bins (the ``channel_mapper`` layout) take
+    the padded gather+sum fast path; arbitrary channel maps fall back to
+    scatter-adds.
+    """
     chan_map_np, out_chans = chan_meta
-    chan_map = jnp.asarray(np.asarray(chan_map_np).astype(np.int32))
-    out_rows = row_meta.time.shape[0]
 
     # infer (nchan, ncorr) from whichever input is present
     probe = None
@@ -200,6 +255,113 @@ def row_chan_average(
         return RowChanAverageOutput(None, None, None, None)
     leaf = jax.tree_util.tree_leaves(probe)[0]
     nrow, nchan, ncorr = leaf.shape
+
+    ucb = _uniform_chan_bins(chan_map_np, out_chans)
+    if ucb is not None:
+        return _row_chan_average_gather(
+            row_meta, out_chans, ucb, flag_row, weight, visibilities, flag,
+            weight_spectrum, sigma_spectrum, nrow, nchan, ncorr,
+        )
+    return _row_chan_average_scatter(
+        row_meta, chan_meta, flag_row, weight, visibilities, flag,
+        weight_spectrum, sigma_spectrum, nrow, nchan, ncorr,
+    )
+
+
+def _row_chan_average_gather(row_meta, out_chans, ucb, flag_row, weight,
+                             visibilities, flag, weight_spectrum,
+                             sigma_spectrum, nrow, nchan, ncorr):
+    out_rows = row_meta.time.shape[0]
+    bsize, chan_valid_np = ucb
+    npad = out_chans * bsize - nchan
+
+    row_sel_np, row_valid_np = _bin_gather_table(row_meta.map, out_rows)
+    row_sel = jnp.asarray(row_sel_np)
+    r = row_sel_np.shape[1]
+    row_valid = jnp.asarray(row_valid_np)
+    chan_valid = jnp.asarray(chan_valid_np)  # (out_chans, B)
+    in_shape = (nrow, nchan, ncorr)
+
+    def g(x):
+        """(nrow, nchan, ncorr) → (out_rows, R, out_chans, B, ncorr)."""
+        x = jnp.asarray(x)
+        if npad:
+            x = jnp.pad(x, ((0, 0), (0, npad), (0, 0)))
+        return x[row_sel].reshape(out_rows, r, out_chans, bsize, ncorr)
+
+    valid = row_valid[:, :, None, None, None] & chan_valid[None, None, :, :,
+                                                           None]
+
+    have_flags = flag_row is not None or flag is not None
+    if have_flags:
+        if flag_row is not None:
+            rf = (jnp.asarray(flag_row) != 0)[:, None, None]
+        else:
+            rf = jnp.zeros((nrow, 1, 1), bool)
+        if flag is not None:
+            flagged_in = rf | (jnp.asarray(flag) != 0)
+        else:
+            flagged_in = jnp.broadcast_to(rf, in_shape)
+        fg = g(flagged_in)
+        counts = (valid & ~fg).sum(axis=(1, 3), dtype=jnp.uint32)
+        out_flag = counts == 0
+        match = (fg == out_flag[:, None, :, None, :]) & valid
+    else:
+        out_flag = None
+        match = valid
+
+    flag_avg = out_flag if flag is not None else None
+
+    def wt_of():
+        if weight_spectrum is not None:
+            return jnp.asarray(weight_spectrum)
+        if weight is not None:
+            w = jnp.asarray(weight)
+            return jnp.broadcast_to(w[:, None, :], in_shape)
+        return jnp.ones(in_shape)
+
+    def msum(x):
+        return jnp.where(match, x, 0).sum(axis=(1, 3))
+
+    vis_avg = None
+    if visibilities is not None:
+        wg = g(wt_of())
+        wsum = msum(wg)
+        safe_wsum = jnp.where(wsum == 0.0, 1.0, wsum)
+
+        def avg_one(v):
+            acc = msum(g(v) * wg.astype(jnp.asarray(v).dtype))
+            return jnp.where(wsum != 0.0, acc / safe_wsum.astype(acc.dtype),
+                             acc)
+
+        vis_avg = jax.tree_util.tree_map(avg_one, visibilities)
+
+    ws_avg = None
+    if weight_spectrum is not None:
+        ws_avg = msum(g(weight_spectrum))
+
+    ss_avg = None
+    if sigma_spectrum is not None:
+        ss = jnp.asarray(sigma_spectrum)
+        wt = wt_of()
+        acc = msum(g(ss**2 * wt**2))
+        wsum = msum(g(wt))
+        acc = jnp.where(
+            wsum != 0.0, acc / jnp.where(wsum == 0.0, 1.0, wsum) ** 2, acc
+        )
+        ss_avg = jnp.sqrt(acc)
+
+    return RowChanAverageOutput(vis_avg, flag_avg, ws_avg, ss_avg)
+
+
+def _row_chan_average_scatter(row_meta, chan_meta, flag_row, weight,
+                              visibilities, flag, weight_spectrum,
+                              sigma_spectrum, nrow, nchan, ncorr):
+    row_map = jnp.asarray(np.asarray(row_meta.map).astype(np.int32))
+    chan_map_np, out_chans = chan_meta
+    chan_map = jnp.asarray(np.asarray(chan_map_np).astype(np.int32))
+    out_rows = row_meta.time.shape[0]
+
     in_shape = (nrow, nchan, ncorr)
     out_shape = (out_rows, out_chans, ncorr)
     idx = (row_map[:, None], chan_map[None, :])

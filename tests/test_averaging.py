@@ -250,3 +250,30 @@ def test_merge_flags(rng):
     bad[0] = 1 - bad[0]
     with pytest.raises(ValueError, match="mismatch"):
         merge_flags(bad, flag)
+
+
+def test_row_chan_average_nonuniform_chan_map(rng, synth_obs):
+    """Arbitrary (non channel_mapper) channel maps take the scatter
+    fallback and must agree with the oracle."""
+    time, interval, a1, a2, flag_row = synth_obs
+    nrow, nchan, ncorr = time.shape[0], 7, 2
+    meta = row_mapper(time, interval, a1, a2, flag_row=flag_row,
+                      time_bin_secs=2.0)
+    # ragged bins: sizes 1, 2, 4
+    chan_map = np.array([0, 1, 1, 2, 2, 2, 2])
+    chan_meta = (chan_map, 3)
+
+    vis = rng.normal(size=(nrow, nchan, ncorr)) + 1j * rng.normal(
+        size=(nrow, nchan, ncorr)
+    )
+    flag = rng.uniform(size=vis.shape) < 0.2
+    ws = rng.uniform(0.5, 2.0, vis.shape)
+
+    out = row_chan_average(meta, chan_meta, flag_row=flag_row,
+                           visibilities=vis, flag=flag, weight_spectrum=ws)
+    vis_o, flag_o, ws_o = np_row_chan_avg(meta, chan_meta, flag_row, vis,
+                                          flag, ws)
+    assert_allclose(np.asarray(out.visibilities), vis_o, rtol=1e-11,
+                    atol=1e-12)
+    assert_array_equal(np.asarray(out.flag), flag_o)
+    assert_allclose(np.asarray(out.weight_spectrum), ws_o, rtol=1e-12)
