@@ -3,9 +3,10 @@
 TPU-native equivalent of reference ``africanus/averaging/bda_avg.py``
 (bda:655, row_average:33, row_chan_average:397). Outputs are ragged
 (row, chan)-flattened arrays with per-row channel counts described by
-``meta.offsets``; the accumulation loops become scatter-adds into the flat
-output with flag-consistency masks, and the "broadcast along the run"
-steps become gathers from host-computed run-start indices.
+``meta.offsets``; the accumulation loops become host-planned padded
+gather+sums (XLA scatter is ~1.4e8 elem/s on TPU — see
+time_and_channel_avg.py), and the "broadcast along the run" steps become
+gathers from host-computed run indices.
 """
 
 from __future__ import annotations
@@ -17,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from africanus_tpu.averaging.bda_mapping import bda_mapper, RowMapOutput
+from africanus_tpu.averaging.time_and_channel_avg import _bin_gather_table
 
 __all__ = ["row_average", "row_chan_average", "bda", "AverageOutput"]
 
@@ -40,13 +42,6 @@ AverageOutput = namedtuple(
 )
 
 
-def _run_starts(offsets, out_row_chans):
-    """Host: for each flat output position, the start of its row run."""
-    offsets = np.asarray(offsets)
-    nchan_per_run = np.diff(offsets.astype(np.int64))
-    return np.repeat(offsets[:-1].astype(np.int32), nchan_per_run), nchan_per_run
-
-
 def row_average(
     meta,
     ant1,
@@ -58,45 +53,64 @@ def row_average(
     weight=None,
     sigma=None,
 ):
-    """BDA row averaging (reference bda_avg.py:33-255): values accumulate at
-    each run's first output position then broadcast along the run."""
+    """BDA row averaging (reference bda_avg.py:33-255): values accumulate
+    per output *run* (one bin per averaged row) then broadcast along the
+    run's flat output positions."""
     out_row_chans = meta.time.shape[0]
-    row0 = jnp.asarray(np.asarray(meta.map)[:, 0].astype(np.int32))
-    starts_np, _ = _run_starts(meta.offsets, out_row_chans)
-    starts = jnp.asarray(starts_np)
+    offsets = np.asarray(meta.offsets)
+    row0_np = np.asarray(meta.map)[:, 0]
+    run_starts = offsets[:-1].astype(np.int64)
+    nruns = run_starts.shape[0]
+    nchan_per_run = np.diff(offsets.astype(np.int64))
+    # run index of each input row, and of each flat output position
+    row_run_np = np.searchsorted(run_starts, row0_np, side="right") - 1
+    out_run = jnp.asarray(
+        np.repeat(np.arange(nruns, dtype=np.int64), nchan_per_run)
+    )
+
+    row_sel_np, row_valid_np = _bin_gather_table(row_run_np, nruns)
+    row_sel = jnp.asarray(row_sel_np)
+    row_valid = jnp.asarray(row_valid_np)
 
     ant1 = jnp.asarray(ant1)
     ant2 = jnp.asarray(ant2)
 
     if flag_row is not None and meta.flag_row is not None:
-        match = jnp.asarray(flag_row) == jnp.asarray(meta.flag_row)[row0]
+        row0 = jnp.asarray(row0_np.astype(np.int32))
+        match_in = (
+            jnp.asarray(flag_row) == jnp.asarray(meta.flag_row)[row0]
+        )
+        match = match_in[row_sel] & row_valid
     else:
-        match = jnp.ones(row0.shape, bool)
+        match = row_valid
 
-    counts = jnp.zeros(out_row_chans, jnp.uint32).at[row0].add(
-        match.astype(jnp.uint32)
-    )
+    counts = match.sum(axis=1, dtype=jnp.uint32)
 
-    ant1_avg = jnp.zeros(out_row_chans, ant1.dtype).at[row0].set(ant1)[starts]
-    ant2_avg = jnp.zeros(out_row_chans, ant2.dtype).at[row0].set(ant2)[starts]
+    # reference loop semantics: the last contributing row's antenna wins
+    last = row_sel[
+        jnp.arange(nruns), jnp.maximum(row_valid.sum(axis=1) - 1, 0)
+    ]
+    ant1_avg = ant1[last][out_run]
+    ant2_avg = ant2[last][out_run]
+
+    def _masked(x):
+        shape = (1,) * (x.ndim - 2)
+        return jnp.where(match.reshape(match.shape + shape), x, 0)
 
     def mean_rows(x):
         if x is None:
             return None
         x = jnp.asarray(x)
-        m = match.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
-        acc = jnp.zeros((out_row_chans,) + x.shape[1:], x.dtype).at[row0].add(x * m)
+        acc = _masked(x[row_sel]).sum(axis=1)
         c = counts.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
         acc = jnp.where(c > 0, acc / jnp.maximum(c, 1), acc)
-        return acc[starts]
+        return acc[out_run]
 
     def sum_rows(x):
         if x is None:
             return None
         x = jnp.asarray(x)
-        m = match.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
-        acc = jnp.zeros((out_row_chans,) + x.shape[1:], x.dtype).at[row0].add(x * m)
-        return acc[starts]
+        return _masked(x[row_sel]).sum(axis=1)[out_run]
 
     uvw_avg = mean_rows(uvw)
     tc_avg = mean_rows(time_centroid)
@@ -106,13 +120,13 @@ def row_average(
     sigma_avg = None
     if sigma is not None:
         sigma = jnp.asarray(sigma)
-        m = match[:, None].astype(sigma.dtype)
         wt = jnp.asarray(weight) if weight is not None else jnp.ones_like(sigma)
-        shape = (out_row_chans,) + sigma.shape[1:]
-        acc = jnp.zeros(shape, sigma.dtype).at[row0].add(sigma**2 * wt**2 * m)
-        wsum = jnp.zeros(shape, sigma.dtype).at[row0].add(wt * m)
-        acc = jnp.where(wsum != 0.0, acc / jnp.where(wsum == 0.0, 1.0, wsum) ** 2, acc)
-        sigma_avg = jnp.sqrt(acc)[starts]
+        acc = _masked((sigma**2 * wt**2)[row_sel]).sum(axis=1)
+        wsum = _masked(wt[row_sel]).sum(axis=1)
+        acc = jnp.where(
+            wsum != 0.0, acc / jnp.where(wsum == 0.0, 1.0, wsum) ** 2, acc
+        )
+        sigma_avg = jnp.sqrt(acc)[out_run]
 
     return RowAverageOutput(
         ant1_avg, ant2_avg, tc_avg, exp_avg, uvw_avg, weight_avg, sigma_avg
@@ -131,7 +145,7 @@ def row_chan_average(
     """BDA (row, chan) averaging into the flat ragged output (reference
     bda_avg.py:397-640)."""
     out_row_chans = meta.time.shape[0]
-    rc_map = jnp.asarray(np.asarray(meta.map).astype(np.int32))  # (row, chan)
+    rc_map_np = np.asarray(meta.map)  # (row, chan) → flat output slot
 
     probe = None
     for cand in (visibilities, flag, weight_spectrum, sigma_spectrum):
@@ -143,8 +157,15 @@ def row_chan_average(
     leaf = jax.tree_util.tree_leaves(probe)[0]
     nrow, nchan, ncorr = leaf.shape
     in_shape = (nrow, nchan, ncorr)
-    out_shape = (out_row_chans, ncorr)
-    idx = rc_map  # advanced index over first out dim
+
+    # inverse table over the flat (row·chan) input space
+    sel_np, valid_np = _bin_gather_table(rc_map_np.ravel(), out_row_chans)
+    sel = jnp.asarray(sel_np)
+    validb = jnp.asarray(valid_np)[:, :, None]
+
+    def g(x):
+        """(nrow, nchan, ncorr) → (out_row_chans, R, ncorr)."""
+        return jnp.asarray(x).reshape(nrow * nchan, ncorr)[sel]
 
     have_flags = flag_row is not None or flag is not None
     if have_flags:
@@ -156,14 +177,13 @@ def row_chan_average(
             flagged_in = rf | (jnp.asarray(flag) != 0)
         else:
             flagged_in = jnp.broadcast_to(rf, in_shape)
-        counts = jnp.zeros(out_shape, jnp.uint32).at[idx].add(
-            (~flagged_in).astype(jnp.uint32)
-        )
+        fg = g(flagged_in)
+        counts = (validb & ~fg).sum(axis=1, dtype=jnp.uint32)
         out_flag = counts == 0
-        match = flagged_in == out_flag[idx]
+        match = (fg == out_flag[:, None, :]) & validb
     else:
         out_flag = None
-        match = jnp.ones(in_shape, bool)
+        match = validb
 
     flag_avg = out_flag if flag is not None else None
 
@@ -174,35 +194,34 @@ def row_chan_average(
             return jnp.broadcast_to(jnp.asarray(weight)[:, None, :], in_shape)
         return jnp.ones(in_shape)
 
+    def msum(x):
+        return jnp.where(match, x, 0).sum(axis=1)
+
     vis_avg = None
     if visibilities is not None:
-        wt = wt_of()
-        wm = wt * match.astype(wt.dtype)
-        wsum = jnp.zeros(out_shape, wt.dtype).at[idx].add(wm)
+        wg = g(wt_of())
+        wsum = msum(wg)
         safe = jnp.where(wsum == 0.0, 1.0, wsum)
 
         def avg_one(v):
-            v = jnp.asarray(v)
-            acc = jnp.zeros(out_shape, v.dtype).at[idx].add(v * wm.astype(v.dtype))
-            return jnp.where(wsum != 0.0, acc / safe.astype(v.dtype), acc)
+            acc = msum(g(v) * wg.astype(jnp.asarray(v).dtype))
+            return jnp.where(wsum != 0.0, acc / safe.astype(acc.dtype), acc)
 
         vis_avg = jax.tree_util.tree_map(avg_one, visibilities)
 
     ws_avg = None
     if weight_spectrum is not None:
-        ws = jnp.asarray(weight_spectrum)
-        ws_avg = jnp.zeros(out_shape, ws.dtype).at[idx].add(
-            ws * match.astype(ws.dtype)
-        )
+        ws_avg = msum(g(weight_spectrum))
 
     ss_avg = None
     if sigma_spectrum is not None:
         ss = jnp.asarray(sigma_spectrum)
         wt = wt_of()
-        m = match.astype(ss.dtype)
-        acc = jnp.zeros(out_shape, ss.dtype).at[idx].add(ss**2 * wt**2 * m)
-        wsum = jnp.zeros(out_shape, ss.dtype).at[idx].add(wt * m)
-        acc = jnp.where(wsum != 0.0, acc / jnp.where(wsum == 0.0, 1.0, wsum) ** 2, acc)
+        acc = msum(g(ss**2 * wt**2))
+        wsum = msum(g(wt))
+        acc = jnp.where(
+            wsum != 0.0, acc / jnp.where(wsum == 0.0, 1.0, wsum) ** 2, acc
+        )
         ss_avg = jnp.sqrt(acc)
 
     return RowChanAverageOutput(vis_avg, flag_avg, ws_avg, ss_avg)
