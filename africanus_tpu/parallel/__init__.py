@@ -11,8 +11,10 @@ from africanus_tpu.parallel.predict import (
     sharded_rime_predict,
 )
 from africanus_tpu.parallel.imaging import sharded_dirty, sharded_psf
+from africanus_tpu.parallel.chunked import stream_rows
 
 __all__ = [
+    "stream_rows",
     "make_mesh",
     "row_sharding",
     "replicated",

@@ -107,3 +107,54 @@ def test_sharded_dirty_pallas_tiles(rng, do_wstacking):
     # tile path accumulates in f32
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() / scale < 5e-6
+
+
+def test_stream_rows_concat_matches_full(rng):
+    """Chunked streaming predict == single-shot predict (one compile)."""
+    from africanus_tpu.parallel import stream_rows
+    from africanus_tpu.rime.phase import phase_delay_ri
+
+    nrow, nsrc, nchan = 100, 3, 4
+    uvw = rng.normal(size=(nrow, 3)) * 100
+    lm = rng.normal(size=(nsrc, 2)) * 1e-3
+    freq = np.linspace(1e9, 2e9, nchan)
+
+    import jax
+    import jax.numpy as jnp
+
+    def fn(tree, valid):
+        k = phase_delay_ri(lm, tree["uvw"], freq)
+        # (src, chunk, chan) -> row-leading for stitching
+        return jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 1, 0), k)
+
+    out = stream_rows(fn, {"uvw": uvw}, chunk=32, combine="concat")
+    full = phase_delay_ri(lm, uvw, freq)
+    assert_allclose(out.re, np.moveaxis(np.asarray(full.re), 1, 0),
+                    rtol=1e-12)
+    assert out.re.shape == (nrow, nsrc, nchan)
+
+
+def test_stream_rows_sum_matches_full(rng):
+    """Chunked adjoint-DFT reduction == single-shot (masked pad rows)."""
+    from africanus_tpu.dft import vis_to_im_ri
+    from africanus_tpu.ops.cplx import Cplx
+    from africanus_tpu.parallel import stream_rows
+
+    nrow, nsrc, nchan = 70, 4, 3
+    uvw = rng.normal(size=(nrow, 3)) * 100
+    lm = rng.normal(size=(nsrc, 2)) * 1e-3
+    freq = np.linspace(1e9, 2e9, nchan)
+    vis = Cplx(rng.normal(size=(nrow, nchan, 1)),
+               rng.normal(size=(nrow, nchan, 1)))
+    flags = np.zeros((nrow, nchan, 1), bool)
+
+    def fn(tree, valid):
+        import jax.numpy as jnp
+
+        flg = ~valid[:, None, None] | tree["flags"]
+        return vis_to_im_ri(tree["vis"], tree["uvw"], lm, freq, flg)
+
+    out = stream_rows(fn, {"uvw": uvw, "vis": vis, "flags": flags},
+                      chunk=32, combine="sum")
+    full = vis_to_im_ri(vis, uvw, lm, freq, flags)
+    assert_allclose(np.asarray(out), np.asarray(full), rtol=1e-10)
