@@ -243,9 +243,50 @@ def bench_averaging(quick):
           host_map_ms=round(map_dt * 1e3, 1))
 
 
+def bench_beam(quick):
+    """Beam DDE chain (BASELINE.md config 3): cube interpolation +
+    parallactic rotation + feed rotation, MeerKAT-like L-band."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.cplx import Cplx
+    from africanus_tpu.ops.jones import mul2x2
+    from africanus_tpu.rime.fast_beam_cubes import beam_cube_dde_ri
+    from africanus_tpu.rime.feeds import feed_rotation_ri
+    from africanus_tpu.utils.profiling import measure
+
+    nsrc, ntime, nant, nchan = (4, 2, 7, 16) if quick else (16, 4, 64, 1024)
+    blw = bmh = 65
+    bnud = 16 if quick else 32
+    rng = np.random.default_rng(0)
+    f32 = np.float32
+
+    beam = Cplx(
+        jnp.asarray(rng.normal(size=(blw, bmh, bnud, 2, 2)).astype(f32)),
+        jnp.asarray(rng.normal(size=(blw, bmh, bnud, 2, 2)).astype(f32) * 0.1),
+    )
+    extents = np.array([[-1e-2, 1e-2], [-1e-2, 1e-2]], f32)
+    bfmap = np.linspace(0.8e9, 1.8e9, bnud).astype(f32)
+    lm = (rng.uniform(-1, 1, (nsrc, 2)) * 5e-3).astype(f32)
+    pa = rng.uniform(-np.pi, np.pi, (ntime, nant)).astype(f32)
+    pe = np.zeros((ntime, nant, nchan, 2), f32)
+    ascale = np.ones((nant, nchan, 2), f32)
+    freq = np.linspace(0.856e9, 1.712e9, nchan).astype(f32)
+
+    def chain(pa_t):
+        e = beam_cube_dde_ri(beam, extents, bfmap, lm, pa_t, pe, ascale,
+                             freq)  # (src, time, ant, chan, 2, 2)
+        l = feed_rotation_ri(pa_t)  # (time, ant, 2, 2)
+        return mul2x2(Cplx(l.re[None, :, :, None], l.im[None, :, :, None]),
+                      e).re
+
+    dt = measure(chain, jnp.asarray(pa), reps=5)
+    n = nsrc * ntime * nant * nchan
+    _emit("beam_dde_chain", n / dt / 1e6, "Msamples/s",
+          shape=[nsrc, ntime, nant, nchan])
+
+
 ALL = dict(predict=bench_predict, dft=bench_dft, dirty=bench_dirty,
            degrid=bench_degrid, calibration=bench_calibration,
-           averaging=bench_averaging)
+           averaging=bench_averaging, beam=bench_beam)
 
 
 def main():
