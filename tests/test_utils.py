@@ -153,3 +153,37 @@ def test_profiling_measure_and_roofline():
     assert r.intensity == 1000.0
     assert 0 < r.fraction <= 1.0 or r.achieved > 0
     assert "TFLOP/s" in str(r)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from africanus_tpu.ops.cplx import Cplx
+    from africanus_tpu.utils.checkpoint import restore, save
+
+    tree = {"phases": jnp.arange(6.0).reshape(2, 3),
+            "g": Cplx(jnp.ones((2, 2)), jnp.zeros((2, 2))), "k": jnp.int32(7)}
+    path = tmp_path / "ckpt"
+    save(path, tree)
+    back = restore(path, like=tree)
+    assert np.allclose(np.asarray(back["phases"]), np.arange(6.0).reshape(2, 3))
+    assert isinstance(back["g"], Cplx)
+    assert int(back["k"]) == 7
+
+
+def test_checkpoint_loop_resumes(tmp_path):
+    import jax.numpy as jnp
+    from africanus_tpu.utils.checkpoint import CheckpointLoop
+
+    d = tmp_path / "loop"
+    loop = CheckpointLoop(d, {"x": jnp.float64(0.0)}, every=2)
+    for step, state in loop.range(5):
+        loop.state = {"x": state["x"] + 1.0}
+        if step == 3:
+            break  # crash mid-step: last durable save was after step 1
+    # new driver resumes from the last saved step
+    loop2 = CheckpointLoop(d, {"x": jnp.float64(0.0)}, every=2)
+    assert loop2.start == 2
+    assert float(loop2.state["x"]) == 2.0
+    for step, state in loop2.range(6):
+        loop2.state = {"x": state["x"] + 1.0}
+    assert float(loop2.state["x"]) == 6.0
