@@ -371,7 +371,7 @@ def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
 
 def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
               do_wstacking=True, mask=None, plan=None,
-              use_tiles=None) -> Cplx:
+              use_tiles=None, tile_arrays=None) -> Cplx:
     """dirty2ms equivalent: image (nx, ny) → model visibilities (row, chan)
     as a split re/im pair.
 
@@ -435,7 +435,8 @@ def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
         interpret = jax.default_backend() != "tpu"
         tre, tim = extract_tiles(gre, gim, tile_plan)
         out_re, out_im = degrid_tiles_pallas(tile_plan, tre, tim, nsamp,
-                                             interpret=interpret)
+                                             interpret=interpret,
+                                             arrays=tile_arrays)
     else:
         iu0, iv0, iw0, ku, kv, kw = _spread_indices_weights(
             u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta
@@ -477,8 +478,8 @@ def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
         out_re = out_re * m
         out_im = out_im * m
 
-    nrow = np.asarray(uvw).shape[0]
-    nchan = np.asarray(freq).shape[0]
+    nrow = jnp.shape(uvw)[0]
+    nchan = jnp.shape(freq)[0]
     return Cplx(out_re.reshape(nrow, nchan), out_im.reshape(nrow, nchan))
 
 

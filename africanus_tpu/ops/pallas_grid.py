@@ -441,19 +441,24 @@ def _degrid_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, scale_ref,
     lax.fori_loop(0, group // unroll, body, 0, unroll=False)
 
 
-def degrid_tiles_pallas(plan, tiles_re, tiles_im, nvis, interpret=False):
+def degrid_tiles_pallas(plan, tiles_re, tiles_im, nvis, interpret=False,
+                        arrays=None):
     """Gather model visibilities from padded grid tiles.
 
     Mirror of :func:`grid_tiles_pallas`: per entry, the aligned 16-row
     block is read, weighted by the in-kernel ES window and reduced to a
     scalar (written to an SMEM output); virtual samples (w-planes) are
-    then scatter-summed back onto their owning visibility.
+    then scatter-summed back onto their owning visibility. ``arrays``
+    overrides the plan's packed entry arrays (per-shard plans — see
+    :func:`pack_shard_plans`).
 
     Returns flat (nvis,) re/im model visibilities.
     """
     w = plan["support"]
     group, ngroups = plan["group"], plan["ngroups"]
     tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+    if arrays is None:
+        arrays = plan
 
     kernel = partial(_degrid_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c)
@@ -481,16 +486,16 @@ def degrid_tiles_pallas(plan, tiles_re, tiles_im, nvis, interpret=False):
         out_shape=out_shape,
         interpret=interpret,
     )(
-        jnp.asarray(plan["group_tile"]),
-        jnp.asarray(plan["ir_loc"])[:, None, :],
-        jnp.asarray(plan["uf"])[:, None, :],
-        jnp.asarray(plan["vfa"])[:, None, :],
-        jnp.asarray(plan["scale"])[:, None, :],
+        jnp.asarray(arrays["group_tile"]),
+        jnp.asarray(arrays["ir_loc"])[:, None, :],
+        jnp.asarray(arrays["uf"])[:, None, :],
+        jnp.asarray(arrays["vfa"])[:, None, :],
+        jnp.asarray(arrays["scale"])[:, None, :],
         tiles_re.astype(jnp.float32),
         tiles_im.astype(jnp.float32),
     )
 
-    sample = jnp.asarray(plan["sample_pack"]).reshape(-1)
+    sample = jnp.asarray(arrays["sample_pack"]).reshape(-1)
     out_re = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_re.reshape(-1))
     out_im = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_im.reshape(-1))
     return out_re, out_im

@@ -10,11 +10,13 @@ from africanus_tpu.parallel.predict import (
     sharded_vis_to_im,
     sharded_rime_predict,
 )
-from africanus_tpu.parallel.imaging import sharded_dirty, sharded_psf
+from africanus_tpu.parallel.imaging import (sharded_degrid, sharded_dirty,
+                                            sharded_psf)
 from africanus_tpu.parallel.chunked import stream_rows
 
 __all__ = [
     "stream_rows",
+    "sharded_degrid",
     "make_mesh",
     "row_sharding",
     "replicated",

@@ -106,3 +106,75 @@ def sharded_psf(mesh, uvw, freq, nx, ny, cell, epsilon=1e-4,
                 jnp.zeros((nrow, nchan), jnp.float32))
     return sharded_dirty(mesh, uvw, freq, ones, nx, ny, cell, epsilon,
                          do_wstacking)
+
+
+def sharded_degrid(mesh, uvw, freq, image, nx=None, ny=None, cell=None,
+                   epsilon=1e-4, do_wstacking=False, wgt=None,
+                   use_tiles=None):
+    """Model visibilities from an image with rows sharded over "row".
+
+    The image is replicated; each device interpolates its own row shard
+    (no collective needed — outputs are row-sharded like the inputs).
+    With ``use_tiles`` (auto-on for TPU) each shard runs the Pallas tile
+    degridder on its own per-shard plan (see :func:`sharded_dirty`).
+    """
+    from africanus_tpu.gridding.wgridder.core import (
+        _tile_plan, _use_tiles_default, degrid_ri, make_plan,
+    )
+
+    uvw = np.asarray(uvw)
+    freq = np.asarray(freq)
+    image = jnp.asarray(image)
+    nx, ny = image.shape
+    nrow = uvw.shape[0]
+    nshard = mesh.shape["row"]
+    if nrow % nshard:
+        raise ValueError(f"rows {nrow} must divide over {nshard} shards "
+                         f"(pad with zero-weight rows)")
+
+    plan = make_plan(uvw, freq, nx, ny, cell, cell, epsilon, do_wstacking,
+                     use_tiles=False)
+
+    if use_tiles is None:
+        use_tiles = _use_tiles_default()
+    tile_arrays = None
+    if use_tiles:
+        from africanus_tpu.ops.pallas_grid import pack_shard_plans
+
+        rows_per = nrow // nshard
+        shard_plans = [
+            _tile_plan(uvw[s * rows_per : (s + 1) * rows_per], freq, plan,
+                       nx, ny, cell, cell)
+            for s in range(nshard)
+        ]
+        if all(p is not None for p in shard_plans):
+            plan["tile_plan"], tile_arrays = pack_shard_plans(shard_plans)
+        else:
+            use_tiles = False
+
+    def local(uvw_s, img, wgt_s, arrs_s):
+        if arrs_s is not None:
+            arrs_s = {k: a[0] for k, a in arrs_s.items()}
+        return degrid_ri(uvw_s, freq, img, wgt_s, cell, cell, epsilon,
+                         do_wstacking, plan=plan, use_tiles=use_tiles,
+                         tile_arrays=arrs_s)
+
+    nchan = freq.shape[0]
+    wgt_arr = (jnp.ones((nrow, nchan), image.dtype) if wgt is None
+               else jnp.asarray(wgt))
+
+    if tile_arrays is None:
+        arr_spec = None
+        tile_in = None
+    else:
+        arr_spec = {k: P("row") for k in tile_arrays}
+        tile_in = {k: jnp.asarray(a) for k, a in tile_arrays.items()}
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("row"), P(), P("row"), arr_spec),
+        out_specs=Cplx(P("row"), P("row")),
+        check_vma=False,
+    )
+    return fn(jnp.asarray(uvw), image, wgt_arr, tile_in)

@@ -158,3 +158,28 @@ def test_stream_rows_sum_matches_full(rng):
                       chunk=32, combine="sum")
     full = vis_to_im_ri(vis, uvw, lm, freq, flags)
     assert_allclose(np.asarray(out), np.asarray(full), rtol=1e-10)
+
+
+@pytest.mark.parametrize("use_tiles", [False, True])
+def test_sharded_degrid_matches_local(rng, use_tiles):
+    """Row-sharded degrid (scatter and per-shard Pallas tile plans) must
+    match the single-device result."""
+    from africanus_tpu.gridding.wgridder.core import degrid_ri
+    from africanus_tpu.parallel import sharded_degrid
+
+    nx = 16
+    cell = 5.0 * np.pi / 180 / nx
+    freq = 1e9 + np.arange(2) * 1e8
+    uvw = (rng.uniform(size=(240, 3)) - 0.5) / (cell * freq[-1] / C)
+    image = rng.normal(size=(nx, nx))
+    mesh = make_mesh((8,), ("row",))
+
+    out = sharded_degrid(mesh, uvw, freq, image, cell=cell, epsilon=1e-5,
+                         do_wstacking=True, use_tiles=use_tiles)
+    ref = degrid_ri(uvw, freq, image, None, cell, cell, 1e-5, True,
+                    use_tiles=False)
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    want = np.asarray(ref.re) + 1j * np.asarray(ref.im)
+    tol = 5e-6 if use_tiles else 1e-10
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < tol
