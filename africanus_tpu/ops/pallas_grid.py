@@ -251,7 +251,7 @@ def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
 
     # pallas only supports unroll ∈ {1, full} on fori_loop → unroll by
     # hand to pipeline the load→compute→RMW chain across entries
-    unroll = 8 if group % 8 == 0 else 1
+    unroll = 16 if group % 16 == 0 else 1
 
     def body(j, _):
         for k in range(unroll):
@@ -416,7 +416,7 @@ def _degrid_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, scale_ref,
         jnp.float32
     )
 
-    unroll = 8 if group % 8 == 0 else 1
+    unroll = 16 if group % 16 == 0 else 1
 
     def body(j, _):
         for k in range(unroll):
