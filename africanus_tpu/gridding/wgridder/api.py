@@ -13,7 +13,12 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from africanus_tpu.gridding.wgridder.core import degrid, degrid_ri, grid_adjoint
+from africanus_tpu.gridding.wgridder.core import (
+    degrid,
+    degrid_ri,
+    grid_adjoint,
+    make_plan,
+)
 
 __all__ = ["dirty", "model", "residual", "hessian"]
 
@@ -121,13 +126,16 @@ def residual(
     for b, band in enumerate(_bands(freq_bin_idx, freq_bin_counts)):
         wgt = None if weights is None else jnp.asarray(weights)[:, band]
         msk = None if flag is None else jnp.asarray(flag)[:, band]
+        # one shared plan (incl. tile plan on TPU) for both directions
+        plan = make_plan(uvw, freq[band], image.shape[1], image.shape[2],
+                         cell, celly, epsilon, do_wstacking)
         mvis = degrid(uvw, freq[band], image[b], None, cell, celly, epsilon,
-                      do_wstacking)
+                      do_wstacking, plan=plan)
         rvis = vis[:, band] - mvis
         out.append(
             grid_adjoint(uvw, freq[band], rvis, wgt,
                          image.shape[1], image.shape[2], cell, celly,
-                         epsilon, do_wstacking, mask=msk)
+                         epsilon, do_wstacking, mask=msk, plan=plan)
         )
     return jnp.stack(out, axis=0)
 
@@ -158,11 +166,13 @@ def hessian(
     for b, band in enumerate(_bands(freq_bin_idx, freq_bin_counts)):
         wgt = None if weights is None else jnp.asarray(weights)[:, band]
         msk = None if flag is None else jnp.asarray(flag)[:, band]
+        plan = make_plan(uvw, freq[band], image.shape[1], image.shape[2],
+                         cell, celly, epsilon, do_wstacking)
         mvis = degrid(uvw, freq[band], image[b], wgt, cell, celly, epsilon,
-                      do_wstacking, mask=msk)
+                      do_wstacking, mask=msk, plan=plan)
         out.append(
             grid_adjoint(uvw, freq[band], mvis, wgt,
                          image.shape[1], image.shape[2], cell, celly,
-                         epsilon, do_wstacking, mask=msk)
+                         epsilon, do_wstacking, mask=msk, plan=plan)
         )
     return jnp.stack(out, axis=0)
