@@ -121,6 +121,21 @@ class RimeSpecification:
         term_map = dict(self.TERM_MAP)
         if terms:
             for k, v in dict(terms).items():
+                if isinstance(v, str):
+                    # reference semantics: resolve by class name among
+                    # known Term subclasses (specification.py search_types)
+                    def _walk(cls):
+                        yield cls
+                        for sub in cls.__subclasses__():
+                            yield from _walk(sub)
+
+                    named = {c.__name__: c for c in _walk(Term)}
+                    try:
+                        v = named[v]
+                    except KeyError:
+                        raise RimeSpecificationError(
+                            f"Can't find a type for {v!r}"
+                        ) from None
                 if isinstance(v, type) and issubclass(v, Term):
                     term_map[k] = v
                 else:

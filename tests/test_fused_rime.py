@@ -201,3 +201,28 @@ def test_fused_rime_beam_term(tmp_path, rng, obs, wsrt_ants):
     assert ratio.min() > 0.1  # source is inside the beam
     # the cos^3 beam narrows with frequency: attenuation must deepen
     assert (np.diff(ratio[0]) < 0).all()
+
+
+def test_rime_custom_term_by_name(obs):
+    """terms={"C": "Gaussian"} resolves strings to Term classes (reference
+    fused/tests/test_rime.py:300) and matches the KGB composition."""
+    spec = RimeSpecification(
+        "(Cpq, Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]",
+        terms={"C": "Gaussian"},
+    )
+    out = to_numpy(rime(spec, obs))
+    expected = to_numpy(
+        rime("(Kpq, Gpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]", obs)
+    )
+    assert_allclose(out, expected, rtol=1e-9, atol=1e-10)
+
+
+def test_rime_bad_custom_term_name():
+    from africanus_tpu.rime.fused.specification import (
+        RimeSpecification,
+        RimeSpecificationError,
+    )
+
+    with pytest.raises(RimeSpecificationError, match="Can't find a type"):
+        RimeSpecification("(Cpq, Kpq, Bpq): [I] -> [XX]",
+                          terms={"C": "NoSuchTerm"})
