@@ -59,3 +59,10 @@ def test_make_dirty_example():
             true = float(line.split("true")[1].split(",")[0])
             got = float(line.split("recovered")[1])
             assert abs(got - true) < 0.1 * true
+
+
+@pytest.mark.parametrize("script", ["custom_rime_term", "apply_gains",
+                                    "generate_gains", "predict_from_fits"])
+def test_more_examples(script):
+    r = _run([REPO / "examples" / f"{script}.py"])
+    assert r.returncode == 0, r.stderr[-800:]
