@@ -85,30 +85,39 @@ def grid(vis, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
 
     tile_plan = _nifty_tile_plan(uvw, frequencies, plan, gc, cellx, celly)
 
+    if tile_plan is not None:
+        from africanus_tpu.ops.pallas_grid import (
+            assemble_tiles, grid_tiles_pallas,
+        )
+        import jax
+
+        # all correlations in one kernel pass (shared ES windows)
+        val_re = jnp.stack(
+            [(v.re[..., c] * wgt[..., c]).reshape(-1) for c in range(ncorr)]
+        )
+        val_im = jnp.stack(
+            [(v.im[..., c] * wgt[..., c]).reshape(-1) for c in range(ncorr)]
+        )
+        t_re, t_im = grid_tiles_pallas(
+            tile_plan, val_re, val_im,
+            interpret=jax.default_backend() != "tpu",
+        )
+        gre, gim = assemble_tiles(t_re, t_im, tile_plan)
+        # (ncorr, 1, nu, nv) → (nu, nv, ncorr)
+        return Cplx(jnp.moveaxis(gre[:, 0], 0, -1),
+                    jnp.moveaxis(gim[:, 0], 0, -1))
+
     grids_re, grids_im = [], []
+    idx, wj = _flat_spread(uvw, frequencies, plan, gc, cellx, celly)
     for c in range(ncorr):
         val_re = (v.re[..., c] * wgt[..., c]).reshape(-1)
         val_im = (v.im[..., c] * wgt[..., c]).reshape(-1)
-        if tile_plan is not None:
-            from africanus_tpu.ops.pallas_grid import (
-                assemble_tiles, grid_tiles_pallas,
-            )
-            import jax
-
-            t_re, t_im = grid_tiles_pallas(
-                tile_plan, val_re, val_im,
-                interpret=jax.default_backend() != "tpu",
-            )
-            gre, gim = assemble_tiles(t_re, t_im, tile_plan)
-            gre, gim = gre[0], gim[0]
-        else:
-            idx, wj = _flat_spread(uvw, frequencies, plan, gc, cellx, celly)
-            gre = jnp.zeros(nu * nv, v.re.dtype).at[idx.reshape(-1)].add(
-                (val_re[None, :] * wj).reshape(-1)
-            ).reshape(nu, nv)
-            gim = jnp.zeros(nu * nv, v.re.dtype).at[idx.reshape(-1)].add(
-                (val_im[None, :] * wj).reshape(-1)
-            ).reshape(nu, nv)
+        gre = jnp.zeros(nu * nv, v.re.dtype).at[idx.reshape(-1)].add(
+            (val_re[None, :] * wj).reshape(-1)
+        ).reshape(nu, nv)
+        gim = jnp.zeros(nu * nv, v.re.dtype).at[idx.reshape(-1)].add(
+            (val_im[None, :] * wj).reshape(-1)
+        ).reshape(nu, nv)
         grids_re.append(gre)
         grids_im.append(gim)
 
@@ -228,13 +237,14 @@ def degrid(grid, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
         import jax
 
         interpret = jax.default_backend() != "tpu"
-        for c in range(ncorr):
-            tre, tim = extract_tiles(g.re[None, ..., c], g.im[None, ..., c],
-                                     tile_plan)
-            o_re, o_im = degrid_tiles_pallas(tile_plan, tre, tim, nsamp,
-                                             interpret=interpret)
-            outs_re.append(o_re)
-            outs_im.append(o_im)
+        # (ncorr, 1, nu, nv) grids: one multi-corr kernel pass
+        gre = jnp.moveaxis(g.re, -1, 0)[:, None]
+        gim = jnp.moveaxis(g.im, -1, 0)[:, None]
+        tre, tim = extract_tiles(gre, gim, tile_plan)
+        o_re, o_im = degrid_tiles_pallas(tile_plan, tre, tim, nsamp,
+                                         interpret=interpret)
+        outs_re = list(o_re)
+        outs_im = list(o_im)
     else:
         idx, wj = _flat_spread(uvw, frequencies, plan, gc, cellx, celly)
         for c in range(ncorr):

@@ -233,7 +233,7 @@ def _es(z, beta):
 
 def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
                  vre_ref, vim_ref, out_re_ref, out_im_ref, *,
-                 group, support, beta, tpad_r, tpad_c):
+                 group, support, beta, tpad_r, tpad_c, ncorr):
     g = pl.program_id(0)
     half = support / 2.0
 
@@ -257,8 +257,6 @@ def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
         for k in range(unroll):
             e = j * unroll + k
             r0 = ir_ref[0, 0, e]
-            vr = vre_ref[0, 0, e]
-            vi = vim_ref[0, 0, e]
             uf = uf_ref[0, 0, e]
             vfa = vfa_ref[0, 0, e]
 
@@ -266,13 +264,18 @@ def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
             # evaluated at absolute lane coords (vfa includes the column
             # offset) and block-relative sublanes (uf includes the sub-8
             # row shift); positions outside the support evaluate to zero
-            # via _es.
+            # via _es. The window is computed ONCE and applied to every
+            # correlation's grid.
             base = _es((vfa - lanes_f) / half, beta) * _es(
                 (uf - subl_f) / half, beta
             )
-            sl = (0, pl.ds(pl.multiple_of(r0, 8), 16), slice(None))
-            out_re_ref[sl] = out_re_ref[sl] + vr * base
-            out_im_ref[sl] = out_im_ref[sl] + vi * base
+            rs = pl.ds(pl.multiple_of(r0, 8), 16)
+            for c in range(ncorr):
+                vr = vre_ref[0, c, e]
+                vi = vim_ref[0, c, e]
+                sl = (0, c, rs, slice(None))
+                out_re_ref[sl] = out_re_ref[sl] + vr * base
+                out_im_ref[sl] = out_im_ref[sl] + vi * base
         return 0
 
     lax.fori_loop(0, group // unroll, body, 0, unroll=False)
@@ -280,13 +283,18 @@ def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
 
 def grid_tiles_pallas(plan, vre_flat, vim_flat, interpret=False,
                       arrays=None):
-    """Run the tile plan over flat (N,) visibility values.
+    """Run the tile plan over flat visibility values.
+
+    ``vre_flat``/``vim_flat`` are (N,) for one correlation or (ncorr, N)
+    to grid every correlation in one pass (the ES window is computed once
+    per sample and applied to each correlation's grid).
 
     ``arrays`` optionally overrides the plan's packed entry arrays with
     (possibly traced) replacements of identical shape — this is how
     per-shard plans ride one shard_map trace (parallel/imaging.py).
 
-    Returns padded tiles (ntiles, tpad_r, tpad_c) (re, im) — assemble with
+    Returns padded tiles (re, im): (ntiles, tpad_r, tpad_c) for (N,)
+    inputs, else (ntiles, ncorr, tpad_r, tpad_c) — assemble with
     :func:`assemble_tiles`.
     """
     w = plan["support"]
@@ -296,33 +304,45 @@ def grid_tiles_pallas(plan, vre_flat, vim_flat, interpret=False,
     if arrays is None:
         arrays = plan
 
+    multi = vre_flat.ndim == 2
+    ncorr = vre_flat.shape[0] if multi else 1
+    if not multi:
+        vre_flat = vre_flat[None]
+        vim_flat = vim_flat[None]
+
     sample_pack = jnp.asarray(arrays["sample_pack"])
     scale = jnp.asarray(arrays["scale"])
-    vre = (vre_flat[sample_pack] * scale).astype(jnp.float32)
-    vim = (vim_flat[sample_pack] * scale).astype(jnp.float32)
+    # (ngroups, ncorr, group) packed values
+    vre = (vre_flat[:, sample_pack] * scale).astype(jnp.float32)
+    vim = (vim_flat[:, sample_pack] * scale).astype(jnp.float32)
+    vre = jnp.moveaxis(vre, 0, 1)
+    vim = jnp.moveaxis(vim, 0, 1)
 
     kernel = partial(_grid_kernel, group=group, support=w,
-                     beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c)
+                     beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
+                     ncorr=ncorr)
 
     smem_vec = pl.BlockSpec((1, 1, group), lambda g, f, t: (g, 0, 0),
                             memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((1, tpad_r, tpad_c),
-                            lambda g, f, t: (t[g], 0, 0),
+    smem_val = pl.BlockSpec((1, ncorr, group), lambda g, f, t: (g, 0, 0),
+                            memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, ncorr, tpad_r, tpad_c),
+                            lambda g, f, t: (t[g], 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # first, group_tile
         grid=(ngroups,),
-        in_specs=[smem_vec] * 5,
+        in_specs=[smem_vec] * 3 + [smem_val] * 2,
         out_specs=[out_spec, out_spec],
     )
 
     out_shape = [
-        jax.ShapeDtypeStruct((ntiles, tpad_r, tpad_c), jnp.float32),
-        jax.ShapeDtypeStruct((ntiles, tpad_r, tpad_c), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles, ncorr, tpad_r, tpad_c), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles, ncorr, tpad_r, tpad_c), jnp.float32),
     ]
 
-    return pl.pallas_call(
+    t_re, t_im = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -333,13 +353,22 @@ def grid_tiles_pallas(plan, vre_flat, vim_flat, interpret=False,
         jnp.asarray(arrays["ir_loc"])[:, None, :],
         jnp.asarray(arrays["uf"])[:, None, :],
         jnp.asarray(arrays["vfa"])[:, None, :],
-        vre[:, None, :],
-        vim[:, None, :],
+        vre,
+        vim,
     )
+    if not multi:
+        return t_re[:, 0], t_im[:, 0]
+    return t_re, t_im
 
 
 def _fold(x, plan):
-    """Overlap-add padded tiles into (nplanes, nu, nv) with wraparound."""
+    """Overlap-add padded tiles into (nplanes, nu, nv) — or, for
+    multi-correlation tiles, (ncorr, nplanes, nu, nv) — with wraparound."""
+    if x.ndim == 4:  # (ntiles, ncorr, tpad_r, tpad_c)
+        per_corr = [
+            _fold(x[:, c], plan) for c in range(x.shape[1])
+        ]
+        return jnp.stack(per_corr, axis=0)
     tile_r, tile_c, w = plan["tile_r"], plan["tile_c"], plan["support"]
     ntr, ntc = plan["ntr"], plan["ntc"]
     npl = plan["nplanes"]
@@ -377,8 +406,12 @@ def assemble_tiles(out_re, out_im, plan):
 
 def _unfold(grid, plan):
     """Inverse of :func:`_fold`: padded tiles (core + wrapped halo copies)
-    from a (nplanes, nu, nv) grid. Built from a wrap-padded grid with
-    static slices + stacks only (strided scatter/rolls lower terribly)."""
+    from a (nplanes, nu, nv) — or (ncorr, nplanes, nu, nv) — grid. Built
+    from a wrap-padded grid with static slices + stacks only (strided
+    scatter/rolls lower terribly)."""
+    if grid.ndim == 4:  # (ncorr, nplanes, nu, nv)
+        per_corr = [_unfold(grid[c], plan) for c in range(grid.shape[0])]
+        return jnp.stack(per_corr, axis=1)  # (ntiles, ncorr, ...)
     tile_r, tile_c, w = plan["tile_r"], plan["tile_c"], plan["support"]
     ntr, ntc = plan["ntr"], plan["ntc"]
     npl = plan["nplanes"]
@@ -406,7 +439,7 @@ def extract_tiles(grid_re, grid_im, plan):
 
 def _degrid_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, scale_ref,
                    tre_ref, tim_ref, out_re_ref, out_im_ref, *,
-                   group, support, beta, tpad_r, tpad_c):
+                   group, support, beta, tpad_r, tpad_c, ncorr):
     half = support / 2.0
 
     lanes_f = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 1).astype(
@@ -426,16 +459,19 @@ def _degrid_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, scale_ref,
             vfa = vfa_ref[0, 0, e]
             sc = scale_ref[0, 0, e]
 
+            # ES window computed once, reduced against every corr's tile
             base = _es((vfa - lanes_f) / half, beta) * _es(
                 (uf - subl_f) / half, beta
             )
-            sl = (0, pl.ds(pl.multiple_of(r0, 8), 16), slice(None))
-            out_re_ref[0, 0, e] = sc * jnp.sum(
-                jnp.sum(tre_ref[sl] * base, axis=0)
-            )
-            out_im_ref[0, 0, e] = sc * jnp.sum(
-                jnp.sum(tim_ref[sl] * base, axis=0)
-            )
+            rs = pl.ds(pl.multiple_of(r0, 8), 16)
+            for c in range(ncorr):
+                sl = (0, c, rs, slice(None))
+                out_re_ref[0, c, e] = sc * jnp.sum(
+                    jnp.sum(tre_ref[sl] * base, axis=0)
+                )
+                out_im_ref[0, c, e] = sc * jnp.sum(
+                    jnp.sum(tim_ref[sl] * base, axis=0)
+                )
         return 0
 
     lax.fori_loop(0, group // unroll, body, 0, unroll=False)
@@ -450,9 +486,12 @@ def degrid_tiles_pallas(plan, tiles_re, tiles_im, nvis, interpret=False,
     scalar (written to an SMEM output); virtual samples (w-planes) are
     then scatter-summed back onto their owning visibility. ``arrays``
     overrides the plan's packed entry arrays (per-shard plans — see
-    :func:`pack_shard_plans`).
+    :func:`pack_shard_plans`). Tiles may carry a correlation axis
+    ((ntiles, ncorr, tpad_r, tpad_c) from multi-corr
+    :func:`extract_tiles`) — the ES window is then computed once per
+    sample for all correlations.
 
-    Returns flat (nvis,) re/im model visibilities.
+    Returns flat (nvis,) re/im model visibilities, or (ncorr, nvis).
     """
     w = plan["support"]
     group, ngroups = plan["group"], plan["ngroups"]
@@ -460,24 +499,34 @@ def degrid_tiles_pallas(plan, tiles_re, tiles_im, nvis, interpret=False,
     if arrays is None:
         arrays = plan
 
+    multi = tiles_re.ndim == 4
+    ncorr = tiles_re.shape[1] if multi else 1
+    if not multi:
+        tiles_re = tiles_re[:, None]
+        tiles_im = tiles_im[:, None]
+
     kernel = partial(_degrid_kernel, group=group, support=w,
-                     beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c)
+                     beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
+                     ncorr=ncorr)
 
     smem_vec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
                             memory_space=pltpu.SMEM)
-    tile_spec = pl.BlockSpec((1, tpad_r, tpad_c), lambda g, t: (t[g], 0, 0),
+    smem_val = pl.BlockSpec((1, ncorr, group), lambda g, t: (g, 0, 0),
+                            memory_space=pltpu.SMEM)
+    tile_spec = pl.BlockSpec((1, ncorr, tpad_r, tpad_c),
+                             lambda g, t: (t[g], 0, 0, 0),
                              memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # group_tile
         grid=(ngroups,),
         in_specs=[smem_vec] * 4 + [tile_spec, tile_spec],
-        out_specs=[smem_vec, smem_vec],
+        out_specs=[smem_val, smem_val],
     )
 
     out_shape = [
-        jax.ShapeDtypeStruct((ngroups, 1, group), jnp.float32),
-        jax.ShapeDtypeStruct((ngroups, 1, group), jnp.float32),
+        jax.ShapeDtypeStruct((ngroups, ncorr, group), jnp.float32),
+        jax.ShapeDtypeStruct((ngroups, ncorr, group), jnp.float32),
     ]
 
     vals_re, vals_im = pl.pallas_call(
@@ -496,8 +545,12 @@ def degrid_tiles_pallas(plan, tiles_re, tiles_im, nvis, interpret=False,
     )
 
     sample = jnp.asarray(arrays["sample_pack"]).reshape(-1)
-    out_re = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_re.reshape(-1))
-    out_im = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_im.reshape(-1))
+    vals_re = jnp.moveaxis(vals_re, 1, 0).reshape(ncorr, -1)
+    vals_im = jnp.moveaxis(vals_im, 1, 0).reshape(ncorr, -1)
+    out_re = jnp.zeros((ncorr, nvis), jnp.float32).at[:, sample].add(vals_re)
+    out_im = jnp.zeros((ncorr, nvis), jnp.float32).at[:, sample].add(vals_im)
+    if not multi:
+        return out_re[0], out_im[0]
     return out_re, out_im
 
 

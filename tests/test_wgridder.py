@@ -213,3 +213,45 @@ def test_pallas_tile_degridding_matches_gather(grid_problem, do_wstacking):
     got_c = np.asarray(got.re) + 1j * np.asarray(got.im)
     # tile path accumulates in f32
     assert _l2error(got_c, ref_c) < 5e-6
+
+
+def test_pallas_multi_corr_tiles_match_per_corr(rng):
+    """Multi-correlation tile gridding/degridding (one kernel pass, shared
+    ES windows) must equal per-correlation passes (interpret mode)."""
+    import jax.numpy as jnp
+
+    from africanus_tpu.ops.pallas_grid import (
+        assemble_tiles,
+        degrid_tiles_pallas,
+        extract_tiles,
+        grid_tiles_pallas,
+        plan_tiles,
+    )
+
+    w, beta, nu, nv, n, ncorr = 6, 13.8, 64, 64, 300, 3
+    upos = rng.uniform(0, nu, n)
+    vpos = rng.uniform(0, nv, n)
+    iu0 = np.floor(upos).astype(np.int64) - (w // 2 - 1)
+    iv0 = np.floor(vpos).astype(np.int64) - (w // 2 - 1)
+    plan = plan_tiles(iu0, iv0, (upos - iu0), (vpos - iv0), w, beta, nu, nv,
+                      group=64)
+    vre = jnp.asarray(rng.normal(size=(ncorr, n)).astype(np.float32))
+    vim = jnp.asarray(rng.normal(size=(ncorr, n)).astype(np.float32))
+
+    t_re, t_im = grid_tiles_pallas(plan, vre, vim, interpret=True)
+    g_re, g_im = assemble_tiles(t_re, t_im, plan)
+    assert g_re.shape == (ncorr, 1, nu, nv)
+    for c in range(ncorr):
+        t1_re, t1_im = grid_tiles_pallas(plan, vre[c], vim[c],
+                                         interpret=True)
+        g1_re, _ = assemble_tiles(t1_re, t1_im, plan)
+        assert_allclose(np.asarray(g_re[c]), np.asarray(g1_re), rtol=1e-6)
+
+    # degrid: multi-corr == per-corr
+    tre, tim = extract_tiles(g_re, g_im, plan)
+    o_re, o_im = degrid_tiles_pallas(plan, tre, tim, n, interpret=True)
+    assert o_re.shape == (ncorr, n)
+    for c in range(ncorr):
+        t1re, t1im = extract_tiles(g_re[c], g_im[c], plan)
+        o1_re, _ = degrid_tiles_pallas(plan, t1re, t1im, n, interpret=True)
+        assert_allclose(np.asarray(o_re[c]), np.asarray(o1_re), rtol=1e-6)
