@@ -1,0 +1,173 @@
+"""Unit tests for the Pallas tile gridder's host planning + fold/unfold
+machinery (ops/pallas_grid.py) against direct numpy oracles, and the
+kernels in interpret mode. End-to-end parity lives in test_wgridder.py."""
+
+import numpy as np
+from numpy.testing import assert_allclose
+import pytest
+
+from africanus_tpu.ops.pallas_grid import (
+    assemble_tiles,
+    choose_tile,
+    degrid_tiles_pallas,
+    extract_tiles,
+    grid_tiles_pallas,
+    pack_shard_plans,
+    plan_tiles,
+)
+
+W, BETA = 6, 2.3 * 6
+
+
+def es_np(z, beta=BETA):
+    inside = np.abs(z) < 1
+    zc = np.where(inside, z, 0.0)
+    return np.where(inside, np.exp(beta * (np.sqrt(1 - zc * zc) - 1)), 0.0)
+
+
+def _problem(rng, n, nu, nv):
+    upos = rng.uniform(0, nu, n)
+    vpos = rng.uniform(0, nv, n)
+    iu0 = np.floor(upos).astype(np.int64) - (W // 2 - 1)
+    iv0 = np.floor(vpos).astype(np.int64) - (W // 2 - 1)
+    return iu0, iv0, (upos - iu0), (vpos - iv0)
+
+
+def _oracle(iu0, iv0, uf, vf, vre, nu, nv, scale=None):
+    offs = np.arange(W)
+    ku = es_np((uf[:, None] - offs) / (W / 2.0))
+    kv = es_np((vf[:, None] - offs) / (W / 2.0))
+    out = np.zeros((nu, nv))
+    s = np.ones_like(vre) if scale is None else scale
+    for i in range(iu0.shape[0]):
+        for a in range(W):
+            for b in range(W):
+                out[(iu0[i] + a) % nu, (iv0[i] + b) % nv] += (
+                    s[i] * vre[i] * ku[i, a] * kv[i, b]
+                )
+    return out
+
+
+def test_choose_tile():
+    assert choose_tile(1024) == 256
+    assert choose_tile(36) == 36
+    assert choose_tile(500) == 250
+    assert choose_tile(7) == 7
+
+
+def test_plan_tiles_validation():
+    iu0 = np.array([5])
+    with pytest.raises(ValueError, match="must divide"):
+        plan_tiles(iu0, iu0, [0.5], [0.5], W, BETA, 64, 64, tile_r=60)
+    with pytest.raises(ValueError, match="support"):
+        plan_tiles(iu0, iu0, [0.5], [0.5], 16, BETA, 64, 64, tile_r=8,
+                   tile_c=8)
+
+
+def test_grid_tiles_wrap_oracle(rng):
+    """Windows wrapping all four grid edges match a literal mod-indexed
+    accumulation oracle (interpret mode)."""
+    import jax.numpy as jnp
+
+    nu = nv = 64
+    n = 120
+    iu0, iv0, uf, vf = _problem(rng, n, nu, nv)
+    plan = plan_tiles(iu0, iv0, uf, vf, W, BETA, nu, nv, group=32)
+    vre = rng.normal(size=n).astype(np.float32)
+
+    t_re, t_im = grid_tiles_pallas(
+        plan, jnp.asarray(vre), jnp.asarray(vre) * 0.0, interpret=True
+    )
+    g_re, _ = assemble_tiles(t_re, t_im, plan)
+    ref = _oracle(iu0, iv0, uf, vf, vre, nu, nv)
+    assert_allclose(np.asarray(g_re[0]), ref, rtol=2e-5, atol=1e-6)
+
+
+def test_grid_tiles_planes_and_scale(rng):
+    """Virtual samples with per-entry scale land on their plane."""
+    import jax.numpy as jnp
+
+    nu = nv = 32
+    n = 40
+    iu0, iv0, uf, vf = _problem(rng, n, nu, nv)
+    plane = rng.integers(0, 3, n)
+    scale = rng.uniform(0.2, 1.0, n).astype(np.float32)
+    vre = rng.normal(size=n).astype(np.float32)
+
+    plan = plan_tiles(iu0, iv0, uf, vf, W, BETA, nu, nv, group=16,
+                      scale=scale, plane=plane, nplanes=3)
+    t_re, t_im = grid_tiles_pallas(plan, jnp.asarray(vre),
+                                   jnp.asarray(vre) * 0.0, interpret=True)
+    g_re, _ = assemble_tiles(t_re, t_im, plan)
+    assert g_re.shape == (3, nu, nv)
+    for p in range(3):
+        sel = plane == p
+        ref = _oracle(iu0[sel], iv0[sel], uf[sel], vf[sel], vre[sel], nu,
+                      nv, scale=scale[sel])
+        assert_allclose(np.asarray(g_re[p]), ref, rtol=2e-5, atol=1e-6)
+
+
+def test_extract_is_adjoint_of_assemble(rng):
+    """<assemble(T), G> == <T, extract(G)> — fold/unfold are exact
+    adjoints (they are transposes of one another)."""
+    import jax.numpy as jnp
+
+    nu = nv = 32
+    n = 25
+    iu0, iv0, uf, vf = _problem(rng, n, nu, nv)
+    plan = plan_tiles(iu0, iv0, uf, vf, W, BETA, nu, nv, group=32)
+    ntiles = plan["ntr"] * plan["ntc"]
+    t = rng.normal(size=(ntiles, plan["tpad_r"], plan["tpad_c"]))
+    # zero the dead padding rows/cols (never written by the kernel)
+    t[:, plan["tile_r"] + 2 * W :, :] = 0
+    t[:, :, plan["tile_c"] + 2 * W :] = 0
+    g = rng.normal(size=(1, nu, nv))
+
+    a_t, _ = assemble_tiles(jnp.asarray(t), jnp.asarray(t) * 0.0, plan)
+    e_g, _ = extract_tiles(jnp.asarray(g), jnp.asarray(g) * 0.0, plan)
+    lhs = float(np.sum(np.asarray(a_t) * g))
+    rhs = float(np.sum(t * np.asarray(e_g)))
+    assert_allclose(lhs, rhs, rtol=1e-10)
+
+
+def test_pack_shard_plans_mismatch(rng):
+    nu = nv = 64
+    iu0, iv0, uf, vf = _problem(rng, 30, nu, nv)
+    p1 = plan_tiles(iu0, iv0, uf, vf, W, BETA, nu, nv, group=16)
+    p2 = plan_tiles(iu0, iv0, uf, vf, W, BETA, 128, 128, group=16)
+    with pytest.raises(ValueError, match="disagree"):
+        pack_shard_plans([p1, p2])
+
+    # padded stacking: different ngroups pad to the max with inert groups
+    p3 = plan_tiles(iu0[:5], iv0[:5], uf[:5], vf[:5], W, BETA, nu, nv,
+                    group=16)
+    static, arrays = pack_shard_plans([p1, p3])
+    assert static["ngroups"] == max(p1["ngroups"], p3["ngroups"])
+    for k, a in arrays.items():
+        assert a.shape[0] == 2
+        assert a.shape[1] == static["ngroups"]
+
+
+def test_degrid_tiles_spot_oracle(rng):
+    """Tile degrid values equal the direct windowed sum (interpret)."""
+    import jax.numpy as jnp
+
+    nu = nv = 32
+    n = 20
+    iu0, iv0, uf, vf = _problem(rng, n, nu, nv)
+    plan = plan_tiles(iu0, iv0, uf, vf, W, BETA, nu, nv, group=16)
+    g = rng.normal(size=(1, nu, nv)).astype(np.float32)
+
+    tre, tim = extract_tiles(jnp.asarray(g), jnp.asarray(g) * 0.0, plan)
+    o_re, _ = degrid_tiles_pallas(plan, tre, tim, n, interpret=True)
+
+    offs = np.arange(W)
+    ku = es_np((uf[:, None] - offs) / (W / 2.0))
+    kv = es_np((vf[:, None] - offs) / (W / 2.0))
+    for i in range(n):
+        acc = 0.0
+        for a in range(W):
+            for b in range(W):
+                acc += ku[i, a] * kv[i, b] * g[0, (iu0[i] + a) % nu,
+                                               (iv0[i] + b) % nv]
+        assert_allclose(np.asarray(o_re)[i], acc, rtol=2e-4, atol=2e-5)
