@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from africanus_tpu.gridding.wgridder.core import (
     degrid,
-    degrid_ri,
     grid_adjoint,
     make_plan,
 )

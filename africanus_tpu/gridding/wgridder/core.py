@@ -25,8 +25,6 @@ optimisation path for production grids.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

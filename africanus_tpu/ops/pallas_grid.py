@@ -544,11 +544,40 @@ def degrid_tiles_pallas(plan, tiles_re, tiles_im, nvis, interpret=False,
         tiles_im.astype(jnp.float32),
     )
 
-    sample = jnp.asarray(arrays["sample_pack"]).reshape(-1)
     vals_re = jnp.moveaxis(vals_re, 1, 0).reshape(ncorr, -1)
     vals_im = jnp.moveaxis(vals_im, 1, 0).reshape(ncorr, -1)
-    out_re = jnp.zeros((ncorr, nvis), jnp.float32).at[:, sample].add(vals_re)
-    out_im = jnp.zeros((ncorr, nvis), jnp.float32).at[:, sample].add(vals_im)
+
+    if arrays is plan:
+        # host-planned inverse: per visibility, its (padded) flat slots —
+        # a gather+sum instead of a scatter (see CLAUDE.md scatter cap).
+        # Cached on the plan; keyed by nvis for safety.
+        cache = plan.setdefault("_vis_gather", {})
+        if nvis not in cache:
+            from africanus_tpu.averaging.time_and_channel_avg import (
+                _bin_gather_table,
+            )
+
+            flat_sample = np.asarray(plan["sample_pack"]).reshape(-1)
+            # inert padding slots (scale == 0) all carry sample id 0 —
+            # build the inverse over REAL slots only, else bin 0's padded
+            # width explodes to the inert count
+            pos = np.nonzero(np.asarray(plan["scale"]).reshape(-1) != 0.0)[0]
+            sel_sub, valid_np = _bin_gather_table(flat_sample[pos], nvis)
+            cache[nvis] = (pos[sel_sub].astype(np.int64), valid_np)
+        sel_np, valid_np = cache[nvis]
+        sel = jnp.asarray(sel_np)
+        valid = jnp.asarray(valid_np)
+        out_re = jnp.where(valid[None], vals_re[:, sel], 0).sum(axis=2)
+        out_im = jnp.where(valid[None], vals_im[:, sel], 0).sum(axis=2)
+    else:
+        # traced per-shard arrays: no host inverse available
+        sample = jnp.asarray(arrays["sample_pack"]).reshape(-1)
+        out_re = jnp.zeros((ncorr, nvis), jnp.float32).at[:, sample].add(
+            vals_re
+        )
+        out_im = jnp.zeros((ncorr, nvis), jnp.float32).at[:, sample].add(
+            vals_im
+        )
     if not multi:
         return out_re[0], out_im[0]
     return out_re, out_im

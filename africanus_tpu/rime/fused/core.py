@@ -17,7 +17,6 @@ from functools import lru_cache
 
 import numpy as np
 import jax.numpy as jnp
-from jax import lax
 
 from africanus_tpu.ops.cplx import Cplx
 from africanus_tpu.rime.fused.specification import RimeSpecification

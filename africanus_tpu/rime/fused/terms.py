@@ -14,7 +14,6 @@ conjugate-transposed exactly as ``intrinsics.py:865-869`` does.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any
 
 import numpy as np
 import jax.numpy as jnp

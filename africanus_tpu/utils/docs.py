@@ -7,7 +7,6 @@ the jnp, pair-native and sharded variants of a function, with
 
 from __future__ import annotations
 
-import re
 from string import Template
 
 __all__ = ["DocstringTemplate", "doc_tuple_to_str", "mod_docs", "DefaultOut"]
