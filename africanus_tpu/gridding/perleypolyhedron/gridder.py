@@ -12,6 +12,10 @@ Convolution policies supported: "conv_1d_axisymmetric_unpacked_scatter",
 "conv_1d_axisymmetric_packed_scatter", "conv_nn_scatter" and the gather
 duals; packed kernels are unpacked on the host (pack/unpack are exact
 inverses) so both layouts produce identical numerics.
+
+On TPU (concrete uvw) the axisymmetric policies run in the table-mode
+Pallas tile kernels (ops/pallas_grid.py) — identical quantized-tap
+numerics, grid edges clip — instead of XLA scatter/gather.
 """
 
 from __future__ import annotations
@@ -23,7 +27,7 @@ from africanus_tpu.ops.cplx import Cplx, cplx
 from africanus_tpu.gridding.perleypolyhedron import policies as pol
 from africanus_tpu.gridding.perleypolyhedron.kernels import unpack_kernel
 
-__all__ = ["gridder", "degridder"]
+__all__ = ["gridder", "degridder", "pp_tile_plan"]
 
 
 def _scaled_coords(uvw, wavelengths, npix, cell):
@@ -48,6 +52,77 @@ def _tap_geometry(scaled, npix, W, oversample):
     grid_idx = disc[..., None] + taps - W // 2  # (..., W)
     kern_idx = (taps + 1) * oversample + frac[..., None]
     return grid_idx, kern_idx
+
+
+def pp_tile_plan(uvw, wavelengths, chanmap, npix, cell, image_centre,
+                 phase_centre, convolution_kernel_width,
+                 convolution_kernel_oversampling,
+                 baseline_transform_policy, direction="grid"):
+    """Precompute the Pallas tile plan for :func:`gridder` /
+    :func:`degridder` from *concrete* inputs (host metadata). Required to
+    use the tile path under ``jax.jit`` — traced coordinates fall back to
+    scatter/gather. ``direction`` is "grid" or "degrid" (the degridder
+    applies the baseline transform with swapped centres)."""
+    uvw = np.asarray(uvw)
+    wavelengths = np.asarray(wavelengths).ravel()
+    chanmap = np.asarray(chanmap).ravel().astype(np.int32)
+    nband = int(chanmap.max()) + 1
+    ra0, dec0 = float(phase_centre[0]), float(phase_centre[1])
+    ra, dec = float(image_centre[0]), float(image_centre[1])
+
+    # host f64 throughout: the tap quantization (round/trunc) is then
+    # deterministic and at the ideal positions, independent of device f32
+    if direction == "grid":
+        uvw_t = pol.baseline_transform(uvw, ra0, dec0, ra, dec,
+                                       baseline_transform_policy)
+    else:
+        uvw_t = pol.baseline_transform(uvw, ra, dec, ra0, dec0,
+                                       baseline_transform_policy)
+    su, sv = _scaled_coords(np.asarray(uvw_t), wavelengths, npix, cell)
+    bands = chanmap[None, :].repeat(uvw.shape[0], axis=0)
+    return _pp_tile_plan(np.asarray(su), np.asarray(sv), bands, npix,
+                         convolution_kernel_width,
+                         convolution_kernel_oversampling, nband)
+
+
+def _pp_tile_plan(su, sv, bands_np, npix, W, os, nband):
+    """Host tile plan from concrete scaled coordinates (None if traced)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    try:
+        su = np.asarray(su)
+        sv = np.asarray(sv)
+    except Exception:
+        return None  # traced coordinates: scatter/gather fallback
+
+    from africanus_tpu.ops import pallas_grid as pg
+
+    if W > min(pg.choose_tile(npix), pg.choose_tile(npix)):
+        return None
+
+    def tapgeom(scaled):
+        offset = scaled.ravel() + npix // 2
+        disc = np.round(offset).astype(np.int64)
+        frac = np.trunc((disc - offset) * os).astype(np.int64)
+        return disc, frac
+
+    du, fu = tapgeom(su)
+    dv, fv = tapgeom(sv)
+    ir0 = dv - W // 2  # rows = v
+    ic0 = du - W // 2  # cols = u
+    keep = (
+        (ir0 + W - 1 >= 0) & (ir0 < npix)
+        & (ic0 + W - 1 >= 0) & (ic0 < npix)
+    )
+    sel = np.nonzero(keep)[0]
+    plan = pg.plan_tiles_table(
+        ir0[sel], ic0[sel], fv[sel], fu[sel], W, os, npix, npix,
+        sample_id=sel, plane=bands_np.ravel()[sel], nplanes=nband,
+    )
+    plan["_nvis_flat"] = su.size
+    return plan
 
 
 def _prepare_kernel(convolution_kernel, W, oversample, policy):
@@ -76,11 +151,15 @@ def gridder(
     convolution_policy,
     grid_dtype=None,
     do_normalize=False,
+    tile_plan=None,
 ):
     """Grid (row, chan, corr) visibilities onto (nband, npix, npix) grids.
 
     Returns a Cplx pair (assemble with lax.complex on complex backends).
     ``cell`` is in arcseconds; ``image_centre``/``phase_centre`` in radians.
+    ``tile_plan`` (from :func:`pp_tile_plan`) enables the Pallas tile path
+    under jit; otherwise it activates automatically for concrete inputs
+    on TPU.
     """
     uvw = jnp.asarray(uvw)
     v = cplx(vis)
@@ -146,25 +225,43 @@ def gridder(
 
         # (row, chan, Wv, Wu) weights and validity
         wj = conv_v[..., :, None] * conv_u[..., None, :]
-        inb = (
-            (gv_idx[..., :, None] >= 0)
-            & (gv_idx[..., :, None] < npix)
-            & (gu_idx[..., None, :] >= 0)
-            & (gu_idx[..., None, :] < npix)
-        )
-        wjm = wj * inb.astype(wj.dtype)
 
-        idx = (
-            bands[..., None, None],
-            jnp.clip(gv_idx[..., :, None], 0, npix - 1),
-            jnp.clip(gu_idx[..., None, :], 0, npix - 1),
-        )
-        gre = jnp.zeros((nband, npix, npix), wj.dtype).at[idx].add(
-            stokes.re[..., None, None] * wjm
-        )
-        gim = jnp.zeros((nband, npix, npix), wj.dtype).at[idx].add(
-            stokes.im[..., None, None] * wjm
-        )
+        if tile_plan is None:
+            tile_plan = _pp_tile_plan(su, sv, chanmap[None, :].repeat(
+                nrow, axis=0), npix, W, os, nband)
+        if tile_plan is not None:
+            import jax
+
+            from africanus_tpu.ops.pallas_grid import (
+                assemble_tiles, grid_tiles_table_pallas,
+            )
+
+            interpret = jax.default_backend() != "tpu"
+            t_re, t_im = grid_tiles_table_pallas(
+                tile_plan, kern, stokes.re.reshape(-1),
+                stokes.im.reshape(-1), interpret=interpret,
+            )
+            gre, gim = assemble_tiles(t_re, t_im, tile_plan)
+        else:
+            inb = (
+                (gv_idx[..., :, None] >= 0)
+                & (gv_idx[..., :, None] < npix)
+                & (gu_idx[..., None, :] >= 0)
+                & (gu_idx[..., None, :] < npix)
+            )
+            wjm = wj * inb.astype(wj.dtype)
+
+            idx = (
+                bands[..., None, None],
+                jnp.clip(gv_idx[..., :, None], 0, npix - 1),
+                jnp.clip(gu_idx[..., None, :], 0, npix - 1),
+            )
+            gre = jnp.zeros((nband, npix, npix), wj.dtype).at[idx].add(
+                stokes.re[..., None, None] * wjm
+            )
+            gim = jnp.zeros((nband, npix, npix), wj.dtype).at[idx].add(
+                stokes.im[..., None, None] * wjm
+            )
         # conv-weight sums accumulate regardless of bounds (reference :66)
         wt_ch = jnp.zeros(nband, wj.dtype).at[bands].add(wj.sum(axis=(-2, -1)))
     else:
@@ -193,6 +290,7 @@ def degridder(
     stokes_conversion_policy,
     convolution_policy,
     vis_dtype=None,
+    tile_plan=None,
 ):
     """Degrid (nband, npix, npix) grids to (row, chan, corr) visibilities.
 
@@ -224,27 +322,46 @@ def degridder(
         "conv_1d_axisymmetric_unpacked_gather",
         "conv_1d_axisymmetric_packed_gather",
     ):
-        gu_idx, ku_idx = _tap_geometry(su, npix, W, os)
-        gv_idx, kv_idx = _tap_geometry(sv, npix, W, os)
-        conv_u = kern[ku_idx]
-        conv_v = kern[kv_idx]
-        wj = conv_v[..., :, None] * conv_u[..., None, :]
-        inb = (
-            (gv_idx[..., :, None] >= 0)
-            & (gv_idx[..., :, None] < npix)
-            & (gu_idx[..., None, :] >= 0)
-            & (gu_idx[..., None, :] < npix)
-        )
-        wjm = wj * inb.astype(wj.dtype)
-        idx = (
-            bands[..., None, None],
-            jnp.clip(gv_idx[..., :, None], 0, npix - 1),
-            jnp.clip(gu_idx[..., None, :], 0, npix - 1),
-        )
-        acc = Cplx(
-            (g.re[idx] * wjm).sum(axis=(-2, -1)),
-            (g.im[idx] * wjm).sum(axis=(-2, -1)),
-        )
+        if tile_plan is None:
+            tile_plan = _pp_tile_plan(su, sv, chanmap[None, :].repeat(
+                nrow, axis=0), npix, W, os, nband)
+        if tile_plan is not None:
+            import jax
+
+            from africanus_tpu.ops.pallas_grid import (
+                degrid_tiles_table_pallas, extract_tiles,
+            )
+
+            interpret = jax.default_backend() != "tpu"
+            tre, tim = extract_tiles(g.re, g.im, tile_plan)
+            o_re, o_im = degrid_tiles_table_pallas(
+                tile_plan, kern, tre, tim, nrow * nvischan,
+                interpret=interpret,
+            )
+            acc = Cplx(o_re.reshape(nrow, nvischan),
+                       o_im.reshape(nrow, nvischan))
+        else:
+            gu_idx, ku_idx = _tap_geometry(su, npix, W, os)
+            gv_idx, kv_idx = _tap_geometry(sv, npix, W, os)
+            conv_u = kern[ku_idx]
+            conv_v = kern[kv_idx]
+            wj = conv_v[..., :, None] * conv_u[..., None, :]
+            inb = (
+                (gv_idx[..., :, None] >= 0)
+                & (gv_idx[..., :, None] < npix)
+                & (gu_idx[..., None, :] >= 0)
+                & (gu_idx[..., None, :] < npix)
+            )
+            wjm = wj * inb.astype(wj.dtype)
+            idx = (
+                bands[..., None, None],
+                jnp.clip(gv_idx[..., :, None], 0, npix - 1),
+                jnp.clip(gu_idx[..., None, :], 0, npix - 1),
+            )
+            acc = Cplx(
+                (g.re[idx] * wjm).sum(axis=(-2, -1)),
+                (g.im[idx] * wjm).sum(axis=(-2, -1)),
+            )
     else:
         raise ValueError("Invalid convolution policy type")
 

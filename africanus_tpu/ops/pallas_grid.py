@@ -50,9 +50,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["plan_tiles", "grid_tiles_pallas", "assemble_tiles",
-           "extract_tiles", "degrid_tiles_pallas", "choose_tile",
-           "pack_shard_plans", "PLAN_ARRAY_KEYS"]
+__all__ = ["plan_tiles", "plan_tiles_table", "grid_tiles_pallas",
+           "grid_tiles_table_pallas", "assemble_tiles", "extract_tiles",
+           "degrid_tiles_pallas", "degrid_tiles_table_pallas",
+           "choose_tile", "pack_shard_plans", "PLAN_ARRAY_KEYS"]
 
 PLAN_ARRAY_KEYS = ("first", "group_tile", "ir_loc", "uf", "vfa", "scale",
                    "sample_pack")
@@ -386,6 +387,9 @@ def _fold(x, plan):
             1: (slice(w + tile, 2 * w + tile), slice(0, w)),
         }
 
+    wrap = plan.get("wrap", True)
+    tr_idx = np.arange(ntr)
+    tc_idx = np.arange(ntc)
     rreg = axis_regions(tile_r)
     creg = axis_regions(tile_c)
     out = jnp.zeros((npl, ntr, ntc, tile_r, tile_c), x.dtype)
@@ -393,6 +397,14 @@ def _fold(x, plan):
         for db, (srb, drb) in creg.items():
             part = p[:, :, :, sra, srb]
             part = jnp.roll(part, shift=(da, db), axis=(1, 2))
+            if not wrap:
+                # grid edges clip: discard halo contributions that rolled
+                # around the boundary
+                okr = (tr_idx - da >= 0) & (tr_idx - da < ntr)
+                okc = (tc_idx - db >= 0) & (tc_idx - db < ntc)
+                part = part * jnp.asarray(
+                    okr[:, None] & okc[None, :], part.dtype
+                )[None, :, :, None, None]
             out = out.at[:, :, :, dra, drb].add(part)
     return out.transpose(0, 1, 3, 2, 4).reshape(
         npl, ntr * tile_r, ntc * tile_c
@@ -418,7 +430,8 @@ def _unfold(grid, plan):
     tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
     r, c = tile_r + 2 * w, tile_c + 2 * w
 
-    gpad = jnp.pad(grid, ((0, 0), (w, w), (w, w)), mode="wrap")
+    mode = "wrap" if plan.get("wrap", True) else "constant"
+    gpad = jnp.pad(grid, ((0, 0), (w, w), (w, w)), mode=mode)
     rows = jnp.stack(
         [gpad[:, tr * tile_r : tr * tile_r + r, :] for tr in range(ntr)],
         axis=1,
@@ -629,3 +642,338 @@ def pack_shard_plans(plans):
     plan_static = dict(geo)
     plan_static["ngroups"] = ng_max
     return plan_static, arrays
+
+
+def plan_tiles_table(ir0, ic0, fr, fc, support, oversample, nu, nv,
+                     tile_r=None, tile_c=None, group=1024, sample_id=None,
+                     scale=None, plane=None, nplanes=1):
+    """Host tile binning for *table-mode* kernels (quantized taps).
+
+    For gridders whose taps come from a user-supplied oversampled kernel
+    table (the Perley-polyhedron AA kernels): tap t of a sample reads
+    ``table[(t+1)·oversample + frac]``. Unlike :func:`plan_tiles`, windows
+    do NOT wrap — grid edges clip (out-of-grid taps are discarded by the
+    non-wrapping fold of :func:`assemble_tiles`), matching the reference's
+    bounds checks. Samples with no tap in the grid must be pre-filtered.
+
+    Parameters
+    ----------
+    ir0, ic0 : (E,) int window start rows/cols (may hang off the grid by
+        up to support−1 on either side).
+    fr, fc : (E,) int kernel fractional indices per axis.
+    support, oversample : tap count W and table oversampling factor.
+    Remaining parameters as for :func:`plan_tiles`.
+    """
+    ir0 = np.asarray(ir0)
+    ic0 = np.asarray(ic0)
+    fr = np.asarray(fr, np.int32)
+    fc = np.asarray(fc, np.int32)
+    n = ir0.shape[0]
+    w = support
+
+    if tile_r is None:
+        tile_r = choose_tile(nu)
+    if tile_c is None:
+        tile_c = choose_tile(nv)
+    if nu % tile_r or nv % tile_c:
+        raise ValueError(f"tiles ({tile_r},{tile_c}) must divide ({nu},{nv})")
+    if w > min(tile_r, tile_c):
+        raise ValueError(f"support {w} exceeds tile ({tile_r},{tile_c})")
+
+    if sample_id is None:
+        sample_id = np.arange(n, dtype=np.int64)
+    else:
+        sample_id = np.asarray(sample_id)
+    if scale is None:
+        scale = np.ones(n, np.float32)
+    else:
+        scale = np.asarray(scale, np.float32)
+    if plane is None:
+        plane = np.zeros(n, np.int64)
+    else:
+        plane = np.asarray(plane, np.int64)
+
+    ntr = nu // tile_r
+    ntc = nv // tile_c
+    ntiles = nplanes * ntr * ntc
+
+    # owner tile clipped to the grid: off-edge window starts still fit the
+    # edge tile's halo ([1, tile+2w) local range) and the non-wrapping
+    # fold discards whatever falls outside the grid
+    tr = np.clip(ir0 // tile_r, 0, ntr - 1)
+    tc = np.clip(ic0 // tile_c, 0, ntc - 1)
+    tile_ids = (plane * ntr + tr) * ntc + tc
+
+    order = np.argsort(tile_ids, kind="stable")
+    tile_ids = tile_ids[order]
+    entries = order
+
+    ir_all = (ir0 - tr * tile_r + w).astype(np.int32)[entries]
+    ic_all = (ic0 - tc * tile_c + w).astype(np.int32)[entries]
+
+    uniq, counts = np.unique(tile_ids, return_counts=True)
+    ngroups_per = -(-counts // group)
+    ngroups = int(ngroups_per.sum())
+
+    group_tile = np.zeros(ngroups, np.int64)
+    sample_pack = np.zeros((ngroups, group), np.int32)
+    ir_loc = np.zeros((ngroups, group), np.int32)
+    ic_loc = np.zeros((ngroups, group), np.int32)
+    fr_pack = np.zeros((ngroups, group), np.int32)
+    fc_pack = np.zeros((ngroups, group), np.int32)
+    scale_pack = np.zeros((ngroups, group), np.float32)
+
+    gpos = epos = 0
+    for t, cnt, ng in zip(uniq, counts, ngroups_per):
+        for gi in range(ng):
+            lo = epos + gi * group
+            hi = min(lo + group, epos + cnt)
+            m = hi - lo
+            e = entries[lo:hi]
+            group_tile[gpos] = t
+            sample_pack[gpos, :m] = sample_id[e]
+            ir_loc[gpos, :m] = ir_all[lo:hi]
+            ic_loc[gpos, :m] = ic_all[lo:hi]
+            fr_pack[gpos, :m] = fr[e]
+            fc_pack[gpos, :m] = fc[e]
+            scale_pack[gpos, :m] = scale[e]
+            gpos += 1
+        epos += cnt
+
+    missing = np.setdiff1d(np.arange(ntiles, dtype=np.int64), uniq)
+    if missing.size:
+        zi = np.zeros((missing.size, group), np.int32)
+        group_tile = np.concatenate([group_tile, missing])
+        sample_pack = np.concatenate([sample_pack, zi], axis=0)
+        ir_loc = np.concatenate([ir_loc, zi], axis=0)
+        ic_loc = np.concatenate([ic_loc, zi], axis=0)
+        fr_pack = np.concatenate([fr_pack, zi], axis=0)
+        fc_pack = np.concatenate([fc_pack, zi], axis=0)
+        scale_pack = np.concatenate(
+            [scale_pack, np.zeros((missing.size, group), np.float32)],
+            axis=0,
+        )
+        ngroups += missing.size
+
+    first = np.ones(ngroups, np.int32)
+    first[1:] = (group_tile[1:] != group_tile[:-1]).astype(np.int32)
+
+    max_r0a = ((tile_r + w - 1) // 8) * 8
+    tpad_r = max(_round_up(tile_r + 2 * w, 8), max_r0a + 16)
+    tpad_c = _round_up(tile_c + 2 * w, 128)
+
+    ir_al = (ir_loc // 8) * 8
+    dsh = (ir_loc - ir_al).astype(np.int32)
+
+    return dict(
+        tile_r=tile_r, tile_c=tile_c, support=w, oversample=int(oversample),
+        ntr=ntr, ntc=ntc, nu=nu, nv=nv, nplanes=nplanes, wrap=False,
+        tpad_r=tpad_r, tpad_c=tpad_c,
+        ngroups=ngroups, group=group,
+        group_tile=group_tile.astype(np.int32),
+        sample_pack=sample_pack, ir_loc=ir_al, dsh=dsh, ic_loc=ic_loc,
+        fr=fr_pack, fc=fc_pack, scale=scale_pack, first=first,
+    )
+
+
+def _grid_kernel_table(first_ref, gtile_ref, tab_ref, ir_ref, dsh_ref,
+                       ic_ref, fr_ref, fc_ref, vre_ref, vim_ref,
+                       out_re_ref, out_im_ref, *, group, support,
+                       oversample, tpad_r, tpad_c):
+    g = pl.program_id(0)
+    w = support
+    os_ = oversample
+
+    @pl.when(first_ref[g] == 1)
+    def _():
+        out_re_ref[...] = jnp.zeros_like(out_re_ref)
+        out_im_ref[...] = jnp.zeros_like(out_im_ref)
+
+    lanes = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 0)
+
+    unroll = 8 if group % 8 == 0 else 1
+
+    def body(j, _):
+        for k in range(unroll):
+            e = j * unroll + k
+            r0 = ir_ref[0, 0, e]
+            d = dsh_ref[0, 0, e]
+            c0 = ic_ref[0, 0, e]
+            fu = fr_ref[0, 0, e]
+            fv = fc_ref[0, 0, e]
+            vr = vre_ref[0, 0, e]
+            vi = vim_ref[0, 0, e]
+
+            # taps read from the shared SMEM table at the reference's
+            # quantized index (t+1)·os + frac, placed by where-chains
+            # (no dynamic lane indexing on TPU)
+            colvec = jnp.zeros((16, tpad_c), jnp.float32)
+            rowvec = jnp.zeros((16, tpad_c), jnp.float32)
+            for t in range(w):
+                wu = tab_ref[0, (t + 1) * os_ + fu]
+                wv = tab_ref[0, (t + 1) * os_ + fv]
+                colvec = jnp.where(subl == d + t, wu, colvec)
+                rowvec = jnp.where(lanes == c0 + t, wv, rowvec)
+            base = colvec * rowvec
+            sl = (0, pl.ds(pl.multiple_of(r0, 8), 16), slice(None))
+            out_re_ref[sl] = out_re_ref[sl] + vr * base
+            out_im_ref[sl] = out_im_ref[sl] + vi * base
+        return 0
+
+    lax.fori_loop(0, group // unroll, body, 0, unroll=False)
+
+
+def grid_tiles_table_pallas(plan, table, vre_flat, vim_flat,
+                            interpret=False):
+    """Table-mode tile gridding (see :func:`plan_tiles_table`)."""
+    w = plan["support"]
+    group, ngroups = plan["group"], plan["ngroups"]
+    ntiles = plan["nplanes"] * plan["ntr"] * plan["ntc"]
+    tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+
+    sample_pack = jnp.asarray(plan["sample_pack"])
+    scale = jnp.asarray(plan["scale"])
+    vre = (vre_flat[sample_pack] * scale).astype(jnp.float32)
+    vim = (vim_flat[sample_pack] * scale).astype(jnp.float32)
+    table = jnp.asarray(table, jnp.float32)[None, :]
+
+    kernel = partial(_grid_kernel_table, group=group, support=w,
+                     oversample=plan["oversample"], tpad_r=tpad_r,
+                     tpad_c=tpad_c)
+
+    smem_vec = pl.BlockSpec((1, 1, group), lambda g, f, t: (g, 0, 0),
+                            memory_space=pltpu.SMEM)
+    smem_tab = pl.BlockSpec(table.shape, lambda g, f, t: (0, 0),
+                            memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, tpad_r, tpad_c),
+                            lambda g, f, t: (t[g], 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ngroups,),
+        in_specs=[smem_tab] + [smem_vec] * 7,
+        out_specs=[out_spec, out_spec],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((ntiles, tpad_r, tpad_c), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles, tpad_r, tpad_c), jnp.float32),
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        jnp.asarray(plan["first"]),
+        jnp.asarray(plan["group_tile"]),
+        table,
+        jnp.asarray(plan["ir_loc"])[:, None, :],
+        jnp.asarray(plan["dsh"])[:, None, :],
+        jnp.asarray(plan["ic_loc"])[:, None, :],
+        jnp.asarray(plan["fr"])[:, None, :],
+        jnp.asarray(plan["fc"])[:, None, :],
+        vre[:, None, :],
+        vim[:, None, :],
+    )
+
+
+def _degrid_kernel_table(gtile_ref, tab_ref, ir_ref, dsh_ref, ic_ref,
+                         fr_ref, fc_ref, scale_ref, tre_ref, tim_ref,
+                         out_re_ref, out_im_ref, *, group, support,
+                         oversample, tpad_r, tpad_c):
+    w = support
+    os_ = oversample
+
+    lanes = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 0)
+
+    unroll = 8 if group % 8 == 0 else 1
+
+    def body(j, _):
+        for k in range(unroll):
+            e = j * unroll + k
+            r0 = ir_ref[0, 0, e]
+            d = dsh_ref[0, 0, e]
+            c0 = ic_ref[0, 0, e]
+            fu = fr_ref[0, 0, e]
+            fv = fc_ref[0, 0, e]
+            sc = scale_ref[0, 0, e]
+
+            colvec = jnp.zeros((16, tpad_c), jnp.float32)
+            rowvec = jnp.zeros((16, tpad_c), jnp.float32)
+            for t in range(w):
+                wu = tab_ref[0, (t + 1) * os_ + fu]
+                wv = tab_ref[0, (t + 1) * os_ + fv]
+                colvec = jnp.where(subl == d + t, wu, colvec)
+                rowvec = jnp.where(lanes == c0 + t, wv, rowvec)
+            base = colvec * rowvec
+            sl = (0, pl.ds(pl.multiple_of(r0, 8), 16), slice(None))
+            out_re_ref[0, 0, e] = sc * jnp.sum(
+                jnp.sum(tre_ref[sl] * base, axis=0)
+            )
+            out_im_ref[0, 0, e] = sc * jnp.sum(
+                jnp.sum(tim_ref[sl] * base, axis=0)
+            )
+        return 0
+
+    lax.fori_loop(0, group // unroll, body, 0, unroll=False)
+
+
+def degrid_tiles_table_pallas(plan, table, tiles_re, tiles_im, nvis,
+                              interpret=False):
+    """Table-mode tile degridding (mirror of
+    :func:`grid_tiles_table_pallas`)."""
+    w = plan["support"]
+    group, ngroups = plan["group"], plan["ngroups"]
+    tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+    table = jnp.asarray(table, jnp.float32)[None, :]
+
+    kernel = partial(_degrid_kernel_table, group=group, support=w,
+                     oversample=plan["oversample"], tpad_r=tpad_r,
+                     tpad_c=tpad_c)
+
+    smem_vec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
+                            memory_space=pltpu.SMEM)
+    smem_tab = pl.BlockSpec(table.shape, lambda g, t: (0, 0),
+                            memory_space=pltpu.SMEM)
+    tile_spec = pl.BlockSpec((1, tpad_r, tpad_c), lambda g, t: (t[g], 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ngroups,),
+        in_specs=[smem_tab] + [smem_vec] * 6 + [tile_spec, tile_spec],
+        out_specs=[smem_vec, smem_vec],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((ngroups, 1, group), jnp.float32),
+        jax.ShapeDtypeStruct((ngroups, 1, group), jnp.float32),
+    ]
+
+    vals_re, vals_im = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        jnp.asarray(plan["group_tile"]),
+        table,
+        jnp.asarray(plan["ir_loc"])[:, None, :],
+        jnp.asarray(plan["dsh"])[:, None, :],
+        jnp.asarray(plan["ic_loc"])[:, None, :],
+        jnp.asarray(plan["fr"])[:, None, :],
+        jnp.asarray(plan["fc"])[:, None, :],
+        jnp.asarray(plan["scale"])[:, None, :],
+        tiles_re.astype(jnp.float32),
+        tiles_im.astype(jnp.float32),
+    )
+
+    sample = jnp.asarray(plan["sample_pack"]).reshape(-1)
+    out_re = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_re.reshape(-1))
+    out_im = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_im.reshape(-1))
+    return out_re, out_im

@@ -171,3 +171,49 @@ def test_degridder_vs_dft(pp_problem):
     assert np.abs(mean) > 0
     assert_allclose(out / mean, 1.0, rtol=2e-2)
     assert np.abs(np.angle(out)).max() < 2e-2
+
+
+def test_pp_tile_path_matches_scatter(rng, pp_problem):
+    """The table-mode Pallas tile path (interpret mode, forced via a
+    precomputed plan) must match the scatter/gather paths exactly."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    G = importlib.import_module(
+        "africanus_tpu.gridding.perleypolyhedron.gridder"
+    )
+
+    npix, cell, wl, uvw = pp_problem
+    nrow, nchan = uvw.shape[0], wl.shape[0]
+    W, os = 7, 63
+    kern = kernels.kbsinc(W, oversample=os)
+    chanmap = np.zeros(nchan, np.int32)
+    centre = (0.2, -0.4)
+    vis = Cplx(rng.normal(size=(nrow, nchan, 2)),
+               rng.normal(size=(nrow, nchan, 2)))
+    common = (wl, chanmap, npix, cell, centre, centre, kern, W, os,
+              "rotate", "phase_rotate", "I_FROM_XXYY",
+              "conv_1d_axisymmetric_packed_scatter")
+
+    plan = G.pp_tile_plan(uvw, wl, chanmap, npix, cell, centre, centre,
+                          W, os, "rotate")
+    tiles = G.gridder(uvw, vis, *common, tile_plan=plan)
+    scat = G.gridder(uvw, vis, *common)  # CPU backend → scatter
+    assert_allclose(np.asarray(tiles.re), np.asarray(scat.re), rtol=1e-10,
+                    atol=1e-14)
+    assert_allclose(np.asarray(tiles.im), np.asarray(scat.im), rtol=1e-10,
+                    atol=1e-14)
+
+    # degrid dual
+    grid = Cplx(rng.normal(size=(1, npix, npix)),
+                rng.normal(size=(1, npix, npix)))
+    dargs = (wl, chanmap, cell, centre, centre, kern, W, os, "rotate",
+             "phase_rotate", "XXYY_FROM_I",
+             "conv_1d_axisymmetric_packed_gather")
+    dplan = G.pp_tile_plan(uvw, wl, chanmap, npix, cell, centre, centre,
+                           W, os, "rotate", direction="degrid")
+    dt = G.degridder(uvw, grid, *dargs, tile_plan=dplan)
+    dg = G.degridder(uvw, grid, *dargs)
+    assert_allclose(np.asarray(dt.re), np.asarray(dg.re), rtol=1e-10,
+                    atol=1e-14)
