@@ -154,7 +154,20 @@ def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
     ngroups_per = -(-counts // group)
     ngroups = int(ngroups_per.sum())
 
+    # vectorised packing: entry p of tile t lands in global group
+    # group_base[t] + k//group at slot k%group, k = p − tile_start[t]
+    tile_start = np.zeros(uniq.size, np.int64)
+    np.cumsum(counts[:-1], out=tile_start[1:])
+    group_base = np.zeros(uniq.size, np.int64)
+    np.cumsum(ngroups_per[:-1], out=group_base[1:])
+    tix = np.repeat(np.arange(uniq.size), counts)
+    k = np.arange(tile_ids.size) - tile_start[tix]
+    gidx = group_base[tix] + k // group
+    slot = k % group
+
     group_tile = np.zeros(ngroups, np.int64)
+    group_tile[group_base] = uniq
+    np.maximum.accumulate(group_tile, out=group_tile)
     sample_pack = np.zeros((ngroups, group), np.int32)
     ir_loc = np.zeros((ngroups, group), np.int32)
     ic_loc = np.zeros((ngroups, group), np.int32)
@@ -162,22 +175,12 @@ def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
     vf_pack = np.full((ngroups, group), -2.0 * w, np.float32)
     scale_pack = np.zeros((ngroups, group), np.float32)
 
-    gpos = epos = 0
-    for t, cnt, ng in zip(uniq, counts, ngroups_per):
-        for gi in range(ng):
-            lo = epos + gi * group
-            hi = min(lo + group, epos + cnt)
-            m = hi - lo
-            e = entries[lo:hi]
-            group_tile[gpos] = t
-            sample_pack[gpos, :m] = sample_id[e]
-            ir_loc[gpos, :m] = ir_all[lo:hi]
-            ic_loc[gpos, :m] = ic_all[lo:hi]
-            uf_pack[gpos, :m] = uf[e]
-            vf_pack[gpos, :m] = vf[e]
-            scale_pack[gpos, :m] = scale[e]
-            gpos += 1
-        epos += cnt
+    sample_pack[gidx, slot] = sample_id[entries]
+    ir_loc[gidx, slot] = ir_all
+    ic_loc[gidx, slot] = ic_all
+    uf_pack[gidx, slot] = uf[entries]
+    vf_pack[gidx, slot] = vf[entries]
+    scale_pack[gidx, slot] = scale[entries]
 
     # tiles with no entries still need one (all-invalid) group so their
     # output block is zero-initialised (pallas outputs start uninitialised)
@@ -715,7 +718,19 @@ def plan_tiles_table(ir0, ic0, fr, fc, support, oversample, nu, nv,
     ngroups_per = -(-counts // group)
     ngroups = int(ngroups_per.sum())
 
+    # vectorised packing (see plan_tiles)
+    tile_start = np.zeros(uniq.size, np.int64)
+    np.cumsum(counts[:-1], out=tile_start[1:])
+    group_base = np.zeros(uniq.size, np.int64)
+    np.cumsum(ngroups_per[:-1], out=group_base[1:])
+    tix = np.repeat(np.arange(uniq.size), counts)
+    k = np.arange(tile_ids.size) - tile_start[tix]
+    gidx = group_base[tix] + k // group
+    slot = k % group
+
     group_tile = np.zeros(ngroups, np.int64)
+    group_tile[group_base] = uniq
+    np.maximum.accumulate(group_tile, out=group_tile)
     sample_pack = np.zeros((ngroups, group), np.int32)
     ir_loc = np.zeros((ngroups, group), np.int32)
     ic_loc = np.zeros((ngroups, group), np.int32)
@@ -723,22 +738,12 @@ def plan_tiles_table(ir0, ic0, fr, fc, support, oversample, nu, nv,
     fc_pack = np.zeros((ngroups, group), np.int32)
     scale_pack = np.zeros((ngroups, group), np.float32)
 
-    gpos = epos = 0
-    for t, cnt, ng in zip(uniq, counts, ngroups_per):
-        for gi in range(ng):
-            lo = epos + gi * group
-            hi = min(lo + group, epos + cnt)
-            m = hi - lo
-            e = entries[lo:hi]
-            group_tile[gpos] = t
-            sample_pack[gpos, :m] = sample_id[e]
-            ir_loc[gpos, :m] = ir_all[lo:hi]
-            ic_loc[gpos, :m] = ic_all[lo:hi]
-            fr_pack[gpos, :m] = fr[e]
-            fc_pack[gpos, :m] = fc[e]
-            scale_pack[gpos, :m] = scale[e]
-            gpos += 1
-        epos += cnt
+    sample_pack[gidx, slot] = sample_id[entries]
+    ir_loc[gidx, slot] = ir_all
+    ic_loc[gidx, slot] = ic_all
+    fr_pack[gidx, slot] = fr[entries]
+    fc_pack[gidx, slot] = fc[entries]
+    scale_pack[gidx, slot] = scale[entries]
 
     missing = np.setdiff1d(np.arange(ntiles, dtype=np.int64), uniq)
     if missing.size:
