@@ -19,6 +19,8 @@ Axis conventions for radio-interferometry workloads:
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
@@ -32,7 +34,8 @@ __all__ = [
 ]
 
 
-def make_mesh(mesh_shape=None, axis_names=("row", "chan"), devices=None):
+def make_mesh(mesh_shape=None, axis_names=("row", "chan"), devices=None,
+              strict=False):
     """Build a Mesh over the available devices.
 
     Parameters
@@ -40,13 +43,36 @@ def make_mesh(mesh_shape=None, axis_names=("row", "chan"), devices=None):
     mesh_shape : optional tuple — defaults to all devices on the first axis.
     axis_names : mesh axis names (default ("row", "chan")).
     devices : optional explicit device list.
+    strict : if True, raise when ``mesh_shape`` needs more devices than are
+        available. The default degrades gracefully: the mesh shrinks to the
+        largest shape that fits (trailing axes collapse to 1 first), down to
+        a single-device mesh, with a warning.
     """
     devices = list(jax.devices()) if devices is None else list(devices)
     if mesh_shape is None:
         mesh_shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    mesh_shape = tuple(int(s) for s in mesh_shape)
     n = int(np.prod(mesh_shape))
     if n > len(devices):
-        raise ValueError(f"mesh {mesh_shape} needs {n} devices, have {len(devices)}")
+        if strict:
+            raise ValueError(
+                f"mesh {mesh_shape} needs {n} devices, have {len(devices)}"
+            )
+        requested = mesh_shape
+        shape = list(mesh_shape)
+        # collapse trailing axes to 1, then shrink the leading axis
+        for i in range(len(shape) - 1, 0, -1):
+            if int(np.prod(shape)) <= len(devices):
+                break
+            shape[i] = 1
+        shape[0] = min(shape[0], max(1, len(devices) // int(np.prod(shape[1:]))))
+        mesh_shape = tuple(shape)
+        n = int(np.prod(mesh_shape))
+        warnings.warn(
+            f"mesh {requested} needs more devices than the {len(devices)} "
+            f"available; degraded to {mesh_shape}",
+            stacklevel=2,
+        )
     dev_array = np.array(devices[:n]).reshape(mesh_shape)
     return Mesh(dev_array, axis_names)
 
