@@ -112,12 +112,13 @@ def grid(vis, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
     for c in range(ncorr):
         val_re = (v.re[..., c] * wgt[..., c]).reshape(-1)
         val_im = (v.im[..., c] * wgt[..., c]).reshape(-1)
-        gre = jnp.zeros(nu * nv, v.re.dtype).at[idx.reshape(-1)].add(
+        acc_t = jnp.result_type(v.re.dtype, wj.dtype)
+        gre = jnp.zeros(nu * nv, acc_t).at[idx.reshape(-1)].add(
             (val_re[None, :] * wj).reshape(-1)
-        ).reshape(nu, nv)
-        gim = jnp.zeros(nu * nv, v.re.dtype).at[idx.reshape(-1)].add(
+        ).reshape(nu, nv).astype(v.re.dtype)
+        gim = jnp.zeros(nu * nv, acc_t).at[idx.reshape(-1)].add(
             (val_im[None, :] * wj).reshape(-1)
-        ).reshape(nu, nv)
+        ).reshape(nu, nv).astype(v.re.dtype)
         grids_re.append(gre)
         grids_im.append(gim)
 

@@ -333,10 +333,13 @@ def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
             * kv.T[None, None, :, :]
         ).reshape(wsup * support * support, -1)
 
-        flat_re = jnp.zeros(nplanes * nu * nv, vre.dtype).at[
+        # accumulate at the promoted dtype (the kernel weights may be f64
+        # under x64 while vis are f32 — scatter requires matching dtypes)
+        acc_t = jnp.result_type(vre.dtype, wj.dtype)
+        flat_re = jnp.zeros(nplanes * nu * nv, acc_t).at[
             flat_idx.reshape(-1)
         ].add((vre[None, :] * wj).reshape(-1))
-        flat_im = jnp.zeros(nplanes * nu * nv, vre.dtype).at[
+        flat_im = jnp.zeros(nplanes * nu * nv, acc_t).at[
             flat_idx.reshape(-1)
         ].add((vim[None, :] * wj).reshape(-1))
         grid_re = flat_re.reshape(nplanes, nu, nv)

@@ -23,9 +23,11 @@ Mosaic constraints shape the inner loop (probed on this toolchain):
   coordinates* with a lane iota, so no shift is ever needed;
 - dynamic *sublane* slicing is supported only at 8-aligned offsets → the
   window start row is aligned down to a multiple of 8 (``pl.multiple_of``
-  hint) and the whole W×W window lands as ONE (16, lanes) block
-  read-modify-write; the sub-8 row shift is folded into the ES argument,
-  and rows outside the support evaluate to zero;
+  hint) and the whole W×W window lands as ONE (blk, lanes) block
+  read-modify-write, blk = round_up(W+7, 8) (16 for W ≤ 9, 24 up to 17 —
+  the worst-case sub-8 shift of 7 must fit above the support); the sub-8
+  row shift is folded into the ES argument, and rows outside the support
+  evaluate to zero;
 - per-entry scalars (row offset, fractional coords, vis values) live in
   SMEM blocks, which allow dynamic scalar indexing;
 - SMEM is ~1 MB per buffer set → only O(group) scalars may live there,
@@ -203,9 +205,12 @@ def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
     first[1:] = (group_tile[1:] != group_tile[:-1]).astype(np.int32)
 
     # padded tile: W halo each side; rows 8-aligned (with room for the
-    # aligned 16-row window RMW at the last start offset), cols 128-aligned
+    # aligned blk-row window RMW at the last start offset), cols
+    # 128-aligned. blk must cover the worst-case sub-8 shift (7) plus the
+    # support: blk = round_up(W + 7, 8) — 16 for W ≤ 9, 24 for W ≤ 17.
+    blk = _round_up(w + 7, 8)
     max_r0a = ((tile_r + w - 1) // 8) * 8
-    tpad_r = max(_round_up(tile_r + 2 * w, 8), max_r0a + 16)
+    tpad_r = max(_round_up(tile_r + 2 * w, 8), max_r0a + blk)
     tpad_c = _round_up(tile_c + 2 * w, 128)
 
     # row start aligned down to 8; the residual shift folds into the u
@@ -218,7 +223,7 @@ def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
     return dict(
         tile_r=tile_r, tile_c=tile_c, support=w, beta=float(beta),
         ntr=ntr, ntc=ntc, nu=nu, nv=nv, nplanes=nplanes,
-        tpad_r=tpad_r, tpad_c=tpad_c,
+        tpad_r=tpad_r, tpad_c=tpad_c, blk=blk,
         ngroups=ngroups, group=group,
         group_tile=group_tile.astype(np.int32),
         sample_pack=sample_pack, ir_loc=ir_al,
@@ -237,7 +242,7 @@ def _es(z, beta):
 
 def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
                  vre_ref, vim_ref, out_re_ref, out_im_ref, *,
-                 group, support, beta, tpad_r, tpad_c, ncorr):
+                 group, support, beta, tpad_r, tpad_c, ncorr, blk):
     g = pl.program_id(0)
     half = support / 2.0
 
@@ -246,10 +251,10 @@ def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
         out_re_ref[...] = jnp.zeros_like(out_re_ref)
         out_im_ref[...] = jnp.zeros_like(out_im_ref)
 
-    lanes_f = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 1).astype(
+    lanes_f = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 1).astype(
         jnp.float32
     )
-    subl_f = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 0).astype(
+    subl_f = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 0).astype(
         jnp.float32
     )
 
@@ -264,7 +269,7 @@ def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
             uf = uf_ref[0, 0, e]
             vfa = vfa_ref[0, 0, e]
 
-            # The whole W×W window in one (16, lanes) block: ES taps are
+            # The whole W×W window in one (blk, lanes) block: ES taps are
             # evaluated at absolute lane coords (vfa includes the column
             # offset) and block-relative sublanes (uf includes the sub-8
             # row shift); positions outside the support evaluate to zero
@@ -273,7 +278,7 @@ def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
             base = _es((vfa - lanes_f) / half, beta) * _es(
                 (uf - subl_f) / half, beta
             )
-            rs = pl.ds(pl.multiple_of(r0, 8), 16)
+            rs = pl.ds(pl.multiple_of(r0, 8), blk)
             for c in range(ncorr):
                 vr = vre_ref[0, c, e]
                 vi = vim_ref[0, c, e]
@@ -324,7 +329,7 @@ def grid_tiles_pallas(plan, vre_flat, vim_flat, interpret=False,
 
     kernel = partial(_grid_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
-                     ncorr=ncorr)
+                     ncorr=ncorr, blk=plan.get("blk", 16))
 
     smem_vec = pl.BlockSpec((1, 1, group), lambda g, f, t: (g, 0, 0),
                             memory_space=pltpu.SMEM)
@@ -455,13 +460,13 @@ def extract_tiles(grid_re, grid_im, plan):
 
 def _degrid_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, scale_ref,
                    tre_ref, tim_ref, out_re_ref, out_im_ref, *,
-                   group, support, beta, tpad_r, tpad_c, ncorr):
+                   group, support, beta, tpad_r, tpad_c, ncorr, blk):
     half = support / 2.0
 
-    lanes_f = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 1).astype(
+    lanes_f = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 1).astype(
         jnp.float32
     )
-    subl_f = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 0).astype(
+    subl_f = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 0).astype(
         jnp.float32
     )
 
@@ -479,7 +484,7 @@ def _degrid_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, scale_ref,
             base = _es((vfa - lanes_f) / half, beta) * _es(
                 (uf - subl_f) / half, beta
             )
-            rs = pl.ds(pl.multiple_of(r0, 8), 16)
+            rs = pl.ds(pl.multiple_of(r0, 8), blk)
             for c in range(ncorr):
                 sl = (0, c, rs, slice(None))
                 out_re_ref[0, c, e] = sc * jnp.sum(
@@ -523,7 +528,7 @@ def degrid_tiles_pallas(plan, tiles_re, tiles_im, nvis, interpret=False,
 
     kernel = partial(_degrid_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
-                     ncorr=ncorr)
+                     ncorr=ncorr, blk=plan.get("blk", 16))
 
     smem_vec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
                             memory_space=pltpu.SMEM)
@@ -613,7 +618,7 @@ def pack_shard_plans(plans):
     (nshard, ngroups_max, ...) numpy arrays.
     """
     geo_keys = ("tile_r", "tile_c", "support", "beta", "ntr", "ntc", "nu",
-                "nv", "nplanes", "tpad_r", "tpad_c", "group")
+                "nv", "nplanes", "tpad_r", "tpad_c", "group", "blk")
     geo = {k: plans[0][k] for k in geo_keys}
     for p in plans[1:]:
         for k in geo_keys:
@@ -763,8 +768,9 @@ def plan_tiles_table(ir0, ic0, fr, fc, support, oversample, nu, nv,
     first = np.ones(ngroups, np.int32)
     first[1:] = (group_tile[1:] != group_tile[:-1]).astype(np.int32)
 
+    blk = _round_up(w + 7, 8)
     max_r0a = ((tile_r + w - 1) // 8) * 8
-    tpad_r = max(_round_up(tile_r + 2 * w, 8), max_r0a + 16)
+    tpad_r = max(_round_up(tile_r + 2 * w, 8), max_r0a + blk)
     tpad_c = _round_up(tile_c + 2 * w, 128)
 
     ir_al = (ir_loc // 8) * 8
@@ -773,7 +779,7 @@ def plan_tiles_table(ir0, ic0, fr, fc, support, oversample, nu, nv,
     return dict(
         tile_r=tile_r, tile_c=tile_c, support=w, oversample=int(oversample),
         ntr=ntr, ntc=ntc, nu=nu, nv=nv, nplanes=nplanes, wrap=False,
-        tpad_r=tpad_r, tpad_c=tpad_c,
+        tpad_r=tpad_r, tpad_c=tpad_c, blk=blk,
         ngroups=ngroups, group=group,
         group_tile=group_tile.astype(np.int32),
         sample_pack=sample_pack, ir_loc=ir_al, dsh=dsh, ic_loc=ic_loc,
@@ -784,7 +790,7 @@ def plan_tiles_table(ir0, ic0, fr, fc, support, oversample, nu, nv,
 def _grid_kernel_table(first_ref, gtile_ref, tab_ref, ir_ref, dsh_ref,
                        ic_ref, fr_ref, fc_ref, vre_ref, vim_ref,
                        out_re_ref, out_im_ref, *, group, support,
-                       oversample, tpad_r, tpad_c):
+                       oversample, tpad_r, tpad_c, blk):
     g = pl.program_id(0)
     w = support
     os_ = oversample
@@ -794,8 +800,8 @@ def _grid_kernel_table(first_ref, gtile_ref, tab_ref, ir_ref, dsh_ref,
         out_re_ref[...] = jnp.zeros_like(out_re_ref)
         out_im_ref[...] = jnp.zeros_like(out_im_ref)
 
-    lanes = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 1)
-    subl = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 0)
+    lanes = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 0)
 
     unroll = 8 if group % 8 == 0 else 1
 
@@ -813,15 +819,15 @@ def _grid_kernel_table(first_ref, gtile_ref, tab_ref, ir_ref, dsh_ref,
             # taps read from the shared SMEM table at the reference's
             # quantized index (t+1)·os + frac, placed by where-chains
             # (no dynamic lane indexing on TPU)
-            colvec = jnp.zeros((16, tpad_c), jnp.float32)
-            rowvec = jnp.zeros((16, tpad_c), jnp.float32)
+            colvec = jnp.zeros((blk, tpad_c), jnp.float32)
+            rowvec = jnp.zeros((blk, tpad_c), jnp.float32)
             for t in range(w):
                 wu = tab_ref[0, (t + 1) * os_ + fu]
                 wv = tab_ref[0, (t + 1) * os_ + fv]
                 colvec = jnp.where(subl == d + t, wu, colvec)
                 rowvec = jnp.where(lanes == c0 + t, wv, rowvec)
             base = colvec * rowvec
-            sl = (0, pl.ds(pl.multiple_of(r0, 8), 16), slice(None))
+            sl = (0, pl.ds(pl.multiple_of(r0, 8), blk), slice(None))
             out_re_ref[sl] = out_re_ref[sl] + vr * base
             out_im_ref[sl] = out_im_ref[sl] + vi * base
         return 0
@@ -845,7 +851,7 @@ def grid_tiles_table_pallas(plan, table, vre_flat, vim_flat,
 
     kernel = partial(_grid_kernel_table, group=group, support=w,
                      oversample=plan["oversample"], tpad_r=tpad_r,
-                     tpad_c=tpad_c)
+                     tpad_c=tpad_c, blk=plan.get("blk", 16))
 
     smem_vec = pl.BlockSpec((1, 1, group), lambda g, f, t: (g, 0, 0),
                             memory_space=pltpu.SMEM)
@@ -889,12 +895,12 @@ def grid_tiles_table_pallas(plan, table, vre_flat, vim_flat,
 def _degrid_kernel_table(gtile_ref, tab_ref, ir_ref, dsh_ref, ic_ref,
                          fr_ref, fc_ref, scale_ref, tre_ref, tim_ref,
                          out_re_ref, out_im_ref, *, group, support,
-                         oversample, tpad_r, tpad_c):
+                         oversample, tpad_r, tpad_c, blk):
     w = support
     os_ = oversample
 
-    lanes = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 1)
-    subl = lax.broadcasted_iota(jnp.int32, (16, tpad_c), 0)
+    lanes = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 0)
 
     unroll = 8 if group % 8 == 0 else 1
 
@@ -908,15 +914,15 @@ def _degrid_kernel_table(gtile_ref, tab_ref, ir_ref, dsh_ref, ic_ref,
             fv = fc_ref[0, 0, e]
             sc = scale_ref[0, 0, e]
 
-            colvec = jnp.zeros((16, tpad_c), jnp.float32)
-            rowvec = jnp.zeros((16, tpad_c), jnp.float32)
+            colvec = jnp.zeros((blk, tpad_c), jnp.float32)
+            rowvec = jnp.zeros((blk, tpad_c), jnp.float32)
             for t in range(w):
                 wu = tab_ref[0, (t + 1) * os_ + fu]
                 wv = tab_ref[0, (t + 1) * os_ + fv]
                 colvec = jnp.where(subl == d + t, wu, colvec)
                 rowvec = jnp.where(lanes == c0 + t, wv, rowvec)
             base = colvec * rowvec
-            sl = (0, pl.ds(pl.multiple_of(r0, 8), 16), slice(None))
+            sl = (0, pl.ds(pl.multiple_of(r0, 8), blk), slice(None))
             out_re_ref[0, 0, e] = sc * jnp.sum(
                 jnp.sum(tre_ref[sl] * base, axis=0)
             )
@@ -939,7 +945,7 @@ def degrid_tiles_table_pallas(plan, table, tiles_re, tiles_im, nvis,
 
     kernel = partial(_degrid_kernel_table, group=group, support=w,
                      oversample=plan["oversample"], tpad_r=tpad_r,
-                     tpad_c=tpad_c)
+                     tpad_c=tpad_c, blk=plan.get("blk", 16))
 
     smem_vec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
                             memory_space=pltpu.SMEM)
@@ -978,7 +984,24 @@ def degrid_tiles_table_pallas(plan, table, tiles_re, tiles_im, nvis,
         tiles_im.astype(jnp.float32),
     )
 
-    sample = jnp.asarray(plan["sample_pack"]).reshape(-1)
-    out_re = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_re.reshape(-1))
-    out_im = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_im.reshape(-1))
+    # host-planned inverse: per visibility, its (padded) flat slots — a
+    # gather+sum instead of a scatter (XLA scatter caps ~1.4e8 elem/s on
+    # TPU; same design as degrid_tiles_pallas). Cached on the plan.
+    cache = plan.setdefault("_vis_gather", {})
+    if nvis not in cache:
+        from africanus_tpu.averaging.time_and_channel_avg import (
+            _bin_gather_table,
+        )
+
+        flat_sample = np.asarray(plan["sample_pack"]).reshape(-1)
+        pos = np.nonzero(np.asarray(plan["scale"]).reshape(-1) != 0.0)[0]
+        sel_sub, valid_np = _bin_gather_table(flat_sample[pos], nvis)
+        cache[nvis] = (pos[sel_sub].astype(np.int64), valid_np)
+    sel_np, valid_np = cache[nvis]
+    sel = jnp.asarray(sel_np)
+    valid = jnp.asarray(valid_np)
+    flat_re = vals_re.reshape(-1)
+    flat_im = vals_im.reshape(-1)
+    out_re = jnp.where(valid, flat_re[sel], 0).sum(axis=1)
+    out_im = jnp.where(valid, flat_im[sel], 0).sum(axis=1)
     return out_re, out_im

@@ -108,20 +108,24 @@ def sharded_psf(mesh, uvw, freq, nx, ny, cell, epsilon=1e-4,
                          do_wstacking)
 
 
-def sharded_degrid(mesh, uvw, freq, image, nx=None, ny=None, cell=None,
-                   epsilon=1e-4, do_wstacking=False, wgt=None,
-                   use_tiles=None):
+def sharded_degrid(mesh, uvw, freq, image, cell, epsilon=1e-4,
+                   do_wstacking=False, wgt=None, use_tiles=None):
     """Model visibilities from an image with rows sharded over "row".
 
     The image is replicated; each device interpolates its own row shard
     (no collective needed — outputs are row-sharded like the inputs).
-    With ``use_tiles`` (auto-on for TPU) each shard runs the Pallas tile
-    degridder on its own per-shard plan (see :func:`sharded_dirty`).
+    ``cell`` is the pixel size in radians (required — the image shape
+    supplies nx/ny). With ``use_tiles`` (auto-on for TPU) each shard runs
+    the Pallas tile degridder on its own per-shard plan (see
+    :func:`sharded_dirty`).
     """
     from africanus_tpu.gridding.wgridder.core import (
         _tile_plan, _use_tiles_default, degrid_ri, make_plan,
     )
 
+    if cell is None:
+        raise TypeError("sharded_degrid: cell (pixel size, radians) is "
+                        "required")
     uvw = np.asarray(uvw)
     freq = np.asarray(freq)
     image = jnp.asarray(image)

@@ -148,6 +148,47 @@ def test_pack_shard_plans_mismatch(rng):
         assert a.shape[1] == static["ngroups"]
 
 
+@pytest.mark.parametrize("w", [10, 12])
+def test_grid_tiles_wide_support_oracle(rng, w):
+    """Supports > 9 widen the RMW block to 24 rows: the worst-case sub-8
+    shift (7) plus W rows must fit, or the last tap rows silently drop
+    (round-1 advisor finding — nifty's default eps hits W=10)."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.pallas_grid import plan_tiles as pt
+
+    beta = 2.3 * w
+    nu = nv = 64
+    n = 96
+    upos = rng.uniform(0, nu, n)
+    vpos = rng.uniform(0, nv, n)
+    iu0 = np.floor(upos).astype(np.int64) - (w // 2 - 1)
+    iv0 = np.floor(vpos).astype(np.int64) - (w // 2 - 1)
+    uf, vf = upos - iu0, vpos - iv0
+    plan = pt(iu0, iv0, uf, vf, w, beta, nu, nv, group=32)
+    assert plan["blk"] == 24
+    vre = rng.normal(size=n).astype(np.float32)
+
+    t_re, t_im = grid_tiles_pallas(
+        plan, jnp.asarray(vre), jnp.asarray(vre) * 0.0, interpret=True
+    )
+    g_re, _ = assemble_tiles(t_re, t_im, plan)
+
+    offs = np.arange(w)
+    ku = es_np((uf[:, None] - offs) / (w / 2.0), beta)
+    kv = es_np((vf[:, None] - offs) / (w / 2.0), beta)
+    ref = np.zeros((nu, nv))
+    for i in range(n):
+        for a in range(w):
+            for b in range(w):
+                ref[(iu0[i] + a) % nu, (iv0[i] + b) % nv] += (
+                    vre[i] * ku[i, a] * kv[i, b]
+                )
+    # wider supports mean steeper beta (2.3·W): tiny-tap cells carry more
+    # relative f32 rounding, so the bound is on the grid scale
+    scale = np.abs(ref).max()
+    assert_allclose(np.asarray(g_re[0]), ref, rtol=0, atol=3e-5 * scale)
+
+
 def test_degrid_tiles_spot_oracle(rng):
     """Tile degrid values equal the direct windowed sum (interpret)."""
     import jax.numpy as jnp
