@@ -12,7 +12,7 @@ consumes the result.
 
 from __future__ import annotations
 
-from collections import OrderedDict, deque
+from collections import OrderedDict
 
 import numpy as np
 import jax.numpy as jnp
@@ -59,42 +59,56 @@ CORR_TO_STOKES = {
 CONVERSION_SCHEMA = {**STOKES_TO_CORR, **CORR_TO_STOKES}
 
 
-def _element_indices_and_shape(data):
-    """Flatten a (possibly nested) schema into {name: index-tuple} + shape."""
-    if not isinstance(data, (tuple, list)):
-        data = [data]
+def _element_indices_and_shape(schema):
+    """Flatten a (possibly nested) corr/stokes schema.
 
+    Returns ({name: position-tuple}, shape): every leaf name maps to its
+    multi-dimensional position within the nested lists, and ``shape`` is
+    the rectangular extent the nesting implies. Ragged nestings and
+    repeated names are rejected; CASA integer stokes ids are accepted and
+    mapped to their names.
+    """
+    if not isinstance(schema, (tuple, list)):
+        schema = [schema]
+
+    positions = OrderedDict()
     shape = []
-    queue = deque([(data, (), 0)])
-    result = OrderedDict()
 
-    while queue:
-        current, current_idx, depth = queue.popleft()
+    def leaf_name(leaf):
+        if np.issubdtype(type(leaf), np.integer):
+            try:
+                return STOKES_ID_MAP[leaf]
+            except KeyError:
+                raise ValueError(f"unknown CASA stokes id {leaf!r}")
+        if isinstance(leaf, str):
+            return leaf
+        raise TypeError(
+            f"schema elements must be strings or CASA stokes ids, "
+            f"got {leaf!r} ({type(leaf).__name__})"
+        )
 
-        if len(shape) <= depth:
-            shape.append(len(current))
-        elif shape[depth] != len(current):
+    def descend(node, pos):
+        depth = len(pos)
+        if depth == len(shape):
+            shape.append(len(node))
+        elif len(node) != shape[depth]:
             raise DimensionMismatch(
-                f"Dimension mismatch {shape[depth]} != {len(current)} "
-                f"at depth {depth}"
+                f"ragged schema: level {depth} has both "
+                f"{shape[depth]} and {len(node)} elements"
             )
+        for i, element in enumerate(node):
+            if isinstance(element, (tuple, list)):
+                descend(element, pos + (i,))
+            else:
+                name = leaf_name(element)
+                if name in positions:
+                    raise ValueError(
+                        f"schema names {name!r} more than once"
+                    )
+                positions[name] = pos + (i,)
 
-        for i, e in enumerate(current):
-            if isinstance(e, (tuple, list)):
-                queue.append((e, current_idx + (i,), depth + 1))
-                continue
-            if np.issubdtype(type(e), np.integer):
-                try:
-                    e = STOKES_ID_MAP[e]
-                except KeyError:
-                    raise ValueError(f"Invalid stokes id '{e}'")
-            if not isinstance(e, str):
-                raise TypeError(f"Invalid type '{type(e)}' for element '{e}'")
-            if e in result:
-                raise ValueError(f"'{e}' defined multiple times")
-            result[e] = current_idx + (i,)
-
-    return result, tuple(shape)
+    descend(schema, ())
+    return positions, tuple(shape)
 
 
 def convert_ri(input, input_schema, output_schema, implicit_stokes: bool = False):

@@ -20,64 +20,75 @@ import numpy as np
 __all__ = ["freeze", "Multiton", "LazyProxy", "LazyProxyMultiton"]
 
 
-def freeze(arg):
-    """Recursively build a hashable key from arg."""
-    if isinstance(arg, set):
-        return tuple(map(freeze, sorted(arg)))
-    if isinstance(arg, (tuple, list)):
-        return tuple(map(freeze, arg))
-    if isinstance(arg, (dict, OrderedDict)):
-        return frozenset((freeze(k), freeze(v)) for k, v in sorted(arg.items()))
-    if isinstance(arg, np.ndarray):
-        if arg.nbytes > 10:
-            warn(f"freezing ndarray of size {arg.nbytes} is probably inefficient")
-        return freeze(arg.tolist())
-    return arg
+def freeze(value):
+    """Recursively convert ``value`` into a hashable cache key.
+
+    ndarrays are keyed by (shape, dtype, contents); mappings become
+    frozensets of frozen (key, value) pairs; sets are sorted then tupled;
+    sequences become tuples. Anything else is assumed hashable as-is.
+    """
+    if isinstance(value, np.ndarray):
+        if value.nbytes > 10:
+            warn(
+                f"an ndarray of {value.nbytes} bytes is being hashed into "
+                f"a cache key — this scales poorly; key on a scalar "
+                f"summary or a LazyProxy instead"
+            )
+        return (
+            "ndarray",
+            value.shape,
+            str(value.dtype),
+            tuple(value.ravel().tolist()),
+        )
+    if isinstance(value, (dict, OrderedDict)):
+        return frozenset((freeze(k), freeze(v)) for k, v in value.items())
+    if isinstance(value, set):
+        return tuple(freeze(v) for v in sorted(value))
+    if isinstance(value, (list, tuple)):
+        return tuple(freeze(v) for v in value)
+    return value
 
 
 class Multiton(type):
-    """Metaclass returning a unique instance per unique constructor args.
+    """Metaclass: one live instance per distinct constructor-argument key.
 
-    Instantiation is thread-safe (double-checked locking); instances are
-    weakly cached so they die with their last reference.
+    The key is ``(freeze(args), freeze(kwargs))``. Instances are held
+    weakly, so a cached instance disappears once the last user reference
+    drops; creation is serialised by a per-class lock.
     """
 
-    MISSING = object()
-
-    def __init__(cls, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        cls._multiton_cache = weakref.WeakValueDictionary()
-        cls._multiton_lock = Lock()
+    def __init__(cls, name, bases, namespace, **kwargs):
+        super().__init__(name, bases, namespace, **kwargs)
+        cls._instances = weakref.WeakValueDictionary()
+        cls._instances_lock = Lock()
 
     def __call__(cls, *args, **kwargs):
-        sig = inspect.signature(cls.__init__)
-        pos_in_kw = [
+        # A required positional argument passed by keyword lands in the
+        # kwargs half of the key: the same logical call then maps to two
+        # different keys and silently forks the cache — flag it.
+        required = [
             p.name
-            for p in sig.parameters.values()
-            if p.kind == p.POSITIONAL_OR_KEYWORD
-            and p.default is p.empty
-            and p.name in kwargs
+            for p in inspect.signature(cls.__init__).parameters.values()
+            if p.kind is p.POSITIONAL_OR_KEYWORD and p.default is p.empty
         ]
-        if pos_in_kw:
+        misplaced = sorted(set(required) & set(kwargs))
+        if misplaced:
             warn(
-                f"Positional arguments {pos_in_kw} were supplied as keyword "
-                f"arguments to {cls.__init__}{sig}. This may create separate "
-                f"Multiton instances for what is intended to be a unique "
-                f"set of arguments."
+                f"{cls.__name__}: required positional argument(s) "
+                f"{misplaced} passed by keyword — equivalent calls may "
+                f"produce distinct cached instances"
             )
 
-        key = freeze(args + (kwargs if kwargs else Multiton.MISSING,))
-        try:
-            return cls._multiton_cache[key]
-        except KeyError:
-            pass
-        with cls._multiton_lock:
-            try:
-                return cls._multiton_cache[key]
-            except KeyError:
-                instance = type.__call__(cls, *args, **kwargs)
-                cls._multiton_cache[key] = instance
-                return instance
+        key = (freeze(args), freeze(kwargs))
+        inst = cls._instances.get(key)
+        if inst is not None:
+            return inst
+        with cls._instances_lock:
+            inst = cls._instances.get(key)
+            if inst is None:
+                inst = super().__call__(*args, **kwargs)
+                cls._instances[key] = inst
+            return inst
 
 
 class LazyProxy:
