@@ -11,7 +11,22 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["radec_to_lmn", "radec_to_lm", "lmn_to_radec", "lm_to_radec"]
+__all__ = ["radec_to_lmn", "radec_to_lm", "lmn_to_radec", "lm_to_radec",
+           "n_minus_one"]
+
+
+def n_minus_one(l, m):  # noqa: E741
+    """n − 1 = sqrt(1−l²−m²) − 1 without catastrophic cancellation.
+
+    The naive form rounds the sqrt at ~1 (absolute error ~eps), and a
+    long w baseline amplifies that to ~1e-2 rad of f32 phase; the
+    equivalent quotient −(l²+m²)/(1+sqrt(1−l²−m²)) keeps the *relative*
+    error of n−1 at ~eps. Directions beyond the horizon (l²+m² > 1)
+    clamp to n = 0 (n−1 = −1), matching the clamped sqrt form.
+    """
+    s = l * l + m * m
+    stable = -s / (1.0 + jnp.sqrt(jnp.maximum(1.0 - s, 0.0)))
+    return jnp.where(s > 1.0, -1.0, stable)
 
 
 def _phase_centre_trig(phase_centre, dtype):

@@ -19,30 +19,23 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from africanus_tpu.constants import minus_two_pi_over_c, two_pi_over_c
 from africanus_tpu.ops.cplx import Cplx, cplx
 from africanus_tpu.utils.types import complex_dtype_for, real_dtype_for
 
 __all__ = ["im_to_vis", "vis_to_im", "im_to_vis_ri", "vis_to_im_ri"]
 
 
-def _phase_dot(uvw, lm, real_dtype):
-    """(source, row) geometric delay: l·u + m·v + (n-1)·w.
+def _dft_phase(uvw, lm, frequency, convention, real_dtype):
+    """(source, row, chan) phase via the shared compensated pipeline.
 
-    Computed elementwise rather than as a (source,3)@(3,row) matmul: TPU
-    matmuls default to bf16 operand precision, which is catastrophic for
-    phases reaching 1e4 rad. Three exact f32 VPU multiplies keep full
-    f32 accuracy.
+    Delegates to :func:`africanus_tpu.rime.phase.reduced_phase`: at f32
+    the 1e4-rad phases are carried as two-floats and reduced mod 2π
+    (plain products and bf16 matmuls are both catastrophic there).
     """
-    l = lm[:, 0].astype(real_dtype)  # noqa: E741
-    m = lm[:, 1].astype(real_dtype)
-    n = jnp.sqrt(jnp.maximum(1.0 - l * l - m * m, 0.0)) - 1.0
-    uvw = uvw.astype(real_dtype)
-    return (
-        l[:, None] * uvw[None, :, 0]
-        + m[:, None] * uvw[None, :, 1]
-        + n[:, None] * uvw[None, :, 2]
-    )
+    from africanus_tpu.rime.phase import reduced_phase
+
+    return reduced_phase(lm, uvw, frequency, convention,
+                         real_dtype=real_dtype)
 
 
 def im_to_vis_ri(
@@ -63,11 +56,7 @@ def im_to_vis_ri(
     lm = jnp.asarray(lm)
     frequency = jnp.asarray(frequency)
 
-    if convention == "fourier":
-        constant = minus_two_pi_over_c
-    elif convention == "casa":
-        constant = two_pi_over_c
-    else:
+    if convention not in ("fourier", "casa"):
         raise ValueError("convention not in ('fourier', 'casa')")
 
     img = cplx(image)
@@ -76,8 +65,7 @@ def im_to_vis_ri(
             img.re.dtype, uvw.dtype, lm.dtype, frequency.dtype
         )
 
-    phase = constant * _phase_dot(uvw, lm, real_dtype)
-    p = phase[:, :, None] * frequency.astype(real_dtype)  # (source, row, chan)
+    p = _dft_phase(uvw, lm, frequency, convention, real_dtype)
     cos_p = jnp.cos(p)
     sin_p = jnp.sin(p)
 
@@ -124,11 +112,7 @@ def vis_to_im_ri(
     frequency = jnp.asarray(frequency)
     flags = jnp.asarray(flags)
 
-    if convention == "fourier":
-        constant = two_pi_over_c
-    elif convention == "casa":
-        constant = minus_two_pi_over_c
-    else:
+    if convention not in ("fourier", "casa"):
         raise ValueError("convention not in ('fourier', 'casa')")
 
     v = cplx(vis)
@@ -141,8 +125,9 @@ def vis_to_im_ri(
     vr = v.re.astype(real_dtype) * mask
     vi = v.im.astype(real_dtype) * mask
 
-    phase = constant * _phase_dot(uvw, lm, real_dtype)
-    p = phase[:, :, None] * frequency.astype(real_dtype)  # (source, row, chan)
+    # the adjoint conjugates the kernel: flip the phase convention
+    flipped = "casa" if convention == "fourier" else "fourier"
+    p = _dft_phase(uvw, lm, frequency, flipped, real_dtype)
 
     # Re(e^{ip} V) = cos(p)·Re(V) − sin(p)·Im(V); contract rows on the MXU
     def dot(k, x):

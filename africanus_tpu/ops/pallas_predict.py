@@ -29,22 +29,40 @@ from africanus_tpu.ops.cplx import Cplx
 __all__ = ["predict_kb_pallas"]
 
 
-def _predict_kernel(dot_ref, u1_ref, v1_ref, freq_ref, sfreq_ref,
+def _predict_kernel(dot_ref, dlo_ref, u1_ref, v1_ref, freq_ref, sfreq_ref,
                     bre_ref, bim_ref, out_re_ref, out_im_ref, *,
-                    src_block, have_env):
+                    src_block, have_env, compensated):
     """One (row_tile, chan_tile) output tile; loop over source blocks."""
     nsrc = dot_ref.shape[0]
     nblocks = nsrc // src_block
 
     freq = freq_ref[0, :]  # (TF,)
     sfreq = sfreq_ref[0, :]
+    if compensated:
+        from africanus_tpu.ops.dfloat import _r, split as df_split
+
+        fhh, fhl = df_split(freq)
 
     def body(blk, acc):
         acc_re, acc_im = acc
         s0 = blk * src_block
 
         dot = dot_ref[pl.ds(s0, src_block), :]  # (SB, TR)
-        p = dot[:, :, None] * freq[None, None, :]  # (SB, TR, TF)
+        if compensated:
+            # two-float cycles: p + e carries ~48 bits; reduce mod 1
+            # cycle so sin/cos see a small residual (see ops/dfloat.py)
+            dlo = dlo_ref[pl.ds(s0, src_block), :]
+            dhh, dhl = df_split(dot)
+            p = _r(dot[:, :, None] * freq[None, None, :])  # (SB, TR, TF)
+            e = _r(_r(
+                _r(_r(dhh[:, :, None] * fhh) - p)
+                + _r(dhh[:, :, None] * fhl)
+                + _r(dhl[:, :, None] * fhh)
+            ) + _r(dhl[:, :, None] * fhl))
+            e = _r(e + _r(dlo[:, :, None] * freq[None, None, :]))
+            p = (2.0 * jnp.pi) * _r(_r(p - jnp.round(p)) + e)
+        else:
+            p = dot[:, :, None] * freq[None, None, :]  # (SB, TR, TF)
         kre = jnp.cos(p)
         kim = jnp.sin(p)
 
@@ -84,7 +102,12 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
 
     Parameters
     ----------
-    phase_dot : (src, row) f32 — 2π/c-scaled geometric delay (phase = dot·ν)
+    phase_dot : either a (src, row) f32 array — the 2π/c-scaled geometric
+        delay, phase = dot·ν (legacy fast path) — or a two-float
+        ``(hi, lo)`` pair of (src, row) f32 arrays in signed *seconds*
+        (from :func:`africanus_tpu.rime.phase.phase_dot_cycles`): the
+        phase is then 2π·frac(dot·ν), reduced in-kernel at ~48-bit
+        precision (the compensated path; ~4 orders more accurate).
     u1, v1 : (src, row) f32 or None — gaussian-envelope coordinates
         (envelope = exp(−((u1·sf)² + (v1·sf)²))); pass None for points
     freq : (chan,) f32; scaled_freq : (chan,) f32 (gauss-scaled)
@@ -97,6 +120,11 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
     Shapes must tile exactly: row % row_tile == chan % chan_tile ==
     src % src_block == 0 (pad inputs with zero-flux sources / dummy rows).
     """
+    compensated = isinstance(phase_dot, (tuple, list))
+    if compensated:
+        phase_dot, phase_dot_lo = phase_dot
+    else:
+        phase_dot_lo = jnp.zeros_like(phase_dot)
     nsrc, nrow = phase_dot.shape
     nchan = freq.shape[0]
     ncorr = b.re.shape[2]
@@ -115,7 +143,8 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
 
     grid = (nrow // row_tile, nchan // chan_tile)
 
-    kernel = partial(_predict_kernel, src_block=src_block, have_env=have_env)
+    kernel = partial(_predict_kernel, src_block=src_block,
+                     have_env=have_env, compensated=compensated)
 
     # corr-major device layouts: a trailing corr dim of 4 would be padded
     # to the 128-lane tile, inflating VMEM 32x
@@ -126,7 +155,9 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
 
     in_specs = [
         pl.BlockSpec((nsrc, row_tile), lambda i, j: (0, i),
-                     memory_space=pltpu.VMEM),  # phase_dot
+                     memory_space=pltpu.VMEM),  # phase_dot (hi)
+        pl.BlockSpec((nsrc, row_tile), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),  # phase_dot (lo)
         pl.BlockSpec((nsrc, row_tile), lambda i, j: (0, i),
                      memory_space=pltpu.VMEM),  # u1
         pl.BlockSpec((nsrc, row_tile), lambda i, j: (0, i),
@@ -163,6 +194,7 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
         ),
     )(
         phase_dot.astype(jnp.float32),
+        phase_dot_lo.astype(jnp.float32),
         u1.astype(jnp.float32),
         v1.astype(jnp.float32),
         freq.astype(jnp.float32).reshape(1, -1),

@@ -112,14 +112,8 @@ class RimeFactory:
                     state.update(tf.transform(state))
         return state
 
-    def __call__(self, **kwargs):
-        """Evaluate the RIME: returns Cplx (row, chan, corr)."""
-        state = self._build_state(kwargs)
-
-        for term in self.rime_spec.terms:
-            term.validate(state)
-
-        # sample + chain
+    def _sample_chain(self, state):
+        """Sample every term against ``state`` and fold the Jones chain."""
         chain = None
         for term in self.rime_spec.terms:
             val = term.sample(state)
@@ -133,19 +127,182 @@ class RimeFactory:
                 f"Chain produced {chain.ncorr} correlations but the "
                 f"specification wants {ncorr}"
             )
+        return chain
+
+    def _source_keys(self, state):
+        """State keys carrying a leading source axis, and the source count.
+
+        Terms declare their source-indexed arguments via ``SOURCE_ARGS``;
+        terms that leave it None fall back to matching each argument's
+        leading dimension against the source count (inferred from the
+        first declared key, or lm/radec/stokes).
+        """
+        declared = set()
+        undeclared_terms = []
+        for term in self.rime_spec.terms:
+            sa = getattr(term, "SOURCE_ARGS", None)
+            if sa is None:
+                undeclared_terms.append(term)
+            else:
+                declared.update(a for a in sa if state.get(a) is not None)
+
+        nsrc = None
+        for k in (*sorted(declared), "lm", "radec", "stokes"):
+            v = state.get(k)
+            if v is not None and getattr(v, "ndim", 0) >= 1:
+                nsrc = v.shape[0]
+                break
+        if nsrc is None:
+            return set(), None
+
+        for term in undeclared_terms:
+            for a in (*term.ARGS, *term.KWARGS):
+                v = state.get(a)
+                if (
+                    v is not None
+                    and getattr(v, "ndim", 0) >= 1
+                    and v.shape[0] == nsrc
+                ):
+                    declared.add(a)
+        return declared, nsrc
+
+    def __call__(self, source_block=None, **kwargs):
+        """Evaluate the RIME: returns Cplx (row, chan, corr).
+
+        ``source_block`` bounds the source dimension materialised at once
+        (see :meth:`evaluate`). Index/transformer state is built on the
+        host each call; to amortise per-op dispatch latency, jit around
+        a prebuilt state instead::
+
+            factory = RimeFactory(spec)
+            state = factory.build_state(**host_arrays)
+            step = jax.jit(partial(factory.evaluate, source_block=N))
+            vis = step(state)   # state leaves may now be traced/sharded
+        """
+        state = self._build_state(kwargs)
+        return self.evaluate(state, source_block=source_block)
+
+    def build_state(self, **kwargs):
+        """Public host-side state construction (index arrays, inverse
+        lookups, transformer outputs) — everything :meth:`evaluate` needs.
+        Array values pass through; ``time``/``antenna*``/``feed*`` must be
+        concrete (numpy) since unique/inverse run on the host."""
+        return self._build_state(kwargs)
+
+    def evaluate(self, state, source_block=None):
+        """Jittable evaluation of the RIME against a prebuilt state.
+
+        ``source_block`` bounds the source dimension materialised at once:
+        the (block, row, chan) grids are evaluated inside a ``lax.scan``
+        and Kahan-accumulated into the output, so memory is
+        O(block·row·chan) instead of O(source·row·chan) — the reference's
+        LinearReduction (dask_predict.py:64-254) with the Kahan sum of
+        its fused kernel (fused/core.py:97-118). None evaluates all
+        sources in one grid (XLA tree-sum).
+        """
+        for term in self.rime_spec.terms:
+            term.validate(state)
 
         nrow = state["time_inverse"].shape[0]
         nchan = jnp.shape(state["chan_freq"])[0]
+        ncorr = len(self.rime_spec.corrs)
 
-        # sum over the source axis of each correlation lane
-        outs = []
-        for comp in chain.comps:
-            re = jnp.broadcast_to(comp.re, (comp.re.shape[0], nrow, nchan))
-            im = jnp.broadcast_to(comp.im, (comp.im.shape[0], nrow, nchan))
-            outs.append(Cplx(re.sum(axis=0), im.sum(axis=0)))
+        if source_block is not None:
+            src_keys, nsrc = self._source_keys(state)
+            if nsrc is None:
+                raise ValueError(
+                    "source_block given but no source-indexed argument "
+                    "was found to block over"
+                )
+            source_block = min(int(source_block), int(nsrc))
+        if source_block is None:
+            chain = self._sample_chain(state)
+            outs = []
+            for comp in chain.comps:
+                re = jnp.broadcast_to(
+                    comp.re, (comp.re.shape[0], nrow, nchan)
+                )
+                im = jnp.broadcast_to(
+                    comp.im, (comp.im.shape[0], nrow, nchan)
+                )
+                outs.append(Cplx(re.sum(axis=0), im.sum(axis=0)))
+            out_re = jnp.stack([o.re for o in outs], axis=-1)
+            out_im = jnp.stack([o.im for o in outs], axis=-1)
+            return Cplx(out_re, out_im)
 
-        out_re = jnp.stack([o.re for o in outs], axis=-1)
-        out_im = jnp.stack([o.im for o in outs], axis=-1)
+        from jax import lax
+
+        from africanus_tpu.ops.dfloat import two_sum
+
+        nblocks = -(-nsrc // source_block)
+        spad = nblocks * source_block
+
+        def pad_stack(v):
+            v = jnp.asarray(v)
+            if spad != nsrc:
+                v = jnp.concatenate(
+                    [v, jnp.zeros((spad - nsrc,) + v.shape[1:], v.dtype)]
+                )
+            return v.reshape((nblocks, source_block) + v.shape[1:])
+
+        stacked = {k: pad_stack(state[k]) for k in src_keys}
+        # padded tail sources are masked out of every block's partial sum
+        # (zero-padding alone is wrong for e.g. a bare K chain, where a
+        # zeroed lm still contributes e^{i0} = 1)
+        valid = (
+            jnp.arange(spad) < nsrc
+        ).reshape(nblocks, source_block)
+
+        sample_dtype = jnp.result_type(
+            *(jnp.asarray(state[k]).dtype for k in src_keys),
+            jnp.asarray(state["chan_freq"]).dtype,
+        )
+        if not jnp.issubdtype(sample_dtype, jnp.floating):
+            sample_dtype = jnp.float32
+
+        def body(carry, xs):
+            acc_re, c_re, acc_im, c_im = carry
+            bvals, bmask = xs
+            bstate = dict(state)
+            bstate.update(bvals)
+            chain = self._sample_chain(bstate)
+
+            mask = bmask.astype(sample_dtype)[:, None, None]
+            new_re, new_cre, new_im, new_cim = [], [], [], []
+            for i, comp in enumerate(chain.comps):
+                pre = (
+                    jnp.broadcast_to(
+                        comp.re, (source_block, nrow, nchan)
+                    ) * mask
+                ).sum(axis=0)
+                pim = (
+                    jnp.broadcast_to(
+                        comp.im, (source_block, nrow, nchan)
+                    ) * mask
+                ).sum(axis=0)
+                sr, er = two_sum(acc_re[i], pre)
+                si, ei = two_sum(acc_im[i], pim)
+                new_re.append(sr)
+                new_cre.append(c_re[i] + er)
+                new_im.append(si)
+                new_cim.append(c_im[i] + ei)
+            return (
+                tuple(new_re), tuple(new_cre),
+                tuple(new_im), tuple(new_cim),
+            ), None
+
+        zeros = tuple(
+            jnp.zeros((nrow, nchan), sample_dtype) for _ in range(ncorr)
+        )
+        (acc_re, c_re, acc_im, c_im), _ = lax.scan(
+            body, (zeros, zeros, zeros, zeros), (stacked, valid)
+        )
+        out_re = jnp.stack(
+            [acc_re[i] + c_re[i] for i in range(ncorr)], axis=-1
+        )
+        out_im = jnp.stack(
+            [acc_im[i] + c_im[i] for i in range(ncorr)], axis=-1
+        )
         return Cplx(out_re, out_im)
 
 

@@ -101,10 +101,18 @@ def term_mul(a: TermValue, b: TermValue) -> TermValue:
 class Term:
     """Base class. Subclasses define ARGS/KWARGS (argument names pulled
     from the user's kwargs) and implement ``sample(state) -> TermValue``.
-    ``configuration`` is "left"/"middle"/"right" from the spec string."""
+    ``configuration`` is "left"/"middle"/"right" from the spec string.
+
+    ``SOURCE_ARGS`` names the subset of ARGS/KWARGS indexed by source on
+    their leading axis — the fused core slices exactly these when
+    evaluating in source blocks (``rime(..., source_block=N)``). Leave it
+    ``None`` (the default) to let the core infer them by matching each
+    argument's leading dimension against the source count.
+    """
 
     ARGS: tuple = ()
     KWARGS: dict = {}
+    SOURCE_ARGS: tuple | None = None
 
     def __init__(self, configuration: str = "middle"):
         self.configuration = configuration
@@ -130,31 +138,17 @@ class Phase(Term):
     """Phase Delay Term (terms/phase.py:9): e^{C·(ul+vm+(n−1)w)·ν}."""
 
     ARGS = ("lm", "uvw", "chan_freq")
+    SOURCE_ARGS = ("lm",)
     KWARGS = {"convention": "fourier"}
 
     def sample(self, state) -> TermValue:
-        lm = state["lm"]
-        uvw = state["uvw"]
-        freq = state["chan_freq"]
-        convention = state.get("convention", "fourier")
+        from africanus_tpu.rime.phase import phase_delay_ri
 
-        if convention == "fourier":
-            C = -2.0 * np.pi / lightspeed
-        elif convention == "casa":
-            C = 2.0 * np.pi / lightspeed
-        else:
-            raise ValueError('convention not in ("fourier", "casa")')
-
-        l = lm[:, 0]  # noqa: E741
-        m = lm[:, 1]
-        n = jnp.sqrt(jnp.maximum(1.0 - l * l - m * m, 0.0)) - 1.0
-        dot = (
-            l[:, None] * uvw[None, :, 0]
-            + m[:, None] * uvw[None, :, 1]
-            + n[:, None] * uvw[None, :, 2]
+        k = phase_delay_ri(
+            state["lm"], state["uvw"], state["chan_freq"],
+            convention=state.get("convention", "fourier"),
         )
-        p = C * dot[:, :, None] * freq
-        return TermValue("scalar", (Cplx(jnp.cos(p), jnp.sin(p)),))
+        return TermValue("scalar", (k,))
 
 
 # stokes -> correlation linear combinations (terms/brightness.py:11-21)
@@ -174,6 +168,7 @@ class Brightness(Term):
     """Brightness Term (terms/brightness.py): spectral model + stokes→corr."""
 
     ARGS = ("stokes", "chan_freq")
+    SOURCE_ARGS = ("stokes", "spi", "ref_freq")
     KWARGS = {"spi": None, "ref_freq": None, "spi_base": "standard"}
 
     def __init__(self, configuration, stokes, corrs):
@@ -243,6 +238,7 @@ class Gaussian(Term):
     """Gaussian amplitude term (terms/gaussian.py:9)."""
 
     ARGS = ("uvw", "chan_freq", "gauss_shape")
+    SOURCE_ARGS = ("gauss_shape",)
 
     def sample(self, state) -> TermValue:
         uvw = state["uvw"]
@@ -271,6 +267,7 @@ class FeedRotation(Term):
     [sin b, cos b]] for the two receptors."""
 
     ARGS = ("feed_parangle",)
+    SOURCE_ARGS = ()
 
     def __init__(self, configuration, feed_type, corrs):
         if configuration not in {"left", "right"}:
@@ -327,6 +324,7 @@ class BeamCubeDDE(Term):
     gathered to rows via the time/antenna inverse indices."""
 
     ARGS = ("beam", "beam_lm_extents", "beam_freq_map", "lm", "chan_freq")
+    SOURCE_ARGS = ("lm",)
     KWARGS = {
         "beam_parangle": None,
         "beam_point_errors": None,

@@ -19,23 +19,29 @@ import jax.numpy as jnp
 from jax import lax
 
 from africanus_tpu.constants import minus_two_pi_over_c
+from africanus_tpu.coordinates.transforms import n_minus_one
 from africanus_tpu.ops.cplx import Cplx, expi
 from africanus_tpu.utils.types import complex_dtype_for
 
-__all__ = ["phase_delay", "phase_delay_ri"]
+__all__ = ["phase_delay", "phase_delay_ri", "phase_dot_cycles",
+           "reduced_phase"]
+
+
+def _sign_for(convention):
+    if convention == "fourier":
+        return -1.0
+    if convention == "casa":
+        return 1.0
+    raise ValueError("convention not in ('fourier', 'casa')")
 
 
 def _real_phase(lm, uvw, frequency, convention, real_dtype):
-    if convention == "fourier":
-        constant = minus_two_pi_over_c
-    elif convention == "casa":
-        constant = -minus_two_pi_over_c
-    else:
-        raise ValueError("convention not in ('fourier', 'casa')")
+    # minus_two_pi_over_c is -2π/c; fourier keeps it, casa negates
+    constant = -_sign_for(convention) * minus_two_pi_over_c
 
     l = lm[:, 0].astype(real_dtype)  # noqa: E741
     m = lm[:, 1].astype(real_dtype)
-    n = jnp.sqrt(jnp.maximum(1.0 - l * l - m * m, 0.0)) - 1.0
+    n = n_minus_one(l, m)
 
     # (source, row) geometric delay, computed elementwise: the MXU would
     # run this 3-term contraction at bf16 input precision (DEFAULT matmul
@@ -52,7 +58,89 @@ def _real_phase(lm, uvw, frequency, convention, real_dtype):
     return (constant * phase_dot)[:, :, None] * frequency.astype(real_dtype)
 
 
-def phase_delay_ri(lm, uvw, frequency, convention: str = "fourier") -> Cplx:
+def phase_dot_cycles(lm, uvw, convention: str = "fourier"):
+    """Signed geometric delay ±(u·l+v·m+w·(n−1))/c as a two-f32 pair.
+
+    Units are seconds, so ``delay · ν`` is the phase in *cycles*; the
+    sign already carries the convention (fourier −, casa +). This is the
+    (src, row) prologue of the compensated phase path, shared by the XLA
+    formulation (:func:`phase_delay_ri`) and the fused Pallas predict
+    kernel (ops/pallas_predict.py), which both finish with a per-channel
+    two-float product and a mod-1-cycle reduction.
+    """
+    from africanus_tpu.ops.dfloat import (
+        df_add, df_const, df_mul, n_minus_one_df, two_prod,
+    )
+
+    sign = _sign_for(convention)
+    f32 = jnp.float32
+    lm = jnp.asarray(lm)
+    uvw = jnp.asarray(uvw)
+    l = lm[:, 0].astype(f32)  # noqa: E741
+    m = lm[:, 1].astype(f32)
+    n1h, n1l = n_minus_one_df(l, m)
+
+    uvw = uvw.astype(f32)
+    w = uvw[None, :, 2]
+    metres = df_add(
+        df_add(two_prod(l[:, None], uvw[None, :, 0]),
+               two_prod(m[:, None], uvw[None, :, 1])),
+        df_mul((n1h[:, None], n1l[:, None]), (w, jnp.zeros_like(w))),
+    )  # (src, row) metres, two-float
+    return df_mul(metres, df_const(sign / 299792458.0))
+
+
+def _reduced_phase_f32(lm, uvw, frequency, convention):
+    """Compensated f32 phase: the (src,row,chan) phase reduced mod 2π.
+
+    The cycle count ±(u·l+v·m+w·(n−1))·ν/c is carried as a two-f32 pair
+    (~48 bits) and reduced modulo one cycle before the 2π scale, so
+    cos/sin see a small exact residual instead of an O(1e4)-rad f32
+    value (see ops/dfloat.py). Costs ~12 extra VPU flops per element
+    against the two transcendentals.
+    """
+    from africanus_tpu.ops.dfloat import _r, reduce_cycles, split
+
+    dot = phase_dot_cycles(lm, uvw, convention)  # (src, row) seconds
+    freq = jnp.asarray(frequency).astype(jnp.float32)
+
+    # (src,row,chan) df product with hoisted Dekker splits: the O(S·R·C)
+    # inner body is ~11 flops + round, fused with cos/sin by XLA
+    # (_r barriers force exact f32 rounding — see ops/dfloat.py)
+    dh, dl = dot[0][:, :, None], dot[1][:, :, None]
+    dhh, dhl = split(dh)
+    fhh, fhl = split(freq)
+    p = _r(dh * freq)
+    e = _r(_r(_r(_r(dhh * fhh) - p) + _r(dhh * fhl) + _r(dhl * fhh))
+           + _r(dhl * fhl))
+    e = _r(e + _r(dl * freq))
+    frac = reduce_cycles(p, e)
+    return (2.0 * jnp.pi) * frac
+
+
+def reduced_phase(lm, uvw, frequency, convention: str = "fourier",
+                  real_dtype=None, compensated: bool | None = None):
+    """(src, row, chan) real phase ±2π·(u·l+v·m+w·(n−1))·ν/c.
+
+    With ``compensated`` (default: exactly when the working dtype is
+    float32) the phase is reduced mod 2π through the two-float pipeline;
+    otherwise it is the plain product at ``real_dtype``. Shared by the K
+    term and the DFT kernels.
+    """
+    lm = jnp.asarray(lm)
+    uvw = jnp.asarray(uvw)
+    frequency = jnp.asarray(frequency)
+    if real_dtype is None:
+        real_dtype = jnp.result_type(lm.dtype, uvw.dtype, frequency.dtype)
+    if compensated is None:
+        compensated = jnp.dtype(real_dtype) == jnp.float32
+    if compensated:
+        return _reduced_phase_f32(lm, uvw, frequency, convention)
+    return _real_phase(lm, uvw, frequency, convention, real_dtype)
+
+
+def phase_delay_ri(lm, uvw, frequency, convention: str = "fourier",
+                   compensated: bool | None = None) -> Cplx:
     """TPU-native K term as a split (re, im) pair.
 
     Parameters
@@ -61,17 +149,15 @@ def phase_delay_ri(lm, uvw, frequency, convention: str = "fourier") -> Cplx:
     uvw : (row, 3) array
     frequency : (chan,) array
     convention : {"fourier", "casa"}
+    compensated : use the two-float mod-2π phase (default: on exactly
+        when the working dtype is float32 — f64 math doesn't need it).
 
     Returns
     -------
     Cplx with (source, row, chan) components.
     """
-    lm = jnp.asarray(lm)
-    uvw = jnp.asarray(uvw)
-    frequency = jnp.asarray(frequency)
-    real_dtype = jnp.result_type(lm.dtype, uvw.dtype, frequency.dtype)
-    p = _real_phase(lm, uvw, frequency, convention, real_dtype)
-    return expi(p)
+    return expi(reduced_phase(lm, uvw, frequency, convention,
+                              compensated=compensated))
 
 
 def phase_delay(lm, uvw, frequency, convention: str = "fourier"):

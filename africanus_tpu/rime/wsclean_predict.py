@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from africanus_tpu.constants import two_pi_over_c, c as lightspeed
+from africanus_tpu.coordinates.transforms import n_minus_one
 from africanus_tpu.model.wsclean.spec_model import spectra
 from africanus_tpu.ops.cplx import Cplx
 
@@ -62,7 +63,7 @@ def wsclean_predict_ri(
 
     l = lm[:, 0]  # noqa: E741
     m = lm[:, 1]
-    n = jnp.sqrt(jnp.maximum(1.0 - l * l - m * m, 0.0)) - 1.0
+    n = n_minus_one(l, m)
 
     u, v, w = uvw[:, 0], uvw[:, 1], uvw[:, 2]
 

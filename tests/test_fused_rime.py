@@ -226,3 +226,42 @@ def test_rime_bad_custom_term_name():
     with pytest.raises(RimeSpecificationError, match="Can't find a type"):
         RimeSpecification("(Cpq, Kpq, Bpq): [I] -> [XX]",
                           terms={"C": "NoSuchTerm"})
+
+
+@pytest.mark.parametrize("block", [1, 2, 3, 5, 100])
+def test_fused_rime_source_block_invariance(obs, block):
+    """source_block must not change the result (the reference's
+    LinearReduction property: serial source-chunk accumulation equals the
+    one-shot sum; dask_predict.py:64-254)."""
+    spec = "(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]"
+    full = to_numpy(rime(spec, obs))
+    blocked = to_numpy(rime(spec, obs, source_block=block))
+    assert_allclose(blocked, full, rtol=1e-12, atol=1e-13)
+
+
+def test_fused_rime_source_block_custom_term_heuristic(obs):
+    """A custom term without SOURCE_ARGS still blocks correctly via the
+    leading-dimension heuristic."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.cplx import Cplx
+    from africanus_tpu.rime.fused.terms import Term, TermValue
+
+    class Flux(Term):
+        ARGS = ("model_flux",)
+
+        def sample(self, state):
+            f = jnp.asarray(state["model_flux"])  # (src, chan)
+            c = Cplx(f[:, None, :], jnp.zeros_like(f[:, None, :]))
+            return TermValue("diag", (c, c))
+
+    nsrc = obs["radec"].shape[0]
+    nchan = obs["chan_freq"].shape[0]
+    ds = dict(obs)
+    ds["model_flux"] = np.random.default_rng(3).uniform(
+        0.5, 1.5, (nsrc, nchan)
+    )
+    spec = RimeSpecification("(Kpq, Fpq): [I,Q] -> [XX,YY]",
+                             terms={"F": Flux})
+    full = to_numpy(rime(spec, ds))
+    blocked = to_numpy(rime(spec, ds, source_block=2))
+    assert_allclose(blocked, full, rtol=1e-12, atol=1e-13)

@@ -75,6 +75,36 @@ def test_pallas_predict_no_envelope(monkeypatch, problem):
     assert_allclose(np.asarray(out.re), np.asarray(ref.re), atol=1e-5 * scale)
 
 
+def test_pallas_predict_compensated(monkeypatch, rng):
+    """Two-float phase pair input: the kernel reduces dot·nu mod one cycle
+    and must match a float64 complex-exponential oracle at realistic
+    (1e4 rad) phase magnitudes, where the plain f32 product cannot."""
+    _interp_pallas(monkeypatch)
+    from africanus_tpu.rime.phase import phase_dot_cycles
+
+    S, R, F, C = 16, 128, 128, 2
+    lm = rng.uniform(-0.02, 0.02, (S, 2)).astype(np.float32)
+    uvw = rng.uniform(-8000, 8000, (R, 3)).astype(np.float32)
+    freq = np.linspace(0.856e9, 1.712e9, F).astype(np.float32)
+    b = Cplx(rng.normal(size=(S, F, C)).astype(np.float32),
+             rng.normal(size=(S, F, C)).astype(np.float32))
+
+    dot_pair = jax.jit(phase_dot_cycles)(lm, uvw)
+    out = pp.predict_kb_pallas(tuple(np.asarray(d) for d in dot_pair),
+                               None, None, freq, freq * 0, b)
+
+    l, m = lm[:, 0].astype(np.float64), lm[:, 1].astype(np.float64)
+    n = np.sqrt(np.maximum(1 - l * l - m * m, 0)) - 1
+    dot = (l[:, None] * uvw[None, :, 0] + m[:, None] * uvw[None, :, 1]
+           + n[:, None] * uvw[None, :, 2]).astype(np.float64)
+    p = (-2 * np.pi / 299792458.0) * dot[:, :, None] * freq.astype(np.float64)
+    K = np.exp(1j * p)
+    ref = np.einsum("srf,sfc->rfc", K, b.re + 1j * b.im)
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-6
+
+
 def test_pallas_predict_shape_validation(problem):
     dot, u1, v1, freq, sf, b = problem
     with pytest.raises(ValueError, match="divisible"):
