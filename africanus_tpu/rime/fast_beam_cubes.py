@@ -70,6 +70,9 @@ def beam_cube_dde_ri(
     point_errors,
     antenna_scaling,
     frequency,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+    chan_invariant: bool | None = None,
 ) -> Cplx:
     """Pair-native beam cube DDE.
 
@@ -135,6 +138,93 @@ def beam_cube_dde_ri(
     # Cube coordinates, clamped to the cube edges
     vl = jnp.clip(lscale * (vl - lower_l), 0.0, lmaxf)
     vm = jnp.clip(mscale * (vm - lower_m), 0.0, mmaxf)
+
+    if use_pallas is None:
+        import jax
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and jnp.result_type(b.re.dtype, lm.dtype) == jnp.float32
+        )
+    if use_pallas:
+        import jax
+        import numpy as np
+
+        from africanus_tpu.ops.pallas_beam import (
+            beam_interp_pallas, prepare_beam_slabs,
+        )
+
+        slabs, _, _, _ = prepare_beam_slabs(fb.re, fb.im)
+        shape = vl.shape
+        s, t, a, f = shape
+
+        # Channel-invariant fast path: when pointing errors and antenna
+        # scaling do not vary with channel and every frequency lies
+        # inside the cube (freq_scale == 1 — the reference's default
+        # configuration), the (l, m) coordinates are identical for all
+        # channels, so interpolate each of the nud cube slabs ONCE
+        # (nud ≪ nchan samples) and blend per channel in XLA.
+        # auto-detection needs concrete inputs; inside jit (tracers) pass
+        # chan_invariant=True explicitly when the conditions are known
+        chan_inv = bool(chan_invariant)
+        probe = (pe, ascale, frequency)
+        if chan_invariant is None and not any(
+            isinstance(x, jax.core.Tracer) for x in probe
+        ):
+            pe_np = np.asarray(pe)
+            asc_np = np.asarray(ascale)
+            fr_np = np.asarray(frequency)
+            fm_np = np.asarray(beam_freq_map)
+            chan_inv = bool(
+                np.all(pe_np == pe_np[:, :, :1, :])
+                and np.all(asc_np == asc_np[:, :1, :])
+                and fr_np.min() >= fm_np[0]
+                and fr_np.max() <= fm_np[-1]
+            )
+
+        if chan_inv:
+            nud_total = fb.shape[2]
+            nsamp = s * t * a
+            vl1 = vl[..., 0].reshape(1, nsamp)
+            vm1 = vm[..., 0].reshape(1, nsamp)
+            vlk = jnp.broadcast_to(vl1, (nud_total, nsamp))
+            vmk = jnp.broadcast_to(vm1, (nud_total, nsamp))
+            idx = np.arange(nud_total, dtype=np.int32)
+            raw = beam_interp_pallas(
+                slabs, beam_lw, beam_mh, ncorr, vlk, vmk,
+                idx, idx, np.ones(nud_total, np.float32),
+                interpret=interpret, normalize=False,
+            )  # (3C, nud, nsamp) bilinear per slab
+            # per-channel frequency blend as a two-hot matmul over the
+            # tiny nud axis (trace-friendly; gathers would be slow)
+            slab_ax = jnp.arange(nud_total)[None, :]
+            wc = jnp.where(
+                slab_ax == gc0[:, None], nud[:, None], 0.0
+            ) + jnp.where(slab_ax == gc1[:, None], inv_nud[:, None], 0.0)
+            blend = jnp.einsum(
+                "kns,cn->kcs", raw, wc,
+                precision=lax.Precision.HIGHEST,
+            )
+            sre = blend[:ncorr]  # (C, chan, nsamp)
+            sim = blend[ncorr : 2 * ncorr]
+            amp = blend[2 * ncorr :]
+            div = jnp.sqrt(sre * sre + sim * sim)
+            norm = jnp.where(
+                div == 0.0, amp, amp / jnp.where(div == 0.0, 1.0, div)
+            )
+            res = jnp.concatenate([sre * norm, sim * norm], axis=0)
+        else:
+            vlk = jnp.moveaxis(vl, 3, 0).reshape(f, -1)
+            vmk = jnp.moveaxis(vm, 3, 0).reshape(f, -1)
+            res = beam_interp_pallas(
+                slabs, beam_lw, beam_mh, ncorr, vlk, vmk,
+                gc0, gc1, nud, interpret=interpret,
+            )  # (2C, chan, s·t·a)
+        res = res.reshape(2 * ncorr, f, s, t, a)
+        res = jnp.moveaxis(res, 1, 4)  # (2C, s, t, a, chan)
+        out_re = jnp.moveaxis(res[:ncorr], 0, -1)  # (s,t,a,chan,C)
+        out_im = jnp.moveaxis(res[ncorr:], 0, -1)
+        return Cplx(out_re, out_im).reshape(shape + corrs)
 
     gl0 = jnp.floor(vl).astype(jnp.int32)
     gm0 = jnp.floor(vm).astype(jnp.int32)

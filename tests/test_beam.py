@@ -204,3 +204,60 @@ def test_transform_sources(rng):
                     expected[1, s, t, a, c] = m * scale[a, c]
                     expected[2, s, t, a, c] = freq[c]
     assert_allclose(out, expected, rtol=1e-12)
+
+
+def test_beam_cube_dde_pallas_matches_xla(rng, beam_setup):
+    """The Pallas one-hot-matmul interpolation kernel (interpret mode)
+    must match the XLA 8-gather formulation."""
+    from africanus_tpu.ops.cplx import to_numpy
+    from africanus_tpu.rime.fast_beam_cubes import beam_cube_dde_ri
+
+    beam, extents, freq_map = beam_setup
+    nsrc, ntime, nants, nchan = 4, 3, 4, 5
+    lm = rng.uniform(-0.015, 0.015, (nsrc, 2))
+    pa = rng.uniform(-np.pi, np.pi, (ntime, nants))
+    pe = rng.normal(scale=1e-4, size=(ntime, nants, nchan, 2))
+    ascale = rng.uniform(0.9, 1.1, (nants, nchan, 2))
+    freq = np.linspace(0.85e9, 1.75e9, nchan)
+
+    args = (beam, extents, freq_map, lm, pa, pe, ascale, freq)
+    ref = to_numpy(beam_cube_dde_ri(*args, use_pallas=False))
+    got = to_numpy(
+        beam_cube_dde_ri(*args, use_pallas=True, interpret=True)
+    )
+    assert got.shape == ref.shape
+    # kernel computes in f32; the XLA reference here runs in f64
+    assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_beam_cube_dde_pallas_chan_invariant(rng, beam_setup):
+    """The chan-invariant fast path (per-slab interpolation + XLA
+    frequency blend) must match the general path when pointing errors
+    and antenna scaling are channel-constant and freqs are in-cube."""
+    from africanus_tpu.ops.cplx import to_numpy
+    from africanus_tpu.rime.fast_beam_cubes import beam_cube_dde_ri
+
+    beam, extents, freq_map = beam_setup
+    nsrc, ntime, nants, nchan = 4, 2, 3, 6
+    lm = rng.uniform(-0.015, 0.015, (nsrc, 2))
+    pa = rng.uniform(-np.pi, np.pi, (ntime, nants))
+    pe = np.broadcast_to(
+        rng.normal(scale=1e-4, size=(ntime, nants, 1, 2)),
+        (ntime, nants, nchan, 2),
+    ).copy()
+    ascale = np.broadcast_to(
+        rng.uniform(0.9, 1.1, (nants, 1, 2)), (nants, nchan, 2)
+    ).copy()
+    freq = np.linspace(freq_map[0], freq_map[-1], nchan)
+
+    args = (beam, extents, freq_map, lm, pa, pe, ascale, freq)
+    ref = to_numpy(beam_cube_dde_ri(*args, use_pallas=False))
+    fast = to_numpy(
+        beam_cube_dde_ri(*args, use_pallas=True, interpret=True)
+    )
+    slow = to_numpy(
+        beam_cube_dde_ri(*args, use_pallas=True, interpret=True,
+                         chan_invariant=False)
+    )
+    assert_allclose(fast, ref, rtol=1e-5, atol=1e-6)
+    assert_allclose(slow, ref, rtol=1e-5, atol=1e-6)
