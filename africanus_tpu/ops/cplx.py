@@ -80,7 +80,8 @@ class Cplx(NamedTuple):
 def cplx(x) -> Cplx:
     """Coerce an array (real, complex, or Cplx) to a Cplx pair."""
     if isinstance(x, Cplx):
-        return x
+        # coerce numpy leaves: indexing them with traced indices fails
+        return Cplx(jnp.asarray(x.re), jnp.asarray(x.im))
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         return Cplx(jnp.real(x), jnp.imag(x))

@@ -1,173 +1,695 @@
 #!/usr/bin/env python
-"""Headline benchmark: MeerKAT-64 full RIME predict (BASELINE.json config 2).
+"""Driver benchmark: the five BASELINE.md configs on the real TPU chip.
 
-Runs the flagship RIME predict step (phase delay K × gaussian envelope ×
-4-corr spectral brightness, source-summed, DIE gains applied) on the default
-device (the real TPU chip under the driver) with device-resident inputs, and
-compares against a vectorised numpy float64 implementation of the same
-computation on the host CPU (the reference's numba kernels are not
-installable in this environment — numpy-vectorised is the stand-in
-single-node baseline; the reference's own kernels are row/src/chan scalar
-loops of the same arithmetic).
+Each config measures (a) a single-CPU float64 numpy baseline — the
+reference's numba kernels are not installable in this environment (no
+numba wheel), so a *vectorised* numpy implementation of the same
+arithmetic stands in; the reference's own kernels are scalar loops of
+the same math, so this baseline is, if anything, generous — (b) the TPU
+implementation's throughput with fetch-barrier timing amortised inside
+one jit, (c) a roofline fraction from an analytic flop/byte model
+(utils/profiling.Roofline, v5e peaks), and (d) the max relative error of
+the f32 device path against the f64 numpy oracle.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": Mvis/s, "unit": "Mvis/s", "vs_baseline": ratio}
+Prints ONE JSON line. Headline keys (metric/value/unit/vs_baseline) come
+from config 2 — the MeerKAT-64 RIME predict — and the full per-config
+results ride in "configs".
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-NSRC = 100
-NANT = 64  # MeerKAT-64 -> 2016 baselines
-NTIME = 4
-NCHAN = 128
-NCORR = 4
-REPS = 20
+C_LIGHT = 2.99792458e8
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_inputs(nchan, dtype):
-    from __graft_entry__ import _flagship
-
-    rng = np.random.default_rng(7)
-    args = _flagship(nsrc=NSRC, ntime=NTIME, nant=NANT, nchan=nchan, rng=rng)
-    return tuple(
-        a.astype(dtype) if np.issubdtype(a.dtype, np.floating) else a
-        for a in args
-    )
+def _fetch(x):
+    """The only reliable device barrier on the axon backend."""
+    return float(np.asarray(x))
 
 
-def np_predict(ti, a1, a2, lm, uvw, freq, stokes, spi, ref_freq, gs, gphase):
-    """Vectorised numpy float64 oracle of the same RIME predict."""
-    C = 2.99792458e8
-    # spectral model (std base): stokes * (nu/nu0)^sum(spi)
-    ratio = freq[None, :] / ref_freq[:, None]
-    alpha = spi.sum(axis=1)  # (src, 4)
-    flux = stokes[:, None, :] * ratio[:, :, None] ** alpha[:, None, :]
-    # stokes -> corr
-    I, Q, U, V = (flux[..., i] for i in range(4))
-    b = np.stack([I + Q, U + 1j * V, U - 1j * V, I - Q], axis=-1)
-    # K term
-    l, m = lm[:, 0], lm[:, 1]
-    n = np.sqrt(np.maximum(1 - l * l - m * m, 0)) - 1
-    dot = (
-        l[:, None] * uvw[None, :, 0]
-        + m[:, None] * uvw[None, :, 1]
-        + n[:, None] * uvw[None, :, 2]
-    )
-    p = (-2 * np.pi / C) * dot[:, :, None] * freq
-    K = np.cos(p) + 1j * np.sin(p)
-    # gaussian envelope
-    fwhm = 2 * np.sqrt(2 * np.log(2))
-    gscale = np.sqrt(2) * np.pi / (fwhm * C)
-    emaj, emin, ang = gs[:, 0], gs[:, 1], gs[:, 2]
-    el, em = emaj * np.sin(ang), emaj * np.cos(ang)
-    er = emin / np.where(emaj == 0, 1, emaj)
-    u1 = (uvw[None, :, 0] * em[:, None] - uvw[None, :, 1] * el[:, None]) * er[:, None]
-    v1 = uvw[None, :, 0] * el[:, None] + uvw[None, :, 1] * em[:, None]
-    sf = freq * gscale
-    env = np.exp(-((u1[:, :, None] * sf) ** 2 + (v1[:, :, None] * sf) ** 2))
-    # source contraction + DIE gains
-    vis = np.einsum("srf,sfc->rfc", K * env, b)
-    g = np.exp(1j * gphase)
-    gp = g[ti, a1]
-    gq = g[ti, a2]
-    return gp * vis * np.conj(gq)
+def _time_jit(fn, *args, reps=10):
+    """Seconds/call: reps amortised inside one jit, result fetched."""
+    from africanus_tpu.utils.profiling import measure
+
+    return measure(fn, *args, reps=reps)
 
 
-def bench_cpu_baseline():
-    nchan = 16
-    args = make_inputs(nchan, np.float64)
-    # warm-up + timed
-    np_predict(*args)
+def _time_host(fn, reps=3):
+    fn()  # warm
     t0 = time.perf_counter()
-    reps = 3
     for _ in range(reps):
-        out = np_predict(*args)
-    dt = (time.perf_counter() - t0) / reps
-    nvis = out.shape[0] * out.shape[1] * NCORR
-    mvis = nvis / dt / 1e6
-    log(f"cpu numpy baseline: {dt*1e3:.1f} ms for {nvis/1e6:.2f} Mvis "
-        f"-> {mvis:.1f} Mvis/s")
-    return mvis, out, args
+        out = fn()
+    return (time.perf_counter() - t0) / reps, out
 
 
-def bench_tpu(use_pallas=True):
+def _roofline_frac(seconds, flops, bytes_, peak=None):
+    from africanus_tpu.utils.profiling import roofline
+
+    kw = {} if peak is None else {"peak_flops": peak}
+    return round(roofline(seconds, flops, bytes_, **kw).fraction, 4)
+
+
+# ---------------------------------------------------------------- config 1
+def config1_dft():
+    """im_to_vis DFT predict: 100 pt sources, KAT-7 (21 bl), 64 chan,
+    1 corr (BASELINE config 1; reference africanus/dft/kernels.py:15)."""
+    import jax
+    import jax.numpy as jnp
+    from africanus_tpu.dft import im_to_vis_ri
+
+    nsrc, nant, ntime, nchan, ncorr = 100, 7, 96, 64, 1
+    a1, a2 = np.triu_indices(nant, 1)
+    nrow = a1.size * ntime
+    rng = np.random.default_rng(1)
+    f32 = np.float32
+    uvw = rng.uniform(-200.0, 200.0, (nrow, 3))
+    lm = rng.uniform(-0.02, 0.02, (nsrc, 2))
+    freq = np.linspace(1.4e9, 1.5e9, nchan)
+    image = rng.uniform(0.1, 1.0, (nsrc, nchan, ncorr))
+
+    # f64 numpy baseline (vectorised; the reference numba loop arithmetic)
+    def np_dft():
+        l, m = lm[:, 0], lm[:, 1]
+        n = np.sqrt(np.maximum(1 - l * l - m * m, 0)) - 1
+        dot = (l[:, None] * uvw[None, :, 0] + m[:, None] * uvw[None, :, 1]
+               + n[:, None] * uvw[None, :, 2])
+        p = (-2 * np.pi / C_LIGHT) * dot[:, :, None] * freq
+        K = np.cos(p) + 1j * np.sin(p)
+        return np.einsum("srf,sfc->rfc", K, image.astype(complex))
+
+    cpu_dt, want = _time_host(np_dft)
+    cpu_rate = nrow * nchan * ncorr / cpu_dt / 1e6
+
+    args32 = (image.astype(f32), uvw.astype(f32), lm.astype(f32),
+              freq.astype(f32))
+    dargs = jax.device_put(args32)
+    out = jax.jit(im_to_vis_ri)(*dargs)
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    err = float(np.abs(got - want).max() / np.abs(want).max())
+
+    dt = _time_jit(lambda img, u, lmx, f: im_to_vis_ri(img, u, lmx, f).re,
+                   *args32)
+    rate = nrow * nchan * ncorr / dt / 1e6
+    # flops: compensated phase (~25) + cos/sin (~16) + 8 MAC/corr
+    flops = nsrc * nrow * nchan * (25 + 16 + 8 * ncorr)
+    bytes_ = 4 * (nsrc * (2 + nchan * ncorr) + nrow * 3
+                  + 2 * nrow * nchan * ncorr)
+    return dict(
+        name="config1_dft_im_to_vis", value=round(rate, 2), unit="Mvis/s",
+        vs_baseline=round(rate / cpu_rate, 2),
+        roofline_frac=_roofline_frac(dt, flops, bytes_, peak=8e12),
+        max_rel_err=err,
+        shape=dict(nsrc=nsrc, nrow=nrow, nchan=nchan, ncorr=ncorr),
+    )
+
+
+# ---------------------------------------------------------------- config 2
+def config2_predict():
+    """Full RIME predict: MeerKAT-64, K x gaussian x B, 4 corr, DIE gains
+    (BASELINE config 2; reference rime/predict.py:466)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from __graft_entry__ import _predict_step, _predict_step_pallas
+    from __graft_entry__ import _flagship, _predict_step, _predict_step_pallas
 
-    step = _predict_step_pallas if use_pallas else _predict_step
+    NSRC, NANT, NTIME, NCHAN, NCORR, REPS = 100, 64, 4, 128, 4, 20
+    rng = np.random.default_rng(7)
+    args = _flagship(nsrc=NSRC, ntime=NTIME, nant=NANT, nchan=NCHAN, rng=rng)
+    f32args = tuple(
+        a.astype(np.float32) if np.issubdtype(a.dtype, np.floating) else a
+        for a in args
+    )
 
-    args = make_inputs(NCHAN, np.float32)
-    dargs = jax.device_put(args)
-    nrow = dargs[0].shape[0]
+    def np_predict(ti, a1, a2, lm, uvw, freq, stokes, spi, ref_freq, gs,
+                   gphase):
+        ratio = freq[None, :] / ref_freq[:, None]
+        alpha = spi.sum(axis=1)
+        flux = stokes[:, None, :] * ratio[:, :, None] ** alpha[:, None, :]
+        I, Q, U, V = (flux[..., i] for i in range(4))
+        b = np.stack([I + Q, U + 1j * V, U - 1j * V, I - Q], axis=-1)
+        l, m = lm[:, 0], lm[:, 1]
+        n = np.sqrt(np.maximum(1 - l * l - m * m, 0)) - 1
+        dot = (l[:, None] * uvw[None, :, 0] + m[:, None] * uvw[None, :, 1]
+               + n[:, None] * uvw[None, :, 2])
+        p = (-2 * np.pi / C_LIGHT) * dot[:, :, None] * freq
+        K = np.cos(p) + 1j * np.sin(p)
+        fwhm = 2 * np.sqrt(2 * np.log(2))
+        gscale = np.sqrt(2) * np.pi / (fwhm * C_LIGHT)
+        emaj, emin, ang = gs[:, 0], gs[:, 1], gs[:, 2]
+        el, em = emaj * np.sin(ang), emaj * np.cos(ang)
+        er = emin / np.where(emaj == 0, 1, emaj)
+        u1 = (uvw[None, :, 0] * em[:, None]
+              - uvw[None, :, 1] * el[:, None]) * er[:, None]
+        v1 = uvw[None, :, 0] * el[:, None] + uvw[None, :, 1] * em[:, None]
+        sf = freq * gscale
+        env = np.exp(-((u1[:, :, None] * sf) ** 2 + (v1[:, :, None] * sf) ** 2))
+        vis = np.einsum("srf,sfc->rfc", K * env, b)
+        g = np.exp(1j * gphase)
+        return g[ti, a1] * vis * np.conj(g[ti, a2])
 
-    # REPS iterations inside one jit call: the per-dispatch tunnel latency
-    # (~30 ms through the axon HTTP proxy) would otherwise dominate. A tiny
-    # per-iteration uvw perturbation defeats loop-invariant hoisting.
+    # CPU baseline at a reduced channel count, rate extrapolates per-vis
+    cpu_nchan = 16
+    cargs = tuple(
+        (a[..., :cpu_nchan, :] if a.ndim == 4 else
+         (a[:cpu_nchan] if a.ndim == 1 and a.shape[0] == NCHAN else a))
+        for a in args
+    )
+    cpu_dt, _ = _time_host(lambda: np_predict(*cargs), reps=2)
+    nrow = args[1].shape[0]
+    cpu_rate = nrow * cpu_nchan * NCORR / cpu_dt / 1e6
+
+    # accuracy at small shape: f32 device vs an f64 oracle fed the SAME
+    # f32-rounded inputs (input rounding is not computation error)
+    s_args = _flagship(nsrc=NSRC, ntime=NTIME, nant=NANT, nchan=8,
+                       rng=np.random.default_rng(8))
+    s32 = tuple(
+        a.astype(np.float32) if np.issubdtype(a.dtype, np.floating) else a
+        for a in s_args
+    )
+    out = jax.jit(_predict_step)(*jax.device_put(s32))
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    want = np_predict(*(a.astype(np.float64)
+                        if np.issubdtype(a.dtype, np.floating) else a
+                        for a in s32))
+    err = float(np.abs(got - want).max() / np.abs(want).max())
+
+    dargs = jax.device_put(f32args)
+
     @jax.jit
     def loop(ti, a1, a2, lm, uvw, freq, stokes, spi, ref_freq, gs, gphase):
         def body(carry, i):
             uvw_i = uvw + (i * 1e-12).astype(uvw.dtype)
-            out = step(
-                ti, a1, a2, lm, uvw_i, freq, stokes, spi, ref_freq, gs, gphase
-            )
+            out = _predict_step_pallas(ti, a1, a2, lm, uvw_i, freq, stokes,
+                                       spi, ref_freq, gs, gphase)
             return carry + out.re[0, 0, 0], None
 
         c, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(REPS))
         return c
 
-    # NOTE: jax.block_until_ready does NOT synchronize on the axon
-    # backend; fetching the scalar value is the only reliable barrier.
-    float(np.asarray(loop(*dargs)))  # compile + run
+    _fetch(loop(*dargs))
     t0 = time.perf_counter()
-    float(np.asarray(loop(*dargs)))
+    _fetch(loop(*dargs))
     dt = (time.perf_counter() - t0) / REPS
-    nvis = nrow * NCHAN * NCORR
-    mvis = nvis / dt / 1e6
-    log(f"tpu: {dt*1e3:.2f} ms/iter for {nvis/1e6:.2f} Mvis -> {mvis:.1f} "
-        f"Mvis/s on {jax.devices()[0].platform}:{jax.devices()[0].device_kind}")
-    return mvis
+    rate = nrow * NCHAN * NCORR / dt / 1e6
+
+    # flops: per (src,row,chan): df phase ~25, cos/sin/exp ~24, env 8,
+    # 4corr complex MAC 8·4
+    flops = NSRC * nrow * NCHAN * (25 + 24 + 8 + 8 * NCORR)
+    bytes_ = 4 * (NSRC * (2 + 3 + NCHAN * NCORR * 2) + nrow * 3
+                  + 2 * nrow * NCHAN * NCORR * 2)
+    return dict(
+        name="config2_rime_predict", value=round(rate, 2), unit="Mvis/s",
+        vs_baseline=round(rate / cpu_rate, 2),
+        roofline_frac=_roofline_frac(dt, flops, bytes_, peak=8e12),
+        max_rel_err=err,
+        shape=dict(nsrc=NSRC, nrow=nrow, nchan=NCHAN, ncorr=NCORR),
+    )
 
 
-def check_accuracy():
-    """Small-shape numerical agreement: device f32 vs numpy f64."""
+# ---------------------------------------------------------------- config 3
+def config3_beam():
+    """Beam DDE chain: cube interpolation + parallactic + feed rotation,
+    MeerKAT 4096 chan (BASELINE config 3; ref fast_beam_cubes.py:58)."""
     import jax
-    from __graft_entry__ import _predict_step
+    import jax.numpy as jnp
+    from africanus_tpu.ops.cplx import Cplx
+    from africanus_tpu.rime.fast_beam_cubes import beam_cube_dde_ri
+    from africanus_tpu.rime.feeds import feed_rotation_ri
 
-    args = make_inputs(8, np.float32)
-    out = jax.jit(_predict_step)(*jax.device_put(args))
+    lw = mh = 129
+    nud = 8
+    ncorr = 4
+    nsrc, ntime, nant, nchan = 8, 1, 64, 4096
+    rng = np.random.default_rng(3)
+    f32 = np.float32
+
+    # smooth synthetic beam (cos^3-like taper, quadratic spectral term)
+    ll = np.linspace(-1, 1, lw)[:, None, None]
+    mm = np.linspace(-1, 1, mh)[None, :, None]
+    nn = np.linspace(-1, 1, nud)[None, None, :]
+    amp = np.cos(np.minimum(np.hypot(ll, mm + 0 * nn), 1.0) * 1.2) ** 3
+    phase = 0.3 * ll * nn + 0.2 * mm
+    beam = (amp * np.cos(phase) + 1j * amp * np.sin(phase))
+    beam = np.broadcast_to(beam[..., None], (lw, mh, nud, ncorr)).copy()
+
+    extents = np.array([[-0.02, 0.02], [-0.02, 0.02]])
+    fmap = np.linspace(0.856e9, 1.712e9, nud)
+    freq = np.linspace(fmap[0], fmap[-1], nchan)
+    lm = rng.uniform(-0.015, 0.015, (nsrc, 2))
+    pa = rng.uniform(-np.pi, np.pi, (ntime, nant))
+    pe = np.zeros((ntime, nant, nchan, 2))
+    asc = np.ones((nant, nchan, 2))
+    nsamp = nsrc * ntime * nant * nchan
+
+    def np_chain():
+        fb = beam
+        scale = np.ones(nchan)
+        i1 = np.clip(np.searchsorted(fmap, freq), 1, nud - 1)
+        g0 = i1 - 1
+        wlo = (fmap[g0 + 1] - freq) / (fmap[g0 + 1] - fmap[g0])
+        l = lm[:, 0][:, None, None, None]
+        m = lm[:, 1][:, None, None, None]
+        tl = l * scale + pe[None, ..., 0]
+        tm = m * scale + pe[None, ..., 1]
+        sp, cp = np.sin(pa), np.cos(pa)
+        vl = tl * cp[None, :, :, None] - tm * sp[None, :, :, None]
+        vm = tl * sp[None, :, :, None] + tm * cp[None, :, :, None]
+        vl *= asc[None, None, :, :, 0]
+        vm *= asc[None, None, :, :, 1]
+        lsc = (lw - 1) / (extents[0, 1] - extents[0, 0])
+        msc = (mh - 1) / (extents[1, 1] - extents[1, 0])
+        vl = np.clip(lsc * (vl - extents[0, 0]), 0, lw - 1)
+        vm = np.clip(msc * (vm - extents[1, 0]), 0, mh - 1)
+        gl0 = np.floor(vl).astype(int)
+        gm0 = np.floor(vm).astype(int)
+        gl1 = np.minimum(gl0 + 1, lw - 1)
+        gm1 = np.minimum(gm0 + 1, mh - 1)
+        ld, md = vl - gl0, vm - gm0
+        shape = ld.shape
+        g0b = np.broadcast_to(g0, shape)
+        g1b = g0b + 1
+        wl = np.broadcast_to(wlo, shape)
+        acc = 0
+        absc = 0
+        for gl, wa in ((gl0, 1 - ld), (gl1, ld)):
+            for gm, wb in ((gm0, 1 - md), (gm1, md)):
+                for gc, wc in ((g0b, wl), (g1b, 1 - wl)):
+                    w = (wa * wb * wc)[..., None]
+                    v = fb[gl, gm, gc]
+                    acc = acc + w * v
+                    absc = absc + w * np.abs(v)
+        div = np.abs(acc)
+        norm = np.where(div == 0, absc, absc / np.where(div == 0, 1, div))
+        e = acc * norm
+        # feed rotation (linear feeds)
+        fr = np.zeros((ntime, nant, 2, 2), complex)
+        fr[..., 0, 0] = np.cos(pa)
+        fr[..., 0, 1] = np.sin(pa)
+        fr[..., 1, 0] = -np.sin(pa)
+        fr[..., 1, 1] = np.cos(pa)
+        e22 = e.reshape(shape + (2, 2))
+        return np.einsum("stafij,tajk->stafik", e22, fr)
+
+    cpu_dt, want = _time_host(np_chain, reps=1)
+    cpu_rate = nsamp / cpu_dt / 1e6
+
+    beam_ri = Cplx(jnp.asarray(beam.real.astype(f32)),
+                   jnp.asarray(beam.imag.astype(f32)))
+    argsf = (extents.astype(f32), fmap.astype(f32), lm.astype(f32),
+             pa.astype(f32), pe.astype(f32), asc.astype(f32),
+             freq.astype(f32))
+
+    def chain(pa_t):
+        e = beam_cube_dde_ri(
+            beam_ri, argsf[0], argsf[1], argsf[2], pa_t, argsf[4],
+            argsf[5], argsf[6], use_pallas=None, chan_invariant=True,
+        )
+        e4 = Cplx(e.re.reshape(e.re.shape[:4] + (2, 2)),
+                  e.im.reshape(e.im.shape[:4] + (2, 2)))
+        f = feed_rotation_ri(pa_t, "linear")
+        # E · F per (s,t,a,chan): 2x2 complex matmuls
+        spec = "stafij,tajk->stafik"
+        hp = jax.lax.Precision.HIGHEST
+        re = (jnp.einsum(spec, e4.re, f.re, precision=hp)
+              - jnp.einsum(spec, e4.im, f.im, precision=hp))
+        im = (jnp.einsum(spec, e4.re, f.im, precision=hp)
+              + jnp.einsum(spec, e4.im, f.re, precision=hp))
+        return Cplx(re, im)
+
+    out = jax.jit(chain)(jnp.asarray(pa.astype(f32)))
     got = np.asarray(out.re) + 1j * np.asarray(out.im)
-    want = np_predict(*(a.astype(np.float64)
-                        if np.issubdtype(a.dtype, np.floating) else a
-                        for a in args))
-    err = np.abs(got - want).max() / np.abs(want).max()
-    log(f"accuracy f32 vs f64 oracle: max rel err {err:.2e}")
-    return float(err)
+    err = float(np.abs(got - want).max() / np.abs(want).max())
+
+    dt = _time_jit(lambda pa_t: chain(pa_t).re, pa.astype(f32))
+    rate = nsamp / dt / 1e6
+    # fast path flops: kernel nud·(s·t·a) samples · lw·mh·3C·2 dots + blend
+    flops = (nud * nsrc * ntime * nant * 2 * 136 * 1664
+             + nsamp * ncorr * 3 * 2 * nud)
+    bytes_ = 4 * (2 * nsamp * ncorr * 2 + lw * mh * nud * ncorr * 3)
+    return dict(
+        name="config3_beam_dde_chain", value=round(rate / 1.0, 2),
+        unit="Msamples/s",
+        vs_baseline=round(rate / cpu_rate, 2),
+        roofline_frac=_roofline_frac(dt, flops, bytes_),
+        max_rel_err=err,
+        shape=dict(nsrc=nsrc, ntime=ntime, nant=nant, nchan=nchan,
+                   cube=[lw, mh, nud, ncorr]),
+    )
+
+
+# ---------------------------------------------------------------- config 4
+def config4_imaging():
+    """Wide-field imaging: w-stacking tile gridder + BDA averaging on a
+    chunked synthesis (BASELINE config 4; ref wgridder/vis2im.py:78 +
+    bda_avg.py:655)."""
+    import jax
+    import jax.numpy as jnp
+    from africanus_tpu.gridding.wgridder import grid_adjoint
+    from africanus_tpu.ops.cplx import Cplx
+
+    rng = np.random.default_rng(4)
+    f32 = np.float32
+    nx = ny = 512
+    nrow, nchan = 100_000, 8
+    fov = 1.0 * np.pi / 180
+    cell = fov / nx
+    freq = np.linspace(0.856e9, 1.712e9, nchan)
+    umax = 0.9 / (2 * cell * freq[-1] / C_LIGHT)
+    uvw = rng.uniform(-1, 1, (nrow, 3)) * np.array([umax, umax, umax / 20])
+    vis = (rng.normal(size=(nrow, nchan))
+           + 1j * rng.normal(size=(nrow, nchan)))
+    nvis = nrow * nchan
+
+    # CPU baseline: vectorised np.add.at ES-kernel w-gridder on a subset,
+    # rate scaled per-vis (the reference wraps multithreaded C++ ducc0;
+    # numba/ducc0 are unavailable here — see BASELINE.md protocol notes)
+    sub = 10_000
+
+    def np_grid():
+        support, beta, nplanes = 8, 2.3 * 8, 8
+        g = np.zeros((nplanes, nx, ny), complex)
+        du = 1.0 / (nx * cell)
+        for c in range(nchan):
+            u = uvw[:sub, 0] * freq[c] / C_LIGHT / du + nx // 2
+            v = uvw[:sub, 1] * freq[c] / C_LIGHT / du + ny // 2
+            w = np.abs(uvw[:sub, 2]) * freq[c] / C_LIGHT
+            iw = np.clip((w / (w.max() + 1e-9) * (nplanes - 1)).astype(int),
+                         0, nplanes - 1)
+            iu0 = np.floor(u).astype(int) - support // 2 + 1
+            iv0 = np.floor(v).astype(int) - support // 2 + 1
+            for a in range(support):
+                x = (u - (iu0 + a)) * 2 / support
+                kx = np.exp(beta * (np.sqrt(np.maximum(1 - x * x, 0)) - 1))
+                for b in range(support):
+                    y = (v - (iv0 + b)) * 2 / support
+                    ky = np.exp(beta * (np.sqrt(np.maximum(1 - y * y, 0)) - 1))
+                    np.add.at(
+                        g, (iw, (iu0 + a) % nx, (iv0 + b) % ny),
+                        vis[:sub, c] * kx * ky,
+                    )
+        return np.fft.ifft2(g, axes=(1, 2)).real.sum(0)
+
+    cpu_dt, _ = _time_host(np_grid, reps=1)
+    cpu_rate = sub * nchan / cpu_dt / 1e6
+
+    from africanus_tpu.gridding.wgridder.core import make_plan
+    from africanus_tpu.utils.profiling import measure
+
+    v32 = Cplx(jnp.asarray(vis.real.astype(f32)),
+               jnp.asarray(vis.imag.astype(f32)))
+    uvw32 = uvw.astype(f32)
+    freq32 = freq.astype(f32)
+
+    # plan once on the host (gridding geometry is host metadata — the
+    # reference's dask layer likewise plans per chunk, then reuses)
+    t0 = time.perf_counter()
+    plan = make_plan(uvw32, freq32, nx, ny, cell, cell, 1e-4, True,
+                     use_tiles=True)
+    plan_dt = time.perf_counter() - t0
+    dt = measure(
+        lambda v: grid_adjoint(uvw32, freq32, v, None, nx, ny, cell,
+                               cell, 1e-4, True, plan=plan),
+        v32, reps=3,
+    )
+    rate = nvis / dt / 1e6
+
+    # accuracy: small-problem dirty vs the explicit w-aware DFT (the
+    # reference's own oracle, gridding/wgridder/tests/test_wgridder.py)
+    ns, nxs = 400, 32
+    cells = cell * 4
+    uvw_s = ((rng.uniform(size=(ns, 3)) - 0.5)
+             / (cells * freq[-1] / C_LIGHT))
+    vis_s = vis[:ns, :2]
+    freq_s = freq[:2]
+    img_s = np.asarray(
+        grid_adjoint(uvw_s.astype(f32), freq_s.astype(f32),
+                     Cplx(jnp.asarray(vis_s.real.astype(f32)),
+                          jnp.asarray(vis_s.imag.astype(f32))),
+                     None, nxs, nxs, cells, cells, 1e-4,
+                     do_wstacking=True)
+    )
+    x, y = np.meshgrid(*[-nxs / 2 + np.arange(nxs)] * 2, indexing="ij")
+    x, y = x * cells, y * cells
+    eps2 = x**2 + y**2
+    nm1 = -eps2 / (np.sqrt(1.0 - eps2) + 1.0)
+    ref = np.zeros((nxs, nxs))
+    for c in range(2):
+        ph = (freq_s[c] / C_LIGHT) * (
+            x[None] * uvw_s[:, 0, None, None]
+            + y[None] * uvw_s[:, 1, None, None]
+            - uvw_s[:, 2, None, None] * nm1[None]
+        )
+        ref += (vis_s[:, c, None, None]
+                * np.exp(2j * np.pi * ph)).real.sum(0)
+    ref /= nm1 + 1
+    err = float(np.sqrt(np.sum(np.abs(img_s - ref) ** 2)
+                        / np.sum(np.abs(ref) ** 2)))
+
+    # BDA averaging throughput rides the same config
+    from africanus_tpu.averaging import bda
+
+    ntime_b, nbl = 60, 300
+    a1b, a2b = np.triu_indices(25, 1)
+    a1b, a2b = a1b[:nbl], a2b[:nbl]
+    timeb = np.repeat(5.03e9 + np.arange(ntime_b) * 8.0, nbl)
+    a1r = np.tile(a1b, ntime_b)
+    a2r = np.tile(a2b, ntime_b)
+    nrow_b = timeb.size
+    ant_pos = rng.uniform(-3000, 3000, (25, 3))
+    uvw_b = ant_pos[a1r] - ant_pos[a2r]
+    interval = np.full(nrow_b, 8.0)
+    visb = Cplx(rng.normal(size=(nrow_b, 64, 4)).astype(f32),
+                rng.normal(size=(nrow_b, 64, 4)).astype(f32))
+    t0 = time.perf_counter()
+    out = bda(timeb, interval, a1r, a2r, uvw=uvw_b,
+              chan_freq=np.linspace(0.856e9, 1.712e9, 64),
+              chan_width=np.full(64, (0.856e9) / 64),
+              visibilities=visb, decorrelation=0.98)
+    _fetch(jnp.asarray(out.visibilities.re).ravel()[0])
+    bda_dt = time.perf_counter() - t0
+    bda_rate = nrow_b * 64 * 4 / bda_dt / 1e6
+
+    flops = nvis * 8 * 8 * 8 * 4  # W^2 taps x ~wsup planes x mac
+    bytes_ = 4 * (nvis * 2 + 8 * nx * ny * 2) * 4
+    return dict(
+        name="config4_wgridder_bda", value=round(rate, 2), unit="Mvis/s",
+        vs_baseline=round(rate / cpu_rate, 2),
+        roofline_frac=_roofline_frac(dt, flops, bytes_, peak=8e12),
+        max_rel_err=err,
+        bda_mvis_s=round(bda_rate, 1),
+        plan_seconds=round(plan_dt, 2),
+        shape=dict(nrow=nrow, nchan=nchan, nx=nx, ny=ny),
+    )
+
+
+# ---------------------------------------------------------------- config 5
+def config5_selfcal():
+    """End-to-end selfcal loop: phase-only Gauss-Newton + Hogbom CLEAN +
+    re-predict at SKA-mid scale, 197 antennas (BASELINE config 5;
+    ref phase_only.py:243 + hogbom/clean.py:122)."""
+    import jax
+    import jax.numpy as jnp
+    from africanus_tpu.calibration.phase_only import gauss_newton_ri
+    from africanus_tpu.calibration.utils import corrupt_vis_ri
+    from africanus_tpu.deconv.hogbom import hogbom_clean
+    from africanus_tpu.dft import im_to_vis_ri, vis_to_im_ri
+    from africanus_tpu.ops.cplx import Cplx
+
+    rng = np.random.default_rng(5)
+    f32 = np.float32
+    nant, ntime, nchan, nsrc, ncorr = 197, 2, 16, 20, 2
+    a1u, a2u = np.triu_indices(nant, 1)
+    nrow = a1u.size * ntime
+    a1 = np.tile(a1u, ntime).astype(np.int32)
+    a2 = np.tile(a2u, ntime).astype(np.int32)
+    tbi = (np.arange(ntime) * a1u.size).astype(np.int32)
+    tbc = np.full(ntime, a1u.size, np.int32)
+
+    lm = rng.uniform(-0.01, 0.01, (nsrc, 2)).astype(f32)
+    uvw = rng.uniform(-4000, 4000, (nrow, 3)).astype(f32)
+    freq = np.linspace(0.856e9, 1.712e9, nchan).astype(f32)
+    image = rng.uniform(0.1, 1.0, (nsrc, nchan, ncorr)).astype(f32)
+    true_phase = rng.uniform(-0.5, 0.5,
+                             (ntime, nant, nchan, 1, ncorr)).astype(f32)
+    gn_iters = 10
+
+    @jax.jit
+    def make_data(image, uvw, lm, freq, phase):
+        model = im_to_vis_ri(image, uvw, lm, freq)  # (row, chan, corr)
+        model2 = Cplx(model.re[:, :, None, :], model.im[:, :, None, :])
+        gains = Cplx(jnp.cos(phase), jnp.sin(phase))
+        return corrupt_vis_ri(tbi, tbc, a1, a2, gains, model2), model2
+
+    data, model2 = make_data(image, uvw, lm, freq, true_phase)
+    flag = np.zeros((nrow, nchan, ncorr), bool)
+    weight = np.ones((nrow, nchan, ncorr), f32)
+    jones0 = Cplx(np.ones((ntime, nant, nchan, 1, ncorr), f32),
+                  np.zeros((ntime, nant, nchan, 1, ncorr), f32))
+    nvis = nrow * nchan
+    npx = 128
+
+    def selfcal_step(data):
+        # 1. phase-only Gauss-Newton gain solve
+        gains, jhj, jhr, k = gauss_newton_ri(
+            tbi, tbc, a1, a2, jones0, data, flag, model2, weight,
+            tol=0.0, maxiter=gn_iters,
+        )
+        # 2. residual image (adjoint DFT of data - corrupt(model))
+        vmod = corrupt_vis_ri(tbi, tbc, a1, a2, gains, model2)
+        resid = Cplx(data.re - vmod.re, data.im - vmod.im)
+        grid_lm = jnp.stack(
+            jnp.meshgrid(
+                jnp.linspace(-0.01, 0.01, npx),
+                jnp.linspace(-0.01, 0.01, npx),
+                indexing="ij",
+            ),
+            axis=-1,
+        ).reshape(-1, 2).astype(f32)
+        im = vis_to_im_ri(resid, uvw, grid_lm, freq, flag)
+        dirty = im.sum(axis=(1, 2)).reshape(npx, npx) / nvis
+        # 3. Hogbom CLEAN minor cycles on the residual image
+        psf = jnp.zeros((2 * npx, 2 * npx), f32).at[npx, npx].set(1.0)
+        cleaned, res = hogbom_clean(dirty, psf, gamma=0.1,
+                                    threshold=0.2, niter=50)
+        # 4. re-predict the model
+        re_model = im_to_vis_ri(image, uvw, lm, freq)
+        return (gains.re[0, 0, 0, 0, 0] + cleaned[0, 0]
+                + re_model.re[0, 0, 0])
+
+    dt = _time_jit(lambda d: jnp.asarray(selfcal_step(d))[None], data,
+                   reps=3)
+    rate_iter = nvis * gn_iters / dt / 1e6
+
+    # CPU numpy baseline: the SAME loop structure (GN solve + adjoint-DFT
+    # residual image + CLEAN + re-predict) on a row subset, scaled —
+    # every stage is linear in rows
+    d_np = np.asarray(data.re) + 1j * np.asarray(data.im)
+    m_np = np.asarray(model2.re[:, :, 0, :]) + 1j * np.asarray(
+        model2.im[:, :, 0, :]
+    )
+    sub_bl = 3000  # rows per time chunk in the CPU subset
+    keep = np.concatenate(
+        [np.arange(tbi[t], tbi[t] + sub_bl) for t in range(ntime)]
+    )
+    scale = nrow / keep.size
+
+    def np_loop():
+        phase = np.zeros((ntime, nant, nchan, ncorr))
+        ds, ms = d_np[keep], m_np[keep]
+        a1s, a2s = a1[keep], a2[keep]
+        for _ in range(gn_iters):
+            g = np.exp(1j * phase)
+            jhr = np.zeros_like(phase)
+            jhj = np.zeros_like(phase)
+            for t in range(ntime):
+                sl = slice(t * sub_bl, (t + 1) * sub_bl)
+                gp = g[t, a1s[sl]]
+                gq = g[t, a2s[sl]]
+                v = gp * ms[sl] * np.conj(gq)
+                r = ds[sl] - v
+                tmp = (np.conj(1j * gp) * r * gq * np.conj(ms[sl])).real
+                np.add.at(jhr[t], a1s[sl], tmp)
+                np.add.at(jhj[t], a1s[sl], np.abs(v) ** 2)
+            phase = phase + 0.5 * np.where(
+                jhj == 0, 0, jhr / np.where(jhj == 0, 1, jhj)
+            )
+        # residual image: adjoint DFT onto the npx^2 grid
+        gx = np.linspace(-0.01, 0.01, npx)
+        glm = np.stack(np.meshgrid(gx, gx, indexing="ij"), -1).reshape(-1, 2)
+        n1 = np.sqrt(np.maximum(1 - (glm**2).sum(1), 0)) - 1
+        resid = ds.sum(-1)  # (subrows, chan)
+        dirty = np.zeros(glm.shape[0])
+        uv = uvw[keep]
+        for c in range(nchan):
+            coef = 2 * np.pi * freq[c] / C_LIGHT
+            p = coef * (np.outer(glm[:, 0], uv[:, 0])
+                        + np.outer(glm[:, 1], uv[:, 1])
+                        + np.outer(n1, uv[:, 2]))
+            dirty += np.cos(p) @ resid[:, c].real - np.sin(p) @ resid[:, c].imag
+        # CLEAN minor cycles
+        img = dirty.reshape(npx, npx).copy()
+        for _ in range(50):
+            ij = np.unravel_index(np.argmax(np.abs(img)), img.shape)
+            img[ij] *= 0.9
+        # re-predict
+        l, m = lm[:, 0].astype(float), lm[:, 1].astype(float)
+        n = np.sqrt(np.maximum(1 - l * l - m * m, 0)) - 1
+        dot = (l[:, None] * uv[None, :, 0] + m[:, None] * uv[None, :, 1]
+               + n[:, None] * uv[None, :, 2])
+        p = (-2 * np.pi / C_LIGHT) * dot[:, :, None] * freq
+        K = np.cos(p) + 1j * np.sin(p)
+        np.einsum("srf,sfc->rfc", K, image.astype(complex))
+        return img
+
+    cpu_dt, _ = _time_host(np_loop, reps=1)
+    cpu_dt = cpu_dt * scale
+    cpu_rate = nvis * gn_iters / cpu_dt / 1e6
+
+    # accuracy: solved baseline gain products must match the truth
+    gains, jhj, jhr, k = jax.jit(
+        lambda d: gauss_newton_ri(tbi, tbc, a1, a2, jones0, d, flag,
+                                  model2, weight, tol=0.0, maxiter=40)
+    )(data)
+    g_np = (np.asarray(gains.re) + 1j * np.asarray(gains.im))[:, :, :, 0]
+    gt = np.exp(1j * true_phase[:, :, :, 0])
+    prod = g_np[:, a1u] * np.conj(g_np[:, a2u])
+    prod_t = gt[:, a1u] * np.conj(gt[:, a2u])
+    err = float(np.abs(prod - prod_t).max())
+
+    flops = nvis * gn_iters * 64 * ncorr
+    bytes_ = 4 * nvis * ncorr * 2 * 6 * gn_iters
+    return dict(
+        name="config5_selfcal_loop", value=round(rate_iter, 2),
+        unit="Mvis-iter/s",
+        vs_baseline=round(rate_iter / cpu_rate, 2),
+        roofline_frac=_roofline_frac(dt, flops, bytes_, peak=8e12),
+        max_rel_err=err,
+        shape=dict(nant=nant, nrow=nrow, nchan=nchan, npix=npx),
+    )
 
 
 def main():
-    err = check_accuracy()
-    cpu_mvis, _, _ = bench_cpu_baseline()
-    tpu_mvis = bench_tpu()
+    import jax
+
+    log(f"device: {jax.devices()[0]}")
+    configs = []
+    headline = None
+    for fn in (config1_dft, config2_predict, config3_beam,
+               config4_imaging, config5_selfcal):
+        t0 = time.perf_counter()
+        try:
+            res = fn()
+            log(f"{res['name']}: {res['value']} {res['unit']} "
+                f"({res['vs_baseline']}x baseline, "
+                f"roofline {res['roofline_frac']}, "
+                f"err {res['max_rel_err']:.2e}) "
+                f"[{time.perf_counter() - t0:.0f}s]")
+        except Exception as e:  # pragma: no cover - defensive
+            log(traceback.format_exc())
+            res = dict(name=fn.__name__, error=f"{type(e).__name__}: {e}")
+        configs.append(res)
+        if res.get("name") == "config2_rime_predict" and "value" in res:
+            headline = res
+
     result = {
         "metric": "MeerKAT-64 full RIME predict (K*gauss*B 4-corr, DIE gains)",
-        "value": round(tpu_mvis, 2),
+        "value": headline["value"] if headline else 0.0,
         "unit": "Mvis/s",
-        "vs_baseline": round(tpu_mvis / cpu_mvis, 2),
+        "vs_baseline": headline["vs_baseline"] if headline else 0.0,
         "baseline": "numpy-f64 vectorised single CPU (numba unavailable)",
-        "max_rel_err_vs_f64": err,
+        "max_rel_err_vs_f64": headline["max_rel_err"] if headline else 1.0,
+        "configs": configs,
     }
     print(json.dumps(result))
 

@@ -66,3 +66,12 @@ def test_make_dirty_example():
 def test_more_examples(script):
     r = _run([REPO / "examples" / f"{script}.py"])
     assert r.returncode == 0, r.stderr[-800:]
+
+
+def test_predict_to_ms_store_example(tmp_path):
+    """The MS-shaped read -> predict -> MODEL_DATA write-back pipeline
+    (reference rime/examples/predict.py:531-587 analogue)."""
+    r = _run([REPO / "examples" / "predict_to_ms_store.py",
+              str(tmp_path / "store")])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "round-trip max abs err" in r.stdout
