@@ -277,3 +277,88 @@ def test_row_chan_average_nonuniform_chan_map(rng, synth_obs):
                     atol=1e-12)
     assert_array_equal(np.asarray(out.flag), flag_o)
     assert_allclose(np.asarray(out.weight_spectrum), ws_o, rtol=1e-12)
+
+
+def _oracle_bins(time, interval, a1, a2, flag_row, time_bin_secs):
+    """Independent transcription of the reference's binning semantics
+    (averaging/tests/test_time_and_channel_averaging.py:140-201): per
+    baseline, a bin closes when time + interval/2 − bin_low exceeds
+    time_bin_secs; unflagged ("effective") rows define the bin content
+    unless the whole bin is flagged, in which case the nominal rows do.
+    Returns a list of (avg_time, (a, b), effective_rows, nominal_rows)
+    sorted on averaged time."""
+    out = []
+    for (p, q) in {(x, y) for x, y in zip(a1, a2)}:
+        rows = [i for i in np.argsort(time, kind="stable")
+                if a1[i] == p and a2[i] == q]
+        eff, nom, bin_low = [], [], None
+        bins = []
+        for ri in rows:
+            half = interval[ri] / 2
+            if not nom:
+                bin_low = time[ri] - half
+            elif time[ri] + half - bin_low > time_bin_secs:
+                bins.append((eff or nom, nom))
+                eff, nom = [], []
+                bin_low = time[ri] - half
+            if not flag_row[ri]:
+                eff.append(ri)
+            nom.append(ri)
+        if nom:
+            bins.append((eff or nom, nom))
+        out.extend(
+            (time[np.array(n)].mean(), (p, q), e, n) for e, n in bins
+        )
+    return sorted(out, key=lambda t: (t[0], t[1]))
+
+
+@pytest.mark.parametrize("flagged_rows", [[], [8, 9], [4], [0, 1]])
+@pytest.mark.parametrize("time_bin_secs", [1, 2, 3, 4])
+@pytest.mark.parametrize("chan_bin_size", [1, 3, 5])
+def test_averager_sweep(rng, flagged_rows, time_bin_secs, chan_bin_size):
+    """The reference's test_averager sweep: averaged times/visibilities
+    against a from-scratch python oracle over every (flagging, time bin,
+    channel bin) combination."""
+    ntime, nchan, ncorr = 5, 5, 2
+    ants = [(0, 1), (0, 2), (1, 2)]
+    time = np.repeat(np.arange(ntime, dtype=np.float64) + 5000.0,
+                     len(ants))
+    interval = np.full(time.shape, 1.0)
+    a1 = np.array([a for _ in range(ntime) for a, _ in ants])
+    a2 = np.array([b for _ in range(ntime) for _, b in ants])
+    flag_row = np.zeros(time.shape, np.uint8)
+    flag_row[flagged_rows] = 1
+    nrow = time.shape[0]
+    vis = rng.normal(size=(nrow, nchan, ncorr)) + 1j * rng.normal(
+        size=(nrow, nchan, ncorr)
+    )
+    freq = np.linspace(1e9, 2e9, nchan)
+
+    out = time_and_channel(
+        time, interval, a1, a2, flag_row=flag_row, visibilities=vis,
+        chan_freq=freq, time_bin_secs=float(time_bin_secs),
+        chan_bin_size=chan_bin_size,
+    )
+    got_time = np.asarray(out.time)
+    got_vis = np.asarray(out.visibilities)
+    got_fr = np.asarray(out.flag_row)
+
+    bins = _oracle_bins(time, interval, a1, a2, flag_row, time_bin_secs)
+    assert got_time.shape[0] == len(bins)
+
+    # match output rows to oracle bins via (time, baseline)
+    order = np.lexsort((np.asarray(out.antenna2), np.asarray(out.antenna1),
+                        got_time))
+    nchan_out = -(-nchan // chan_bin_size)
+    for k, (t_avg, (p, q), erows, nrows) in enumerate(bins):
+        r = order[k]
+        assert_allclose(got_time[r], t_avg, rtol=1e-12)
+        assert (np.asarray(out.antenna1)[r],
+                np.asarray(out.antenna2)[r]) == (p, q)
+        assert got_fr[r] == (1 if all(flag_row[i] for i in nrows) else 0)
+        e = np.array(erows)
+        for cb in range(nchan_out):
+            ch = slice(cb * chan_bin_size,
+                       min((cb + 1) * chan_bin_size, nchan))
+            want = vis[e, ch].mean(axis=(0, 1))
+            assert_allclose(got_vis[r, cb], want, rtol=1e-10)

@@ -80,16 +80,17 @@ def np_predict_full(p, dde1, coh, dde2, die1, bvis, die2):
     return out
 
 
+# Full presence cross-product, mirroring the reference's
+# dde_presence × die_presence parametrizations
+# (rime/tests/test_predict.py:44-60): DDE-layer options × DIE-layer
+# options, minus the all-absent combination (an error case).
+_DDE_LAYER = [(True, True), (True, False), (False, True)]
+_DIE_LAYER = [(True, True), (True, False), (False, True), (False, False)]
 CASES = [
-    # (have_ddes, have_coh, have_bvis, have_dies)
-    (True, True, True, True),
-    (True, True, False, False),
-    (False, True, False, False),
-    (False, True, True, True),
-    (True, False, False, False),
-    (False, False, True, True),
-    (False, False, False, True),
-    (True, True, False, True),
+    (ddes, coh, bvis, dies)
+    for ddes, coh in _DDE_LAYER + [(False, False)]
+    for bvis, dies in _DIE_LAYER
+    if ddes or coh or bvis or dies
 ]
 
 
@@ -169,34 +170,74 @@ def test_apply_gains(rng, problem):
     assert_allclose(out, expected, rtol=1e-11)
 
 
-def test_predict_vis_row_sharding(rng, problem):
-    """Row-sharded execution must match single-device results (the TPU
-    analogue of the reference's chunking-invariance tests)."""
+@pytest.mark.parametrize("corrs", [(2, 2), (2,)])
+@pytest.mark.parametrize("case", [
+    (True, True, False, False),
+    (False, True, True, True),
+    (True, True, True, True),
+])
+def test_predict_vis_row_sharding(rng, problem, corrs, case):
+    """Row-sharded execution must match single-device results — the TPU
+    analogue of the reference's chunking-invariance sweeps
+    (rime/tests/test_predict.py chunk_parametrization), across term
+    presence and correlation shapes."""
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     p = problem
+    have_ddes, have_coh, have_bvis, have_dies = case
     S, T, A, F, R = p["nsrc"], p["ntime"], p["nant"], p["nchan"], p["nrow"]
-    # R = 45 rows; pad to 48 for an even 8-way shard? Use 5 devices (45 = 9*5)
-    coh = _rc(rng, (S, R, F, 2, 2))
-    die1 = _rc(rng, (T, A, F, 2, 2))
-    die2 = _rc(rng, (T, A, F, 2, 2))
+    dde1 = _rc(rng, (S, T, A, F) + corrs) if have_ddes else None
+    dde2 = _rc(rng, (S, T, A, F) + corrs) if have_ddes else None
+    coh = _rc(rng, (S, R, F) + corrs) if have_coh else None
+    bvis = _rc(rng, (R, F) + corrs) if have_bvis else None
+    die1 = _rc(rng, (T, A, F) + corrs) if have_dies else None
+    die2 = _rc(rng, (T, A, F) + corrs) if have_dies else None
 
     expected = np.asarray(
         predict_vis(p["time_index"], p["antenna1"], p["antenna2"],
-                    source_coh=coh, die1_jones=die1, die2_jones=die2)
+                    dde1, coh, dde2, die1, bvis, die2)
     )
 
     mesh = Mesh(np.array(jax.devices()[:5]), ("row",))
-    sh = NamedSharding(mesh, P(None, "row"))
     rsh = NamedSharding(mesh, P("row"))
-    coh_s = jax.device_put(coh, sh)
-    ti_s = jax.device_put(p["time_index"], rsh)
-    a1_s = jax.device_put(p["antenna1"], rsh)
-    a2_s = jax.device_put(p["antenna2"], rsh)
+    put_r = lambda x: None if x is None else jax.device_put(x, rsh)  # noqa: E731
+    coh_s = (None if coh is None
+             else jax.device_put(coh, NamedSharding(mesh, P(None, "row"))))
+    bvis_s = put_r(bvis)
+    ti_s = put_r(p["time_index"])
+    a1_s = put_r(p["antenna1"])
+    a2_s = put_r(p["antenna2"])
 
     out = np.asarray(
-        predict_vis(ti_s, a1_s, a2_s, source_coh=coh_s,
-                    die1_jones=die1, die2_jones=die2)
+        predict_vis(ti_s, a1_s, a2_s, dde1, coh_s, dde2, die1, bvis_s,
+                    die2)
     )
     assert_allclose(out, expected, rtol=1e-12)
+
+
+@pytest.mark.parametrize("corrs", [(2, 2), (1,)])
+def test_predict_vis_f32_leg(rng, problem, corrs):
+    """The f32 path (the only dtype the real device runs) must stay
+    within the f32 error budget of the f64 result — every other test in
+    this suite runs x64."""
+    p = problem
+    S, T, A, F, R = p["nsrc"], p["ntime"], p["nant"], p["nchan"], p["nrow"]
+    coh = _rc(rng, (S, R, F) + corrs)
+    die1 = _rc(rng, (T, A, F) + corrs)
+    die2 = _rc(rng, (T, A, F) + corrs)
+
+    want = np.asarray(
+        predict_vis(p["time_index"], p["antenna1"], p["antenna2"],
+                    source_coh=coh, die1_jones=die1, die2_jones=die2)
+    )
+    got = np.asarray(
+        predict_vis(
+            p["time_index"], p["antenna1"], p["antenna2"],
+            source_coh=coh.astype(np.complex64),
+            die1_jones=die1.astype(np.complex64),
+            die2_jones=die2.astype(np.complex64),
+        )
+    )
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 1e-5 * scale
