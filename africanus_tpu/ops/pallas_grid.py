@@ -251,10 +251,10 @@ def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
         out_re_ref[...] = jnp.zeros_like(out_re_ref)
         out_im_ref[...] = jnp.zeros_like(out_im_ref)
 
-    lanes_f = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 1).astype(
+    lanes_f = lax.broadcasted_iota(jnp.int32, (1, tpad_c), 1).astype(
         jnp.float32
     )
-    subl_f = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 0).astype(
+    subl_f = lax.broadcasted_iota(jnp.int32, (blk, 1), 0).astype(
         jnp.float32
     )
 
@@ -273,8 +273,11 @@ def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
             # evaluated at absolute lane coords (vfa includes the column
             # offset) and block-relative sublanes (uf includes the sub-8
             # row shift); positions outside the support evaluate to zero
-            # via _es. The window is computed ONCE and applied to every
-            # correlation's grid.
+            # via _es. Each factor is genuinely 1D — evaluating the
+            # transcendentals on (1, lanes) and (blk, 1) and broadcasting
+            # the outer product cuts the exp/sqrt count ~blk·lanes/(blk
+            # +lanes) ≈ 15-20x. The window is computed ONCE and applied
+            # to every correlation's grid.
             base = _es((vfa - lanes_f) / half, beta) * _es(
                 (uf - subl_f) / half, beta
             )
@@ -463,10 +466,10 @@ def _degrid_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, scale_ref,
                    group, support, beta, tpad_r, tpad_c, ncorr, blk):
     half = support / 2.0
 
-    lanes_f = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 1).astype(
+    lanes_f = lax.broadcasted_iota(jnp.int32, (1, tpad_c), 1).astype(
         jnp.float32
     )
-    subl_f = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 0).astype(
+    subl_f = lax.broadcasted_iota(jnp.int32, (blk, 1), 0).astype(
         jnp.float32
     )
 
@@ -480,7 +483,8 @@ def _degrid_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, scale_ref,
             vfa = vfa_ref[0, 0, e]
             sc = scale_ref[0, 0, e]
 
-            # ES window computed once, reduced against every corr's tile
+            # ES window computed once (1D factors + broadcast outer
+            # product — see _grid_kernel), reduced against every corr
             base = _es((vfa - lanes_f) / half, beta) * _es(
                 (uf - subl_f) / half, beta
             )
@@ -800,8 +804,8 @@ def _grid_kernel_table(first_ref, gtile_ref, tab_ref, ir_ref, dsh_ref,
         out_re_ref[...] = jnp.zeros_like(out_re_ref)
         out_im_ref[...] = jnp.zeros_like(out_im_ref)
 
-    lanes = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 1)
-    subl = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 0)
+    lanes = lax.broadcasted_iota(jnp.int32, (1, tpad_c), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
 
     unroll = 8 if group % 8 == 0 else 1
 
@@ -818,9 +822,10 @@ def _grid_kernel_table(first_ref, gtile_ref, tab_ref, ir_ref, dsh_ref,
 
             # taps read from the shared SMEM table at the reference's
             # quantized index (t+1)·os + frac, placed by where-chains
-            # (no dynamic lane indexing on TPU)
-            colvec = jnp.zeros((blk, tpad_c), jnp.float32)
-            rowvec = jnp.zeros((blk, tpad_c), jnp.float32)
+            # (no dynamic lane indexing on TPU); the factors are 1D —
+            # chains run on (blk, 1)/(1, lanes) and broadcast-multiply
+            colvec = jnp.zeros((blk, 1), jnp.float32)
+            rowvec = jnp.zeros((1, tpad_c), jnp.float32)
             for t in range(w):
                 wu = tab_ref[0, (t + 1) * os_ + fu]
                 wv = tab_ref[0, (t + 1) * os_ + fv]
@@ -899,8 +904,8 @@ def _degrid_kernel_table(gtile_ref, tab_ref, ir_ref, dsh_ref, ic_ref,
     w = support
     os_ = oversample
 
-    lanes = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 1)
-    subl = lax.broadcasted_iota(jnp.int32, (blk, tpad_c), 0)
+    lanes = lax.broadcasted_iota(jnp.int32, (1, tpad_c), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
 
     unroll = 8 if group % 8 == 0 else 1
 
@@ -914,8 +919,8 @@ def _degrid_kernel_table(gtile_ref, tab_ref, ir_ref, dsh_ref, ic_ref,
             fv = fc_ref[0, 0, e]
             sc = scale_ref[0, 0, e]
 
-            colvec = jnp.zeros((blk, tpad_c), jnp.float32)
-            rowvec = jnp.zeros((blk, tpad_c), jnp.float32)
+            colvec = jnp.zeros((blk, 1), jnp.float32)
+            rowvec = jnp.zeros((1, tpad_c), jnp.float32)
             for t in range(w):
                 wu = tab_ref[0, (t + 1) * os_ + fu]
                 wv = tab_ref[0, (t + 1) * os_ + fv]

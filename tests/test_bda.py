@@ -165,3 +165,45 @@ def test_bda_compresses_short_baselines_more(bda_obs):
         rows = np.arange(b, ntime * nbl, nbl)
         bins[b] = len(set(meta.map[rows].ravel().tolist()))
     assert bins[0] <= bins[2]
+
+
+def test_bda_mapper_reference_invariants(bda_obs):
+    """The reference's test_bda_mapper structural assertions
+    (averaging/tests/test_bda_mapping.py:231-273): first-channel map
+    values enumerate the offsets; the per-bin channel count divides
+    nchan exactly; decorr_chan_width = total bandwidth / num_chan."""
+    o = bda_obs
+    meta = bda_mapper(
+        o["time"], o["interval"], o["antenna1"], o["antenna2"], o["uvw"],
+        o["chan_width"], o["chan_freq"],
+        max_uvw_dist=np.sqrt((o["uvw"] ** 2).sum(axis=1)).max(),
+        decorrelation=0.95,
+    )
+    nrow = o["time"].shape[0]
+    offsets = np.unique(np.asarray(meta.map)[np.arange(nrow), 0])
+    assert_array_equal(offsets, np.asarray(meta.offsets)[:-1])
+    assert np.asarray(meta.map).max() + 1 == meta.offsets[-1]
+
+    num_chan = np.diff(np.asarray(meta.offsets))
+    _, remainder = np.divmod(o["chan_width"].shape[0], num_chan)
+    assert np.all(remainder == 0)
+    decorr_cw = o["chan_width"].sum() / num_chan
+    assert_allclose(np.asarray(meta.decorr_chan_width), decorr_cw)
+
+
+@pytest.mark.parametrize("decorrelation", [0.90, 0.95, 0.99])
+def test_bda_decorrelation_monotone(bda_obs, decorrelation):
+    """Lower decorrelation tolerance must never produce MORE compression
+    (a monotonicity property of the sinc-based bin growth)."""
+    o = bda_obs
+    mx = np.sqrt((o["uvw"] ** 2).sum(axis=1)).max()
+
+    def nout(d):
+        meta = bda_mapper(
+            o["time"], o["interval"], o["antenna1"], o["antenna2"],
+            o["uvw"], o["chan_width"], o["chan_freq"],
+            max_uvw_dist=mx, decorrelation=d,
+        )
+        return meta.time.shape[0]
+
+    assert nout(decorrelation) <= nout(min(decorrelation + 0.04, 0.999))

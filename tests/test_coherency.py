@@ -71,3 +71,53 @@ def test_implicit_stokes(rng):
 def test_unknown_output(stokes):
     with pytest.raises(ValueError, match="Unknown output"):
         convert(stokes, ["I", "Q", "U", "V"], ["ZZ"])
+
+
+# The reference's full schema sweep (model/coherency/tests/test_convert.py
+# stokes_corr_cases) — every linear/circular, flat/nested, forward/inverse
+# combination, plus the CASA-integer-id variant.
+_SCHEMA_CASES = [
+    ([["XX"], ["YY"]], ["I", "Q"]),
+    (["XX", "YY"], ["I", "Q"]),
+    (["XX", "XY", "YX", "YY"], ["I", "Q", "U", "V"]),
+    ([["XX", "XY"], ["YX", "YY"]], [["I", "Q"], ["U", "V"]]),
+    (["I", "Q", "U", "V"], ["XX", "XY", "YX", "YY"]),
+    ([["I", "Q"], ["U", "V"]], [["XX", "XY"], ["YX", "YY"]]),
+    ([["I", "Q"], ["U", "V"]], [["XX", "XY", "YX", "YY"]]),
+    ([["I", "Q"], ["U", "V"]], [["RR", "RL", "LR", "LL"]]),
+    (["I", "V"], ["RR", "LL"]),
+    (["I", "Q"], ["XX", "YY"]),
+    ([9, 12], [1, 2]),  # CASA ids: XX,YY -> I,Q
+]
+
+
+def _flatten_schema(s):
+    out = []
+    for e in s:
+        out.extend(_flatten_schema(e) if isinstance(e, list) else [e])
+    return out
+
+
+@pytest.mark.parametrize("input_schema,output_schema", _SCHEMA_CASES)
+@pytest.mark.parametrize("vis_shape", [(10, 5, 3), (6, 8)])
+def test_convert_schema_sweep(input_schema, output_schema, vis_shape):
+    """Round-trip sweep: convert forward then back through the inverse
+    schema recovers the input (the linear maps are inverse pairs), with
+    the reference's arange-valued visibility factory."""
+    # nested schemas imply trailing dims matching their structure
+    def schema_shape(s):
+        if isinstance(s, list) and s and isinstance(s[0], list):
+            return (len(s), len(s[0]))
+        return (len(s),)
+
+    ishape = schema_shape(input_schema)
+    vis = np.arange(1.0, np.prod(vis_shape + ishape) + 1.0).reshape(
+        vis_shape + ishape
+    )
+
+    out = np.asarray(convert(vis, input_schema, output_schema))
+    assert out.shape == vis_shape + schema_shape(output_schema)
+
+    # invert: output schema back to input schema
+    back = np.asarray(convert(out, output_schema, input_schema))
+    assert_allclose(back.reshape(vis.shape), vis, rtol=1e-12, atol=1e-12)
