@@ -27,6 +27,23 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+from africanus_tpu.utils.debug import (  # noqa: E402
+    debug_env_enabled,
+    debug_mode,
+)
+
+
+@pytest.fixture(autouse=True)
+def _nan_sanitizer():
+    """Opt-in NaN sanitizer (AFRICANUS_TPU_DEBUG_NANS=1): every jitted
+    computation raises at the first op producing a NaN — the analogue of
+    the reference's NUMBA_NRT_STATS leak fixture (conftest.py:10-18)."""
+    if debug_env_enabled():
+        with debug_mode():
+            yield
+    else:
+        yield
+
 
 @pytest.fixture
 def rng():
