@@ -18,7 +18,8 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["available", "lib", "tc_row_mapper_core", "bda_binner_core"]
+__all__ = ["available", "lib", "tc_row_mapper_core", "bda_binner_core",
+           "tile_pack_core"]
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "mappers.cpp"
@@ -90,6 +91,11 @@ def _build_and_load():
             ctypes.c_void_p,  # out_counts
         ]
 
+        lib.tile_pack_core.restype = None
+        lib.tile_pack_core.argtypes = (
+            [ctypes.c_int64] * 3 + [ctypes.c_void_p] * 18
+        )
+
         _lib = lib
     except Exception as e:  # g++ missing, compile failure, …
         _load_error = e
@@ -147,3 +153,19 @@ def bda_binner_core(row_lookup, auto_corr, time, interval, uvw, flag_row,
         _ptr(out_counts),
     )
     return int(out_counts[0]), int(out_counts[1])
+
+
+def tile_pack_core(tile_ids, group_base, group, ntiles, sample_id, ir, ic,
+                   fr, fc, uf, vf, scale, o_sample, o_ir, o_ic, o_fr,
+                   o_fc, o_uf, o_vf, o_scale):
+    """Stable counting-sort placement of tile-plan entries (see
+    mappers.cpp tile_pack_core). Arrays must be C-contiguous; fr/fc and
+    uf/vf pairs are nullable as a unit."""
+    lib().tile_pack_core(
+        tile_ids.shape[0], int(group), int(ntiles),
+        _ptr(tile_ids), _ptr(group_base),
+        _ptr(sample_id), _ptr(ir), _ptr(ic), _ptr(fr), _ptr(fc),
+        _ptr(uf), _ptr(vf), _ptr(scale),
+        _ptr(o_sample), _ptr(o_ir), _ptr(o_ic), _ptr(o_fr), _ptr(o_fc),
+        _ptr(o_uf), _ptr(o_vf), _ptr(o_scale),
+    )

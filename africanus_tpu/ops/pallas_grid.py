@@ -140,69 +140,27 @@ def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
     # Single ownership is what makes the fold additive-exact.
     tr_raw = iu0 // tile_r
     tc_raw = iv0 // tile_c
-    tile_ids = (plane * ntr + tr_raw % ntr) * ntc + tc_raw % ntc
-
-    order = np.argsort(tile_ids, kind="stable")
-    tile_ids = tile_ids[order]
-    entries = order
+    tile_ids = ((plane * ntr + tr_raw % ntr) * ntc + tc_raw % ntc).astype(
+        np.int64
+    )
 
     # local window coords inside the padded tile (W halo each side),
     # relative to the *unwrapped* tile origin — wraparound is resolved by
-    # assemble_tiles' halo roll
-    ir_all = (iu0 - tr_raw * tile_r + w).astype(np.int32)[entries]
-    ic_all = (iv0 - tc_raw * tile_c + w).astype(np.int32)[entries]
+    # assemble_tiles' halo roll. Row starts align down to a multiple of
+    # 8 (Mosaic sublane constraint) with the sub-8 shift folded into the
+    # u fractional coordinate; v coordinates are absolute in the tile.
+    ir_all = (iu0 - tr_raw * tile_r + w).astype(np.int32)
+    ic_all = (iv0 - tc_raw * tile_c + w).astype(np.int32)
+    ir_al_in = (ir_all // 8) * 8
+    uf_abs = (uf + (ir_all - ir_al_in)).astype(np.float32)
+    vf_abs = (vf + ic_all).astype(np.float32)
 
-    uniq, counts = np.unique(tile_ids, return_counts=True)
-    ngroups_per = -(-counts // group)
-    ngroups = int(ngroups_per.sum())
-
-    # vectorised packing: entry p of tile t lands in global group
-    # group_base[t] + k//group at slot k%group, k = p − tile_start[t]
-    tile_start = np.zeros(uniq.size, np.int64)
-    np.cumsum(counts[:-1], out=tile_start[1:])
-    group_base = np.zeros(uniq.size, np.int64)
-    np.cumsum(ngroups_per[:-1], out=group_base[1:])
-    tix = np.repeat(np.arange(uniq.size), counts)
-    k = np.arange(tile_ids.size) - tile_start[tix]
-    gidx = group_base[tix] + k // group
-    slot = k % group
-
-    group_tile = np.zeros(ngroups, np.int64)
-    group_tile[group_base] = uniq
-    np.maximum.accumulate(group_tile, out=group_tile)
-    sample_pack = np.zeros((ngroups, group), np.int32)
-    ir_loc = np.zeros((ngroups, group), np.int32)
-    ic_loc = np.zeros((ngroups, group), np.int32)
-    uf_pack = np.full((ngroups, group), -2.0 * w, np.float32)
-    vf_pack = np.full((ngroups, group), -2.0 * w, np.float32)
-    scale_pack = np.zeros((ngroups, group), np.float32)
-
-    sample_pack[gidx, slot] = sample_id[entries]
-    ir_loc[gidx, slot] = ir_all
-    ic_loc[gidx, slot] = ic_all
-    uf_pack[gidx, slot] = uf[entries]
-    vf_pack[gidx, slot] = vf[entries]
-    scale_pack[gidx, slot] = scale[entries]
-
-    # tiles with no entries still need one (all-invalid) group so their
-    # output block is zero-initialised (pallas outputs start uninitialised)
-    missing = np.setdiff1d(np.arange(ntiles, dtype=np.int64), uniq)
-    if missing.size:
-        group_tile = np.concatenate([group_tile, missing])
-        zi = np.zeros((missing.size, group), np.int32)
-        zf = np.full((missing.size, group), -2.0 * w, np.float32)
-        sample_pack = np.concatenate([sample_pack, zi], axis=0)
-        ir_loc = np.concatenate([ir_loc, zi], axis=0)
-        ic_loc = np.concatenate([ic_loc, zi], axis=0)
-        uf_pack = np.concatenate([uf_pack, zf], axis=0)
-        vf_pack = np.concatenate([vf_pack, zf], axis=0)
-        scale_pack = np.concatenate(
-            [scale_pack, np.zeros((missing.size, group), np.float32)], axis=0
-        )
-        ngroups += missing.size
-
-    first = np.ones(ngroups, np.int32)
-    first[1:] = (group_tile[1:] != group_tile[:-1]).astype(np.int32)
+    (ngroups, group_tile, group_base, first, pads) = _pack_entries(
+        tile_ids, ntiles, group,
+        pad_f32=-2.0 * w,
+        sample_id=sample_id, ir=ir_al_in, ic=ic_all,
+        uf=uf_abs, vf=vf_abs, scale=scale,
+    )
 
     # padded tile: W halo each side; rows 8-aligned (with room for the
     # aligned blk-row window RMW at the last start offset), cols
@@ -213,23 +171,91 @@ def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
     tpad_r = max(_round_up(tile_r + 2 * w, 8), max_r0a + blk)
     tpad_c = _round_up(tile_c + 2 * w, 128)
 
-    # row start aligned down to 8; the residual shift folds into the u
-    # fractional coordinate. Fractional coords are absolute within the
-    # RMW block (u) / the padded tile (v).
-    ir_al = (ir_loc // 8) * 8
-    uf_pack = uf_pack + (ir_loc - ir_al)
-    vfa_pack = vf_pack + ic_loc
-
     return dict(
         tile_r=tile_r, tile_c=tile_c, support=w, beta=float(beta),
         ntr=ntr, ntc=ntc, nu=nu, nv=nv, nplanes=nplanes,
         tpad_r=tpad_r, tpad_c=tpad_c, blk=blk,
         ngroups=ngroups, group=group,
         group_tile=group_tile.astype(np.int32),
-        sample_pack=sample_pack, ir_loc=ir_al,
-        uf=uf_pack.astype(np.float32), vfa=vfa_pack.astype(np.float32),
-        scale=scale_pack, first=first,
+        sample_pack=pads["sample"], ir_loc=pads["ir"],
+        uf=pads["uf"], vfa=pads["vf"],
+        scale=pads["scale"], first=first,
     )
+
+
+def _pack_entries(tile_ids, ntiles, group, pad_f32, sample_id, ir, ic,
+                  scale, uf=None, vf=None, fr=None, fc=None):
+    """Place entries into per-tile fixed-size groups (stable order).
+
+    Every tile gets at least one group — empty tiles get an all-inert
+    group so the kernel still zero-initialises their output block. The
+    placement pass runs in the C++ core when available (a stable
+    counting sort over millions of virtual samples; the numpy
+    argsort+fancy-index chain dominated plan time) with an equivalent
+    numpy fallback.
+
+    Returns (ngroups, group_tile, group_base, first, payload dict).
+    """
+    n = tile_ids.shape[0]
+    counts = np.bincount(tile_ids, minlength=ntiles)
+    ngroups_per = np.maximum(-(-counts // group), 1)
+    group_base = np.zeros(ntiles, np.int64)
+    np.cumsum(ngroups_per[:-1], out=group_base[1:])
+    ngroups = int(ngroups_per.sum())
+    group_tile = np.repeat(np.arange(ntiles, dtype=np.int64), ngroups_per)
+    first = np.zeros(ngroups, np.int32)
+    first[group_base] = 1
+
+    table = uf is None
+    o_sample = np.zeros((ngroups, group), np.int32)
+    o_ir = np.zeros((ngroups, group), np.int32)
+    o_ic = np.zeros((ngroups, group), np.int32)
+    o_scale = np.zeros((ngroups, group), np.float32)
+    o_fr = np.zeros((ngroups, group), np.int32) if table else None
+    o_fc = np.zeros((ngroups, group), np.int32) if table else None
+    o_uf = None if table else np.full((ngroups, group), pad_f32, np.float32)
+    o_vf = None if table else np.full((ngroups, group), pad_f32, np.float32)
+
+    sample_id = np.ascontiguousarray(sample_id, np.int32)
+    ir = np.ascontiguousarray(ir, np.int32)
+    ic = np.ascontiguousarray(ic, np.int32)
+    scale = np.ascontiguousarray(scale, np.float32)
+
+    from africanus_tpu import native
+
+    if native.available():
+        native.tile_pack_core(
+            np.ascontiguousarray(tile_ids, np.int64), group_base, group,
+            ntiles, sample_id, ir, ic,
+            None if fr is None else np.ascontiguousarray(fr, np.int32),
+            None if fc is None else np.ascontiguousarray(fc, np.int32),
+            None if uf is None else np.ascontiguousarray(uf, np.float32),
+            None if vf is None else np.ascontiguousarray(vf, np.float32),
+            scale,
+            o_sample, o_ir, o_ic, o_fr, o_fc, o_uf, o_vf, o_scale,
+        )
+    else:
+        order = np.argsort(tile_ids, kind="stable")
+        sids = tile_ids[order]
+        tile_start = np.zeros(ntiles, np.int64)
+        np.cumsum(counts[:-1], out=tile_start[1:])
+        k = np.arange(n) - tile_start[sids]
+        gidx = group_base[sids] + k // group
+        slot = k % group
+        o_sample[gidx, slot] = sample_id[order]
+        o_ir[gidx, slot] = ir[order]
+        o_ic[gidx, slot] = ic[order]
+        o_scale[gidx, slot] = scale[order]
+        if table:
+            o_fr[gidx, slot] = np.asarray(fr)[order]
+            o_fc[gidx, slot] = np.asarray(fc)[order]
+        else:
+            o_uf[gidx, slot] = np.asarray(uf)[order]
+            o_vf[gidx, slot] = np.asarray(vf)[order]
+
+    pads = dict(sample=o_sample, ir=o_ir, ic=o_ic, scale=o_scale,
+                fr=o_fr, fc=o_fc, uf=o_uf, vf=o_vf)
+    return ngroups, group_tile, group_base, first, pads
 
 
 def _es(z, beta):
@@ -714,69 +740,23 @@ def plan_tiles_table(ir0, ic0, fr, fc, support, oversample, nu, nv,
     # fold discards whatever falls outside the grid
     tr = np.clip(ir0 // tile_r, 0, ntr - 1)
     tc = np.clip(ic0 // tile_c, 0, ntc - 1)
-    tile_ids = (plane * ntr + tr) * ntc + tc
+    tile_ids = ((plane * ntr + tr) * ntc + tc).astype(np.int64)
 
-    order = np.argsort(tile_ids, kind="stable")
-    tile_ids = tile_ids[order]
-    entries = order
+    ir_all = (ir0 - tr * tile_r + w).astype(np.int32)
+    ic_all = (ic0 - tc * tile_c + w).astype(np.int32)
 
-    ir_all = (ir0 - tr * tile_r + w).astype(np.int32)[entries]
-    ic_all = (ic0 - tc * tile_c + w).astype(np.int32)[entries]
-
-    uniq, counts = np.unique(tile_ids, return_counts=True)
-    ngroups_per = -(-counts // group)
-    ngroups = int(ngroups_per.sum())
-
-    # vectorised packing (see plan_tiles)
-    tile_start = np.zeros(uniq.size, np.int64)
-    np.cumsum(counts[:-1], out=tile_start[1:])
-    group_base = np.zeros(uniq.size, np.int64)
-    np.cumsum(ngroups_per[:-1], out=group_base[1:])
-    tix = np.repeat(np.arange(uniq.size), counts)
-    k = np.arange(tile_ids.size) - tile_start[tix]
-    gidx = group_base[tix] + k // group
-    slot = k % group
-
-    group_tile = np.zeros(ngroups, np.int64)
-    group_tile[group_base] = uniq
-    np.maximum.accumulate(group_tile, out=group_tile)
-    sample_pack = np.zeros((ngroups, group), np.int32)
-    ir_loc = np.zeros((ngroups, group), np.int32)
-    ic_loc = np.zeros((ngroups, group), np.int32)
-    fr_pack = np.zeros((ngroups, group), np.int32)
-    fc_pack = np.zeros((ngroups, group), np.int32)
-    scale_pack = np.zeros((ngroups, group), np.float32)
-
-    sample_pack[gidx, slot] = sample_id[entries]
-    ir_loc[gidx, slot] = ir_all
-    ic_loc[gidx, slot] = ic_all
-    fr_pack[gidx, slot] = fr[entries]
-    fc_pack[gidx, slot] = fc[entries]
-    scale_pack[gidx, slot] = scale[entries]
-
-    missing = np.setdiff1d(np.arange(ntiles, dtype=np.int64), uniq)
-    if missing.size:
-        zi = np.zeros((missing.size, group), np.int32)
-        group_tile = np.concatenate([group_tile, missing])
-        sample_pack = np.concatenate([sample_pack, zi], axis=0)
-        ir_loc = np.concatenate([ir_loc, zi], axis=0)
-        ic_loc = np.concatenate([ic_loc, zi], axis=0)
-        fr_pack = np.concatenate([fr_pack, zi], axis=0)
-        fc_pack = np.concatenate([fc_pack, zi], axis=0)
-        scale_pack = np.concatenate(
-            [scale_pack, np.zeros((missing.size, group), np.float32)],
-            axis=0,
-        )
-        ngroups += missing.size
-
-    first = np.ones(ngroups, np.int32)
-    first[1:] = (group_tile[1:] != group_tile[:-1]).astype(np.int32)
+    (ngroups, group_tile, group_base, first, pads) = _pack_entries(
+        tile_ids, ntiles, group, pad_f32=0.0,
+        sample_id=sample_id, ir=ir_all, ic=ic_all,
+        fr=fr, fc=fc, scale=scale,
+    )
 
     blk = _round_up(w + 7, 8)
     max_r0a = ((tile_r + w - 1) // 8) * 8
     tpad_r = max(_round_up(tile_r + 2 * w, 8), max_r0a + blk)
     tpad_c = _round_up(tile_c + 2 * w, 128)
 
+    ir_loc = pads["ir"]
     ir_al = (ir_loc // 8) * 8
     dsh = (ir_loc - ir_al).astype(np.int32)
 
@@ -786,8 +766,9 @@ def plan_tiles_table(ir0, ic0, fr, fc, support, oversample, nu, nv,
         tpad_r=tpad_r, tpad_c=tpad_c, blk=blk,
         ngroups=ngroups, group=group,
         group_tile=group_tile.astype(np.int32),
-        sample_pack=sample_pack, ir_loc=ir_al, dsh=dsh, ic_loc=ic_loc,
-        fr=fr_pack, fc=fc_pack, scale=scale_pack, first=first,
+        sample_pack=pads["sample"], ir_loc=ir_al, dsh=dsh,
+        ic_loc=pads["ic"],
+        fr=pads["fr"], fc=pads["fc"], scale=pads["scale"], first=first,
     )
 
 

@@ -542,7 +542,9 @@ def config5_selfcal():
     jones0 = Cplx(np.ones((ntime, nant, nchan, 1, ncorr), f32),
                   np.zeros((ntime, nant, nchan, 1, ncorr), f32))
     nvis = nrow * nchan
-    npx = 128
+    # 64^2 residual grid: the adjoint DFT is O(npix^2 * nvis) and would
+    # otherwise dominate the whole loop on both CPU and TPU
+    npx = 64
 
     def selfcal_step(data):
         # 1. phase-only Gauss-Newton gain solve
@@ -583,7 +585,7 @@ def config5_selfcal():
     m_np = np.asarray(model2.re[:, :, 0, :]) + 1j * np.asarray(
         model2.im[:, :, 0, :]
     )
-    sub_bl = 3000  # rows per time chunk in the CPU subset
+    sub_bl = 800  # rows per time chunk in the CPU subset
     keep = np.concatenate(
         [np.arange(tbi[t], tbi[t] + sub_bl) for t in range(ntime)]
     )
