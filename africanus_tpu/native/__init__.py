@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import ctypes
 import hashlib
+import logging
 import subprocess
 import tempfile
 from pathlib import Path
@@ -20,6 +21,8 @@ import numpy as np
 
 __all__ = ["available", "lib", "tc_row_mapper_core", "bda_binner_core",
            "tile_pack_core"]
+
+log = logging.getLogger(__name__)
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "mappers.cpp"
@@ -97,7 +100,10 @@ def _build_and_load():
         )
 
         _lib = lib
+        log.debug("native mappers loaded from %s", so_path)
     except Exception as e:  # g++ missing, compile failure, …
+        log.warning("native mappers unavailable (%s); using numpy "
+                    "fallbacks", e)
         _load_error = e
         _lib = None
     return _lib

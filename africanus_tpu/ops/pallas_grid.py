@@ -43,6 +43,7 @@ columns v.
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 
 import numpy as np
@@ -56,6 +57,8 @@ __all__ = ["plan_tiles", "plan_tiles_table", "grid_tiles_pallas",
            "grid_tiles_table_pallas", "assemble_tiles", "extract_tiles",
            "degrid_tiles_pallas", "degrid_tiles_table_pallas",
            "choose_tile", "pack_shard_plans", "PLAN_ARRAY_KEYS"]
+
+log = logging.getLogger(__name__)
 
 PLAN_ARRAY_KEYS = ("first", "group_tile", "ir_loc", "uf", "vfa", "scale",
                    "sample_pack")
@@ -255,6 +258,12 @@ def _pack_entries(tile_ids, ntiles, group, pad_f32, sample_id, ir, ic,
 
     pads = dict(sample=o_sample, ir=o_ir, ic=o_ic, scale=o_scale,
                 fr=o_fr, fc=o_fc, uf=o_uf, vf=o_vf)
+    log.debug(
+        "tile plan: %d entries -> %d groups x %d over %d tiles "
+        "(fill %.0f%%, native=%s)",
+        n, ngroups, group, ntiles,
+        100.0 * n / max(ngroups * group, 1), native.available(),
+    )
     return ngroups, group_tile, group_base, first, pads
 
 

@@ -17,6 +17,7 @@ fast_beam_cubes.py:224-233) — preserving beam amplitude under rotation.
 
 from __future__ import annotations
 
+import logging
 from functools import reduce
 
 import jax.numpy as jnp
@@ -25,6 +26,8 @@ from jax import lax
 from africanus_tpu.ops.cplx import Cplx, cplx
 
 __all__ = ["beam_cube_dde", "beam_cube_dde_ri", "freq_grid_interp"]
+
+log = logging.getLogger(__name__)
 
 
 def freq_grid_interp(frequency, beam_freq_map):
@@ -182,6 +185,11 @@ def beam_cube_dde_ri(
                 and fr_np.max() <= fm_np[-1]
             )
 
+        log.debug(
+            "beam_cube_dde: pallas path, chan_invariant=%s "
+            "(cube %dx%dx%d, %d corr)",
+            chan_inv, beam_lw, beam_mh, fb.shape[2], ncorr,
+        )
         if chan_inv:
             nud_total = fb.shape[2]
             nsamp = s * t * a

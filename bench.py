@@ -53,11 +53,22 @@ def _time_host(fn, reps=3):
     return (time.perf_counter() - t0) / reps, out
 
 
-def _roofline_frac(seconds, flops, bytes_, peak=None):
+# v5e VPU: 8x128 f32 lanes x ~0.94 GHz x 2 (FMA) ~ 2e12 flop/s; a
+# transcendental occupies ~8 issue slots. VPU-bound configs use this
+# peak with transcendentals weighted x8; the MXU-bound beam kernel uses
+# the f32 matmul peak from utils/profiling.
+_VPU_PEAK = 2e12
+_TRANSC_SLOTS = 8
+
+
+def _roofline_frac(seconds, flops, bytes_, peak=None, transc=0):
     from africanus_tpu.utils.profiling import roofline
 
     kw = {} if peak is None else {"peak_flops": peak}
-    return round(roofline(seconds, flops, bytes_, **kw).fraction, 4)
+    return round(
+        roofline(seconds, flops + _TRANSC_SLOTS * transc, bytes_,
+                 **kw).fraction, 4,
+    )
 
 
 # ---------------------------------------------------------------- config 1
@@ -101,14 +112,16 @@ def config1_dft():
     dt = _time_jit(lambda img, u, lmx, f: im_to_vis_ri(img, u, lmx, f).re,
                    *args32)
     rate = nrow * nchan * ncorr / dt / 1e6
-    # flops: compensated phase (~25) + cos/sin (~16) + 8 MAC/corr
-    flops = nsrc * nrow * nchan * (25 + 16 + 8 * ncorr)
+    # per (s,r,f): ~25 df-phase flops, 2 transcendentals, 8 MAC/corr
+    flops = nsrc * nrow * nchan * (25 + 8 * ncorr)
+    transc = nsrc * nrow * nchan * 2
     bytes_ = 4 * (nsrc * (2 + nchan * ncorr) + nrow * 3
                   + 2 * nrow * nchan * ncorr)
     return dict(
         name="config1_dft_im_to_vis", value=round(rate, 2), unit="Mvis/s",
         vs_baseline=round(rate / cpu_rate, 2),
-        roofline_frac=_roofline_frac(dt, flops, bytes_, peak=8e12),
+        roofline_frac=_roofline_frac(dt, flops, bytes_, peak=_VPU_PEAK,
+                                     transc=transc),
         max_rel_err=err,
         shape=dict(nsrc=nsrc, nrow=nrow, nchan=nchan, ncorr=ncorr),
     )
@@ -203,15 +216,17 @@ def config2_predict():
     dt = (time.perf_counter() - t0) / REPS
     rate = nrow * NCHAN * NCORR / dt / 1e6
 
-    # flops: per (src,row,chan): df phase ~25, cos/sin/exp ~24, env 8,
-    # 4corr complex MAC 8·4
-    flops = NSRC * nrow * NCHAN * (25 + 24 + 8 + 8 * NCORR)
+    # per (src,row,chan): ~25 df-phase flops, 3 transcendentals
+    # (cos/sin/exp), 8 envelope flops, 8 complex-MAC flops per corr
+    flops = NSRC * nrow * NCHAN * (25 + 8 + 8 * NCORR)
+    transc = NSRC * nrow * NCHAN * 3
     bytes_ = 4 * (NSRC * (2 + 3 + NCHAN * NCORR * 2) + nrow * 3
                   + 2 * nrow * NCHAN * NCORR * 2)
     return dict(
         name="config2_rime_predict", value=round(rate, 2), unit="Mvis/s",
         vs_baseline=round(rate / cpu_rate, 2),
-        roofline_frac=_roofline_frac(dt, flops, bytes_, peak=8e12),
+        roofline_frac=_roofline_frac(dt, flops, bytes_, peak=_VPU_PEAK,
+                                     transc=transc),
         max_rel_err=err,
         shape=dict(nsrc=NSRC, nrow=nrow, nchan=NCHAN, ncorr=NCORR),
     )
@@ -490,7 +505,9 @@ def config4_imaging():
     return dict(
         name="config4_wgridder_bda", value=round(rate, 2), unit="Mvis/s",
         vs_baseline=round(rate / cpu_rate, 2),
-        roofline_frac=_roofline_frac(dt, flops, bytes_, peak=8e12),
+        # the tile spreading kernel is VMEM RMW-latency bound, which a
+        # flop/byte roofline does not model — reported for completeness
+        roofline_frac=_roofline_frac(dt, flops, bytes_, peak=_VPU_PEAK),
         max_rel_err=err,
         bda_mvis_s=round(bda_rate, 1),
         plan_seconds=round(plan_dt, 2),
@@ -654,13 +671,17 @@ def config5_selfcal():
     prod_t = gt[:, a1u] * np.conj(gt[:, a2u])
     err = float(np.abs(prod - prod_t).max())
 
-    flops = nvis * gn_iters * 64 * ncorr
+    # GN iterations + the npx^2-pixel adjoint DFT dominate
+    flops = (nvis * gn_iters * 64 * ncorr
+             + nvis * npx * npx * 30)
+    transc = nvis * npx * npx * 2
     bytes_ = 4 * nvis * ncorr * 2 * 6 * gn_iters
     return dict(
         name="config5_selfcal_loop", value=round(rate_iter, 2),
         unit="Mvis-iter/s",
         vs_baseline=round(rate_iter / cpu_rate, 2),
-        roofline_frac=_roofline_frac(dt, flops, bytes_, peak=8e12),
+        roofline_frac=_roofline_frac(dt, flops, bytes_, peak=_VPU_PEAK,
+                                     transc=transc),
         max_rel_err=err,
         shape=dict(nant=nant, nrow=nrow, nchan=nchan, npix=npx),
     )
