@@ -362,3 +362,54 @@ def test_averager_sweep(rng, flagged_rows, time_bin_secs, chan_bin_size):
                        min((cb + 1) * chan_bin_size, nchan))
             want = vis[e, ch].mean(axis=(0, 1))
             assert_allclose(got_vis[r, cb], want, rtol=1e-10)
+
+
+@pytest.mark.parametrize("time_bin_secs", [2, 3])
+@pytest.mark.parametrize("chan_bin_size", [2, 5])
+def test_averager_weighted_sigma_sweep(rng, time_bin_secs, chan_bin_size):
+    """Weighted-visibility and sigma_spectrum semantics against the
+    reference's formulas (test_time_and_channel_averaging.py _calc_sigma:
+    sigma_out² = Σσ²w² / (Σw)²; vis_out = Σ w·v / Σw)."""
+    ntime, nchan, ncorr = 4, 10, 2
+    ants = [(0, 1), (1, 2)]
+    time = np.repeat(np.arange(ntime, dtype=np.float64) + 100.0, len(ants))
+    interval = np.full(time.shape, 1.0)
+    a1 = np.array([a for _ in range(ntime) for a, _ in ants])
+    a2 = np.array([b for _ in range(ntime) for _, b in ants])
+    nrow = time.shape[0]
+    vis = rng.normal(size=(nrow, nchan, ncorr)) + 1j * rng.normal(
+        size=(nrow, nchan, ncorr)
+    )
+    ws = rng.uniform(0.5, 2.0, (nrow, nchan, ncorr))
+    ss = rng.uniform(0.5, 2.0, (nrow, nchan, ncorr))
+    freq = np.linspace(1e9, 2e9, nchan)
+
+    out = time_and_channel(
+        time, interval, a1, a2, visibilities=vis, weight_spectrum=ws,
+        sigma_spectrum=ss, chan_freq=freq,
+        time_bin_secs=float(time_bin_secs), chan_bin_size=chan_bin_size,
+    )
+    got_vis = np.asarray(out.visibilities)
+    got_ws = np.asarray(out.weight_spectrum)
+    got_ss = np.asarray(out.sigma_spectrum)
+
+    bins = _oracle_bins(time, interval, a1, a2,
+                        np.zeros(nrow, np.uint8), time_bin_secs)
+    order = np.lexsort((np.asarray(out.antenna2), np.asarray(out.antenna1),
+                        np.asarray(out.time)))
+    nchan_out = -(-nchan // chan_bin_size)
+    for k, (t_avg, (p, q), erows, nrows) in enumerate(bins):
+        r = order[k]
+        e = np.array(erows)
+        for cb in range(nchan_out):
+            ch = slice(cb * chan_bin_size,
+                       min((cb + 1) * chan_bin_size, nchan))
+            w = ws[e, ch].reshape(-1, ncorr)
+            v = vis[e, ch].reshape(-1, ncorr)
+            s = ss[e, ch].reshape(-1, ncorr)
+            wsum = w.sum(axis=0)
+            assert_allclose(got_vis[r, cb], (w * v).sum(0) / wsum,
+                            rtol=1e-10)
+            assert_allclose(got_ws[r, cb], wsum, rtol=1e-10)
+            want_sig = np.sqrt((s**2 * w**2).sum(0) / wsum**2)
+            assert_allclose(got_ss[r, cb], want_sig, rtol=1e-10)

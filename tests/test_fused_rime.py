@@ -265,3 +265,58 @@ def test_fused_rime_source_block_custom_term_heuristic(obs):
     full = to_numpy(rime(spec, ds))
     blocked = to_numpy(rime(spec, ds, source_block=2))
     assert_allclose(blocked, full, rtol=1e-12, atol=1e-13)
+
+
+def test_fused_rime_circular_corrs(obs):
+    """Circular output correlations ([RR,RL,LR,LL]) against the unfused
+    composition (reference test_rime strategy, circular leg)."""
+    spec = "(Kpq, Bpq): [I,Q,U,V] -> [RR,RL,LR,LL]"
+    got = to_numpy(rime(spec, obs))
+
+    from africanus_tpu.coordinates import radec_to_lm
+
+    lm = np.asarray(radec_to_lm(obs["radec"], obs["phase_dir"]))
+    K = np.asarray(phase_delay(lm, obs["uvw"], obs["chan_freq"]))
+    spec_np = np.asarray(
+        spectral_model(obs["stokes"], obs["spi"], obs["ref_freq"],
+                       obs["chan_freq"], base="std")
+    )
+    B = np.asarray(convert(spec_np, ["I", "Q", "U", "V"],
+                           ["RR", "RL", "LR", "LL"]))
+    want = np.einsum("srf,sfc->rfc", K, B)
+    assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+def test_fused_rime_row_sharding_invariance(obs):
+    """Row-sharded fused evaluation equals single-device results (the
+    chunking-invariance property of the reference's fused dask layer)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from functools import partial
+    from africanus_tpu.rime.fused import RimeFactory
+
+    fac = RimeFactory("(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]")
+    state = fac.build_state(**obs)
+    want = to_numpy(fac.evaluate(state))
+
+    nrow = obs["time"].shape[0]
+    ndev = 7 if nrow % 7 == 0 else (4 if nrow % 4 == 0 else 2)
+    assert nrow % ndev == 0
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("row",))
+    rsh = NamedSharding(mesh, P("row"))
+    sharded = dict(state)
+    for k in ("uvw", "time_inverse", "antenna1_inverse",
+              "antenna2_inverse"):
+        sharded[k] = jax.device_put(np.asarray(state[k]), rsh)
+    got = to_numpy(fac.evaluate(sharded))
+    assert_allclose(got, want, rtol=1e-10, atol=1e-11)
+
+
+def test_fused_rime_source_block_with_gaussian(obs):
+    """Blocked evaluation with the Gaussian term (multiple SOURCE_ARGS
+    including per-source shapes) matches the one-shot grid."""
+    spec = "(Kpq, Gpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]"
+    full = to_numpy(rime(spec, obs))
+    for block in (1, 2, 4):
+        blocked = to_numpy(rime(spec, obs, source_block=block))
+        assert_allclose(blocked, full, rtol=1e-12, atol=1e-13)
