@@ -39,7 +39,9 @@ def _dft_phase(uvw, lm, frequency, convention, real_dtype):
 
 
 def im_to_vis_ri(
-    image, uvw, lm, frequency, convention: str = "fourier", real_dtype=None
+    image, uvw, lm, frequency, convention: str = "fourier",
+    real_dtype=None, use_pallas: bool | None = None,
+    interpret: bool = False,
 ) -> Cplx:
     """Pair-native DFT predict: V[r,ν,c] = Σ_s e^{iφ(s,r,ν)} · I[s,ν,c].
 
@@ -47,6 +49,10 @@ def im_to_vis_ri(
     ----------
     image : (source, chan, corr) real array or Cplx pair
     uvw : (row, 3); lm : (source, 2); frequency : (chan,)
+    use_pallas : route through the fused Pallas predict kernel (default:
+        exactly on TPU at f32) — the DFT is the envelope-free K×B chain,
+        and the kernel avoids materialising the (src, row, chan) cos/sin
+        grids in HBM. Inputs are zero-padded to the kernel tiles.
 
     Returns
     -------
@@ -64,6 +70,37 @@ def im_to_vis_ri(
         real_dtype = jnp.result_type(
             img.re.dtype, uvw.dtype, lm.dtype, frequency.dtype
         )
+
+    if use_pallas is None:
+        import jax
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and jnp.dtype(real_dtype) == jnp.float32
+        )
+    if use_pallas:
+        from africanus_tpu.ops.pallas_predict import predict_kb_pallas
+        from africanus_tpu.rime.phase import phase_dot_cycles
+
+        nsrc = lm.shape[0]
+        nrow = uvw.shape[0]
+        nchan = frequency.shape[0]
+        dot_hi, dot_lo = phase_dot_cycles(lm, uvw, convention)
+        b = Cplx(img.re.astype(jnp.float32), img.im.astype(jnp.float32))
+
+        spad = (-nsrc) % 8
+        rpad = (-nrow) % 128
+        cpad = (-nchan) % 128
+        if spad or rpad:
+            dot_hi = jnp.pad(dot_hi, ((0, spad), (0, rpad)))
+            dot_lo = jnp.pad(dot_lo, ((0, spad), (0, rpad)))
+        if spad or cpad:
+            b = Cplx(jnp.pad(b.re, ((0, spad), (0, cpad), (0, 0))),
+                     jnp.pad(b.im, ((0, spad), (0, cpad), (0, 0))))
+        freq_p = jnp.pad(frequency.astype(jnp.float32), (0, cpad))
+        out = predict_kb_pallas((dot_hi, dot_lo), None, None, freq_p,
+                                freq_p * 0, b, interpret=interpret)
+        return Cplx(out.re[:nrow, :nchan], out.im[:nrow, :nchan])
 
     p = _dft_phase(uvw, lm, frequency, convention, real_dtype)
     cos_p = jnp.cos(p)

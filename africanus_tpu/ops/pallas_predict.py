@@ -97,7 +97,8 @@ def _predict_kernel(dot_ref, dlo_ref, u1_ref, v1_ref, freq_ref, sfreq_ref,
 
 
 def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
-                      row_tile=128, chan_tile=128, src_block=8):
+                      row_tile=128, chan_tile=128, src_block=8,
+                      interpret=False):
     """Fused K[×env]×B predict.
 
     Parameters
@@ -185,6 +186,7 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=4 * (3 * nsrc * nrow + 2 * nchan

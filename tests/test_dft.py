@@ -5,7 +5,7 @@ import numpy as np
 from numpy.testing import assert_allclose
 import pytest
 
-from africanus_tpu.dft import im_to_vis, vis_to_im
+from africanus_tpu.dft import im_to_vis, im_to_vis_ri, vis_to_im
 
 C = 2.99792458e8
 TWO_PI_OVER_C = 2.0 * np.pi / C
@@ -120,3 +120,22 @@ def test_im_to_vis_row_shard_invariance(dft_data):
     uvw_s = jax.device_put(uvw, NamedSharding(mesh, P("row", None)))
     out = np.asarray(im_to_vis(image, uvw_s, lm, freq))
     assert_allclose(out, expected, rtol=1e-9, atol=1e-10)
+
+
+def test_im_to_vis_pallas_matches_einsum(rng):
+    """The Pallas-kernel DFT route (interpret mode) must match the MXU
+    einsum formulation at f32."""
+    import jax
+
+    nsrc, nrow, nchan, ncorr = 12, 40, 10, 2
+    lm = rng.uniform(-0.01, 0.01, (nsrc, 2)).astype(np.float32)
+    uvw = rng.uniform(-2000, 2000, (nrow, 3)).astype(np.float32)
+    freq = np.linspace(0.856e9, 1.712e9, nchan).astype(np.float32)
+    image = rng.uniform(0.1, 1.0, (nsrc, nchan, ncorr)).astype(np.float32)
+
+    ref = im_to_vis_ri(image, uvw, lm, freq, use_pallas=False)
+    got = im_to_vis_ri(image, uvw, lm, freq, use_pallas=True,
+                       interpret=True)
+    scale = np.abs(np.asarray(ref.re)).max()
+    assert np.abs(np.asarray(got.re) - np.asarray(ref.re)).max() < 3e-6 * scale
+    assert np.abs(np.asarray(got.im) - np.asarray(ref.im)).max() < 3e-6 * scale
