@@ -64,3 +64,77 @@ def test_restore_runs():
     assert restored.shape == (npix, npix)
     # restored peak near the source, normalised beam -> peak ~1
     assert abs(restored[12, 12] - 1.0) < 0.1
+
+
+def test_fit_2d_gaussian_reproduces_main_lobe():
+    """fit_2d_gaussian on an exact elliptical-gaussian PSF returns a
+    normalised beam matching the generator inside the half-max lobe
+    (reference clean.py:40-71)."""
+    from africanus_tpu.deconv.hogbom.clean import _gauss2d, fit_2d_gaussian
+
+    npix = 32
+    x = np.linspace(0, 2 * npix - 1, 2 * npix)
+    xx, yy = np.meshgrid(x, x)
+    psf = np.asarray(
+        _gauss2d((xx, yy), 1.0, npix - 1.0, npix - 1.0, 1.8, 1.4, 0.0, 0.0)
+    ).reshape(2 * npix, 2 * npix)
+    fitted = fit_2d_gaussian(psf)
+    assert fitted.shape == psf.shape
+    # normalised beam: unit peak at the PSF's peak location
+    assert abs(fitted.max() - 1.0) < 1e-12
+    assert np.unravel_index(fitted.argmax(), fitted.shape) == (
+        np.unravel_index(psf.argmax(), psf.shape)
+    )
+    # The algorithm (reference parity) fits the gaussian against the
+    # full grid with everything outside the half-max lobe zeroed, which
+    # systematically narrows the fitted beam — so only structural
+    # properties are asserted: the beam decays monotonically away from
+    # the peak along both axes and is symmetric for a symmetric input.
+    c = 31
+    row = np.asarray(fitted)[c, c:]
+    col = np.asarray(fitted)[c:, c]
+    assert np.all(np.diff(row) <= 1e-12)
+    assert np.all(np.diff(col) <= 1e-12)
+    f = np.asarray(fitted)
+    for k in range(1, 10):
+        assert abs(f[c, c - k] - f[c, c + k]) < 0.05
+        assert abs(f[c - k, c] - f[c + k, c]) < 0.05
+
+
+def test_hogbom_threshold_and_niter_defaults():
+    """'default' threshold (0.2 of peak) and niter (3*npix) semantics."""
+    npix = 16
+    psf = _make_psf(npix)
+    dirty = psf[npix - 1 - 8 : 2 * npix - 1 - 8,
+                npix - 1 - 8 : 2 * npix - 1 - 8].copy()
+    clean, residual = hogbom_clean(dirty, psf)
+    assert np.asarray(residual).max() <= 0.2 * dirty.max() + 1e-6
+
+
+def test_restore_adds_residual():
+    """restore() convolves the model with the fitted clean beam and adds
+    the residual back (reference clean.py:202-244)."""
+    npix = 24
+    psf = _make_psf(npix)
+    clean = np.zeros((npix, npix))
+    clean[12, 12] = 1.0
+    residual = np.full((npix, npix), 0.25)
+    restored, conv_model = restore(clean, psf, residual)
+    base, _ = restore(clean, psf, np.zeros((npix, npix)))
+    assert_allclose(np.asarray(restored) - np.asarray(base), 0.25,
+                    atol=1e-10)
+
+
+def test_hogbom_clean_gamma_invariance():
+    """Smaller loop gain must reach (at least) the same residual level,
+    just with more iterations."""
+    npix = 24
+    psf = _make_psf(npix)
+    model = np.zeros((npix, npix))
+    model[7, 9] = 1.0
+    dirty = psf[npix - 1 - 7 : 2 * npix - 1 - 7,
+                npix - 1 - 9 : 2 * npix - 1 - 9] * 1.0
+    _, r1 = hogbom_clean(dirty, psf, gamma=0.05, threshold=0.1, niter=2000)
+    _, r2 = hogbom_clean(dirty, psf, gamma=0.3, threshold=0.1, niter=2000)
+    assert np.asarray(r1).max() <= 0.1 * dirty.max() + 1e-6
+    assert np.asarray(r2).max() <= 0.1 * dirty.max() + 1e-6
