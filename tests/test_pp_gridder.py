@@ -217,3 +217,51 @@ def test_pp_tile_path_matches_scatter(rng, pp_problem):
     dg = G.degridder(uvw, grid, *dargs)
     assert_allclose(np.asarray(dt.re), np.asarray(dg.re), rtol=1e-10,
                     atol=1e-14)
+
+
+@pytest.mark.parametrize("stokes,fwd,inv", [
+    ("I", "XXYY_FROM_I", "I_FROM_XXYY"),
+    ("I", "XXXYYXYY_FROM_I", "I_FROM_XXXYYXYY"),
+    ("I", "RRLL_FROM_I", "I_FROM_RRLL"),
+    ("I", "RRRLLRLL_FROM_I", "I_FROM_RRRLLRLL"),
+    ("Q", "XXYY_FROM_Q", "Q_FROM_XXYY"),
+    ("Q", "XXXYYXYY_FROM_Q", "Q_FROM_XXXYYXYY"),
+    ("Q", "RRRLLRLL_FROM_Q", "Q_FROM_RRRLLRLL"),
+    ("U", "XYYX_FROM_U", "U_FROM_XYYX"),
+    ("U", "XXXYYXYY_FROM_U", "U_FROM_XXXYYXYY"),
+    ("U", "RLLR_FROM_U", "U_FROM_RLLR"),
+    ("U", "RRRLLRLL_FROM_U", "U_FROM_RRRLLRLL"),
+    ("V", "XYYX_FROM_V", "V_FROM_XYYX"),
+    ("V", "XXXYYXYY_FROM_V", "V_FROM_XXXYYXYY"),
+    ("V", "RRLL_FROM_V", "V_FROM_RRLL"),
+    ("V", "RRRLLRLL_FROM_V", "V_FROM_RRRLLRLL"),
+])
+def test_stokes_policy_table_roundtrip(rng, stokes, fwd, inv):
+    """Every (stokes → corr schema → stokes) policy pair in the table
+    must be an exact inverse — the reference sweeps the same pairs
+    (perleypolyhedron/policies stokes_conversion_policies.py)."""
+    v = Cplx(rng.normal(size=(5, 2)), rng.normal(size=(5, 2)))
+    corr = policies.stokes2corr(v, fwd)
+    assert corr.re.shape[-1] == policies.ncorr_out(fwd)
+    back = policies.corr2stokes(corr, inv)
+    assert_allclose(np.asarray(back.re), np.asarray(v.re), rtol=1e-12,
+                    atol=1e-13)
+    assert_allclose(np.asarray(back.im), np.asarray(v.im), rtol=1e-12,
+                    atol=1e-13)
+
+
+def test_baseline_transform_policies(rng, pp_problem):
+    """'rotate' facet-tilt transform at the phase centre itself must be
+    the identity; a tilted facet changes w but preserves |uvw|."""
+    npix, cell, wl, uvw = pp_problem
+    ra0, dec0 = 0.3, -0.5
+    same = policies.baseline_transform(uvw, ra0, dec0, ra0, dec0, "rotate")
+    assert_allclose(np.asarray(same), uvw, rtol=1e-10, atol=1e-8)
+    ident = policies.baseline_transform(uvw, ra0, dec0, 0.31, -0.51, "None")
+    assert_allclose(np.asarray(ident), uvw, rtol=1e-14)
+    tilted = np.asarray(
+        policies.baseline_transform(uvw, ra0, dec0, 0.31, -0.51, "rotate")
+    )
+    assert not np.allclose(tilted, uvw)
+    assert_allclose(np.linalg.norm(tilted, axis=1),
+                    np.linalg.norm(uvw, axis=1), rtol=1e-10)
