@@ -131,7 +131,9 @@ def im_to_vis(image, uvw, lm, frequency, convention: str = "fourier", dtype=None
 
 
 def vis_to_im_ri(
-    vis, uvw, lm, frequency, flags, convention: str = "fourier", real_dtype=None
+    vis, uvw, lm, frequency, flags, convention: str = "fourier",
+    real_dtype=None, use_pallas: bool | None = None,
+    interpret: bool = False,
 ):
     """Pair-native adjoint DFT.
 
@@ -139,6 +141,12 @@ def vis_to_im_ri(
     which *any* correlation is flagged is excluded entirely (reference
     ``dft/kernels.py:124-139`` drops the whole row-chan to avoid mixing
     Stokes terms).
+
+    ``use_pallas`` (default: exactly on TPU at f32) runs the same fused
+    Pallas kernel as the forward DFT with the source/row roles swapped
+    (the phase dot is symmetric in (s, r)): sources become the kernel's
+    output rows, visibilities its "brightness", and only the real output
+    is kept.
 
     Returns
     -------
@@ -164,6 +172,42 @@ def vis_to_im_ri(
 
     # the adjoint conjugates the kernel: flip the phase convention
     flipped = "casa" if convention == "fourier" else "fourier"
+
+    if use_pallas is None:
+        import jax
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and jnp.dtype(real_dtype) == jnp.float32
+        )
+    if use_pallas:
+        from africanus_tpu.ops.pallas_predict import predict_kb_pallas
+        from africanus_tpu.rime.phase import phase_dot_cycles
+
+        nsrc = lm.shape[0]
+        nrow = uvw.shape[0]
+        nchan = frequency.shape[0]
+        ncorr = vr.shape[2]
+        dot_hi, dot_lo = phase_dot_cycles(lm, uvw, flipped)
+        # swap roles: contract over rows (the kernel's "source" axis)
+        dot_hi = dot_hi.T
+        dot_lo = dot_lo.T
+        b = Cplx(vr.astype(jnp.float32), vi.astype(jnp.float32))
+
+        rpad = (-nrow) % 8
+        spad = (-nsrc) % 128
+        cpad = (-nchan) % 128
+        if rpad or spad:
+            dot_hi = jnp.pad(dot_hi, ((0, rpad), (0, spad)))
+            dot_lo = jnp.pad(dot_lo, ((0, rpad), (0, spad)))
+        if rpad or cpad:
+            b = Cplx(jnp.pad(b.re, ((0, rpad), (0, cpad), (0, 0))),
+                     jnp.pad(b.im, ((0, rpad), (0, cpad), (0, 0))))
+        freq_p = jnp.pad(frequency.astype(jnp.float32), (0, cpad))
+        out = predict_kb_pallas((dot_hi, dot_lo), None, None, freq_p,
+                                freq_p * 0, b, interpret=interpret)
+        return out.re[:nsrc, :nchan]
+
     p = _dft_phase(uvw, lm, frequency, flipped, real_dtype)
 
     # Re(e^{ip} V) = cos(p)·Re(V) − sin(p)·Im(V); contract rows on the MXU

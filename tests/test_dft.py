@@ -139,3 +139,25 @@ def test_im_to_vis_pallas_matches_einsum(rng):
     scale = np.abs(np.asarray(ref.re)).max()
     assert np.abs(np.asarray(got.re) - np.asarray(ref.re)).max() < 3e-6 * scale
     assert np.abs(np.asarray(got.im) - np.asarray(ref.im)).max() < 3e-6 * scale
+
+
+def test_vis_to_im_pallas_matches_einsum(rng):
+    """The role-swapped Pallas route for the adjoint DFT (interpret
+    mode) must match the einsum formulation at f32, including the
+    whole-cell flag exclusion."""
+    from africanus_tpu.dft import vis_to_im_ri
+
+    nsrc, nrow, nchan, ncorr = 9, 24, 6, 2
+    lm = rng.uniform(-0.01, 0.01, (nsrc, 2)).astype(np.float32)
+    uvw = rng.uniform(-2000, 2000, (nrow, 3)).astype(np.float32)
+    freq = np.linspace(0.856e9, 1.712e9, nchan).astype(np.float32)
+    vis = (rng.normal(size=(nrow, nchan, ncorr))
+           + 1j * rng.normal(size=(nrow, nchan, ncorr))).astype(np.complex64)
+    flags = rng.uniform(size=vis.shape) < 0.2
+
+    ref = np.asarray(vis_to_im_ri(vis, uvw, lm, freq, flags,
+                                  use_pallas=False))
+    got = np.asarray(vis_to_im_ri(vis, uvw, lm, freq, flags,
+                                  use_pallas=True, interpret=True))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 3e-6 * scale
