@@ -24,6 +24,12 @@ from africanus_tpu.utils.types import complex_dtype_for, real_dtype_for
 
 __all__ = ["im_to_vis", "vis_to_im", "im_to_vis_ri", "vis_to_im_ri"]
 
+# The fused Pallas kernel keeps its whole contraction axis (sources for
+# the forward DFT, rows for the swapped adjoint) resident in VMEM:
+# roughly (2 + 2·ncorr)·N·128·4 bytes double-buffered against the
+# ~16 MB budget. 2048 keeps 4-corr problems comfortably inside.
+_PALLAS_MAX_CONTRACT = 2048
+
 
 def _dft_phase(uvw, lm, frequency, convention, real_dtype):
     """(source, row, chan) phase via the shared compensated pipeline.
@@ -74,9 +80,13 @@ def im_to_vis_ri(
     if use_pallas is None:
         import jax
 
+        # the kernel keeps the whole contraction (source) axis resident
+        # in VMEM — fall back to the einsum path when it would not fit
         use_pallas = (
             jax.default_backend() == "tpu"
             and jnp.dtype(real_dtype) == jnp.float32
+            and lm.shape[0] <= _PALLAS_MAX_CONTRACT
+            and frequency.shape[0] >= 64  # chan pads to 128-multiples
         )
     if use_pallas:
         from africanus_tpu.ops.pallas_predict import predict_kb_pallas
@@ -176,9 +186,13 @@ def vis_to_im_ri(
     if use_pallas is None:
         import jax
 
+        # roles are swapped: rows are the kernel's resident contraction
+        # axis here (see _PALLAS_MAX_CONTRACT)
         use_pallas = (
             jax.default_backend() == "tpu"
             and jnp.dtype(real_dtype) == jnp.float32
+            and uvw.shape[0] <= _PALLAS_MAX_CONTRACT
+            and frequency.shape[0] >= 64  # chan pads to 128-multiples
         )
     if use_pallas:
         from africanus_tpu.ops.pallas_predict import predict_kb_pallas

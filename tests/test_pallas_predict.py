@@ -44,19 +44,9 @@ def einsum_oracle(d, u, v, fq, s, b):
     return Cplx(dd(kre, b.re) - dd(kim, b.im), dd(kre, b.im) + dd(kim, b.re))
 
 
-def _interp_pallas(monkeypatch):
-    """Force interpret mode for CPU execution."""
-    from jax.experimental import pallas as pl
-    from functools import partial
-
-    orig = pl.pallas_call
-    monkeypatch.setattr(pp.pl, "pallas_call", partial(orig, interpret=True))
-
-
-def test_pallas_predict_matches_einsum(monkeypatch, problem):
-    _interp_pallas(monkeypatch)
+def test_pallas_predict_matches_einsum(problem):
     dot, u1, v1, freq, sf, b = problem
-    out = pp.predict_kb_pallas(dot, u1, v1, freq, sf, b)
+    out = pp.predict_kb_pallas(dot, u1, v1, freq, sf, b, interpret=True)
     ref = einsum_oracle(*(jnp.asarray(x) for x in (dot, u1, v1, freq, sf)), b)
     scale = np.abs(np.asarray(ref.re)).max()
     assert_allclose(np.asarray(out.re), np.asarray(ref.re),
@@ -65,21 +55,19 @@ def test_pallas_predict_matches_einsum(monkeypatch, problem):
                     atol=1e-5 * scale)
 
 
-def test_pallas_predict_no_envelope(monkeypatch, problem):
-    _interp_pallas(monkeypatch)
+def test_pallas_predict_no_envelope(problem):
     dot, _, _, freq, sf, b = problem
-    out = pp.predict_kb_pallas(dot, None, None, freq, sf, b)
+    out = pp.predict_kb_pallas(dot, None, None, freq, sf, b, interpret=True)
     ref = einsum_oracle(jnp.asarray(dot), None, None, jnp.asarray(freq),
                         jnp.asarray(sf), b)
     scale = np.abs(np.asarray(ref.re)).max()
     assert_allclose(np.asarray(out.re), np.asarray(ref.re), atol=1e-5 * scale)
 
 
-def test_pallas_predict_compensated(monkeypatch, rng):
+def test_pallas_predict_compensated(rng):
     """Two-float phase pair input: the kernel reduces dot·nu mod one cycle
     and must match a float64 complex-exponential oracle at realistic
     (1e4 rad) phase magnitudes, where the plain f32 product cannot."""
-    _interp_pallas(monkeypatch)
     from africanus_tpu.rime.phase import phase_dot_cycles
 
     S, R, F, C = 16, 128, 128, 2
@@ -91,7 +79,8 @@ def test_pallas_predict_compensated(monkeypatch, rng):
 
     dot_pair = jax.jit(phase_dot_cycles)(lm, uvw)
     out = pp.predict_kb_pallas(tuple(np.asarray(d) for d in dot_pair),
-                               None, None, freq, freq * 0, b)
+                               None, None, freq, freq * 0, b,
+                               interpret=True)
 
     l, m = lm[:, 0].astype(np.float64), lm[:, 1].astype(np.float64)
     n = np.sqrt(np.maximum(1 - l * l - m * m, 0)) - 1
