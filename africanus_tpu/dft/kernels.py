@@ -152,11 +152,12 @@ def vis_to_im_ri(
     ``dft/kernels.py:124-139`` drops the whole row-chan to avoid mixing
     Stokes terms).
 
-    ``use_pallas`` (default: exactly on TPU at f32) runs the same fused
-    Pallas kernel as the forward DFT with the source/row roles swapped
-    (the phase dot is symmetric in (s, r)): sources become the kernel's
-    output rows, visibilities its "brightness", and only the real output
-    is kept.
+    ``use_pallas`` runs the same fused Pallas kernel as the forward DFT
+    with the source/row roles swapped (the phase dot is symmetric in
+    (s, r)): sources become the kernel's output rows, visibilities its
+    "brightness", and only the real output is kept. Default off — the
+    deep row contraction is MXU-shaped and the einsum path measured
+    faster on-chip; opt in when the (src, row, chan) grids exceed HBM.
 
     Returns
     -------
@@ -184,16 +185,11 @@ def vis_to_im_ri(
     flipped = "casa" if convention == "fourier" else "fourier"
 
     if use_pallas is None:
-        import jax
-
-        # roles are swapped: rows are the kernel's resident contraction
-        # axis here (see _PALLAS_MAX_CONTRACT)
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and jnp.dtype(real_dtype) == jnp.float32
-            and uvw.shape[0] <= _PALLAS_MAX_CONTRACT
-            and frequency.shape[0] >= 64  # chan pads to 128-multiples
-        )
+        # default OFF: the adjoint's deep row contraction is MXU-shaped
+        # and the einsum path measured ~20% faster on-chip at fair
+        # shapes; opt in (memory-bound regimes where the (s,r,f) cos/sin
+        # grids would not fit) with use_pallas=True.
+        use_pallas = False
     if use_pallas:
         from africanus_tpu.ops.pallas_predict import predict_kb_pallas
         from africanus_tpu.rime.phase import phase_dot_cycles
