@@ -11,12 +11,14 @@ from africanus_tpu.parallel.predict import (
     sharded_rime_predict,
 )
 from africanus_tpu.parallel.imaging import (sharded_degrid, sharded_dirty,
+                                            sharded_residual,
                                             sharded_psf)
 from africanus_tpu.parallel.chunked import stream_rows
 
 __all__ = [
     "stream_rows",
     "sharded_degrid",
+    "sharded_residual",
     "make_mesh",
     "row_sharding",
     "replicated",

@@ -16,7 +16,7 @@ from jax.sharding import PartitionSpec as P
 
 from africanus_tpu.ops.cplx import Cplx
 
-__all__ = ["sharded_dirty", "sharded_psf"]
+__all__ = ["sharded_dirty", "sharded_psf", "sharded_residual"]
 
 
 def sharded_dirty(mesh, uvw, freq, vis, nx, ny, cell, epsilon=1e-4,
@@ -182,3 +182,25 @@ def sharded_degrid(mesh, uvw, freq, image, cell, epsilon=1e-4,
         check_vma=False,
     )
     return fn(jnp.asarray(uvw), image, wgt_arr, tile_in)
+
+
+def sharded_residual(mesh, uvw, freq, vis, image, cell, epsilon=1e-4,
+                     do_wstacking=False, wgt=None, use_tiles=None):
+    """Residual dirty image with rows sharded over "row".
+
+    dirty(vis − degrid(image)) — the sharded composition of
+    :func:`sharded_degrid` (replicated image, local interpolation) and
+    :func:`sharded_dirty` (partial grids psum-reduced), mirroring the
+    reference's ``residual`` (gridding/wgridder/im2residim.py:87).
+    """
+    image = jnp.asarray(image)
+    nx, ny = image.shape
+    v = vis if isinstance(vis, Cplx) else Cplx(
+        jnp.real(jnp.asarray(vis)), jnp.imag(jnp.asarray(vis))
+    )
+    model = sharded_degrid(mesh, uvw, freq, image, cell, epsilon=epsilon,
+                           do_wstacking=do_wstacking, use_tiles=use_tiles)
+    resid = Cplx(v.re - model.re, v.im - model.im)
+    return sharded_dirty(mesh, uvw, freq, resid, nx, ny, cell,
+                         epsilon=epsilon, do_wstacking=do_wstacking,
+                         wgt=wgt, use_tiles=use_tiles)

@@ -183,3 +183,36 @@ def test_sharded_degrid_matches_local(rng, use_tiles):
     tol = 5e-6 if use_tiles else 1e-10
     scale = np.abs(want).max()
     assert np.abs(got - want).max() / scale < tol
+
+
+@pytest.mark.parametrize("use_tiles", [False, True])
+def test_sharded_residual_matches_local(rng, use_tiles):
+    """sharded residual (dirty of vis − degrid(image)) equals the
+    unsharded composition."""
+    from africanus_tpu.gridding.wgridder.core import degrid_ri, grid_adjoint
+    from africanus_tpu.ops.cplx import Cplx
+    from africanus_tpu.parallel import make_mesh, sharded_residual
+
+    mesh = make_mesh((8,), ("row",))
+    nx = 16
+    cell = 4.0 * np.pi / 180 / nx
+    freq = 1e9 + np.arange(2) * 1e8
+    nrow = 64
+    uvw = ((rng.uniform(size=(nrow, 3)) - 0.5)
+           / (cell * freq[-1] / 2.99792458e8)).astype(np.float32)
+    vis = Cplx(rng.normal(size=(nrow, 2)).astype(np.float32),
+               rng.normal(size=(nrow, 2)).astype(np.float32))
+    image = rng.normal(size=(nx, nx)).astype(np.float32)
+
+    got = np.asarray(
+        sharded_residual(mesh, uvw, freq, vis, image, cell, epsilon=1e-5,
+                         do_wstacking=True, use_tiles=use_tiles)
+    )
+    model = degrid_ri(uvw, freq, image, None, cell, cell, 1e-5, True,
+                      use_tiles=use_tiles)
+    resid = Cplx(vis.re - model.re, vis.im - model.im)
+    want = np.asarray(
+        grid_adjoint(uvw, freq, resid, None, nx, nx, cell, cell, 1e-5,
+                     True, use_tiles=use_tiles)
+    )
+    assert_allclose(got, want, rtol=1e-4, atol=1e-5 * np.abs(want).max())
