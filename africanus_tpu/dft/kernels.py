@@ -86,7 +86,9 @@ def im_to_vis_ri(
             jax.default_backend() == "tpu"
             and jnp.dtype(real_dtype) == jnp.float32
             and lm.shape[0] <= _PALLAS_MAX_CONTRACT
-            and frequency.shape[0] >= 64  # chan pads to 128-multiples
+            # chan pads to 128-multiples: below 128 the pad waste costs
+            # more than the fused kernel saves (measured)
+            and frequency.shape[0] >= 128
         )
     if use_pallas:
         from africanus_tpu.ops.pallas_predict import predict_kb_pallas
