@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from africanus_tpu.dft.kernels import im_to_vis_ri, vis_to_im_ri
 from africanus_tpu.ops.cplx import Cplx
@@ -35,6 +35,9 @@ def sharded_im_to_vis(mesh, image, uvw, lm, frequency, convention="fourier"):
         mesh=mesh,
         in_specs=(P(), P("row"), P(), P()),
         out_specs=Cplx(P("row"), P("row")),
+        # the TPU route runs the Pallas kernel per shard; pallas outputs
+        # carry no varying-mesh-axes annotation
+        check_vma=False,
     )
     return fn(jnp.asarray(image), jnp.asarray(uvw), jnp.asarray(lm),
               jnp.asarray(frequency))
@@ -78,12 +81,13 @@ def sharded_rime_predict(mesh, lm, uvw, frequency, brightness, gauss_shape=None,
         if gs is not None:
             env = gaussian(uvw_s, freq_s, gs)
             k = Cplx(k.re * env, k.im * env)
-        re = jnp.einsum("srf,sfc->rfc", k.re, b.re) - jnp.einsum(
-            "srf,sfc->rfc", k.im, b.im
-        )
-        im = jnp.einsum("srf,sfc->rfc", k.re, b.im) + jnp.einsum(
-            "srf,sfc->rfc", k.im, b.re
-        )
+        # HIGHEST: default TPU matmuls run at bf16 operand precision,
+        # which caps the chain at ~1e-3 relative error
+        hp = jax.lax.Precision.HIGHEST
+        re = jnp.einsum("srf,sfc->rfc", k.re, b.re, precision=hp) - \
+            jnp.einsum("srf,sfc->rfc", k.im, b.im, precision=hp)
+        im = jnp.einsum("srf,sfc->rfc", k.re, b.im, precision=hp) + \
+            jnp.einsum("srf,sfc->rfc", k.im, b.re, precision=hp)
         return Cplx(re, im)
 
     b = brightness if isinstance(brightness, Cplx) else Cplx(
