@@ -413,3 +413,52 @@ def test_averager_weighted_sigma_sweep(rng, time_bin_secs, chan_bin_size):
             assert_allclose(got_ws[r, cb], wsum, rtol=1e-10)
             want_sig = np.sqrt((s**2 * w**2).sum(0) / wsum**2)
             assert_allclose(got_ss[r, cb], want_sig, rtol=1e-10)
+
+
+def test_chan_average_all_fields_and_ragged_tail(rng):
+    """Field semantics (reference chan_average:681): chan_freq averages,
+    chan_width/effective_bw/resolution sum — including a ragged final
+    bin when the bin size does not divide nchan."""
+    nchan, size = 10, 4  # bins of 4, 4, 2
+    chan_meta = channel_mapper(nchan, size)
+    freq = np.linspace(1e9, 2e9, nchan)
+    width = rng.uniform(1e5, 2e5, nchan)
+    ebw = rng.uniform(1e5, 2e5, nchan)
+    res = rng.uniform(1e5, 2e5, nchan)
+    out = chan_average(chan_meta, chan_freq=freq, chan_width=width,
+                       effective_bw=ebw, resolution=res)
+    bins = [slice(0, 4), slice(4, 8), slice(8, 10)]
+    assert_allclose(np.asarray(out.chan_freq),
+                    [freq[b].mean() for b in bins], rtol=1e-12)
+    assert_allclose(np.asarray(out.chan_width),
+                    [width[b].sum() for b in bins], rtol=1e-12)
+    assert_allclose(np.asarray(out.effective_bw),
+                    [ebw[b].sum() for b in bins], rtol=1e-12)
+    assert_allclose(np.asarray(out.resolution),
+                    [res[b].sum() for b in bins], rtol=1e-12)
+    # absent fields stay None
+    out2 = chan_average(chan_meta, chan_freq=freq)
+    assert out2.chan_width is None and out2.resolution is None
+
+
+def test_row_average_field_semantics(rng, synth_obs):
+    """Row-level fields (reference row_average:76): time_centroid and
+    exposure average/sum over *effective* rows; uvw/weight/sigma follow
+    the documented weighting."""
+    time, interval, a1, a2, flag_row = synth_obs
+    meta = row_mapper(time, interval, a1, a2, flag_row=flag_row,
+                      time_bin_secs=2.0)
+    nrow = time.shape[0]
+    tc = time + rng.uniform(0, 0.5, nrow)
+    exp = rng.uniform(0.5, 1.5, nrow)
+    out = row_average(meta, a1, a2, flag_row=flag_row,
+                      time_centroid=tc, exposure=exp)
+    m = np.asarray(meta.map)
+    fr = np.asarray(flag_row, bool)
+    for ro in range(np.asarray(out.antenna1).shape[0]):
+        rows = np.nonzero(m == ro)[0]
+        eff = rows[~fr[rows]] if (~fr[rows]).any() else rows
+        assert_allclose(np.asarray(out.time_centroid)[ro],
+                        tc[eff].mean(), rtol=1e-12)
+        assert_allclose(np.asarray(out.exposure)[ro], exp[eff].sum(),
+                        rtol=1e-12)
