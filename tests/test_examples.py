@@ -75,3 +75,12 @@ def test_predict_to_ms_store_example(tmp_path):
               str(tmp_path / "store")])
     assert r.returncode == 0, r.stderr[-800:]
     assert "round-trip max abs err" in r.stdout
+
+
+def test_selfcal_ms_store_example(tmp_path):
+    """Full L4 pipeline on the MS-shaped store: solve gains, write
+    CORRECTED_DATA back, image + CLEAN."""
+    r = _run([REPO / "examples" / "selfcal_ms_store.py",
+              str(tmp_path / "store")])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "selfcal pipeline round trip OK" in r.stdout
