@@ -42,7 +42,10 @@ def hogbom_clean(dirty, psf, gamma=0.1, threshold="default", niter="default"):
     Parameters
     ----------
     dirty : (ny, nx) array (square)
-    psf : (2*ny, 2*nx) array
+    psf : (2*ny, 2*nx) array, peak at (ny−1, nx−1) — the reference
+        convention (clean.py:113-119); an FFT-gridded psf of an even
+        image peaks at (ny, nx) and must be rolled by −1 first, or every
+        subtraction is shifted one pixel and the loop diverges
     gamma : loop gain < 1
     threshold : float (fraction of initial peak) or "default" (0.2)
     niter : max iterations or "default" (3 * npix)

@@ -583,7 +583,8 @@ def config5_selfcal():
         im = vis_to_im_ri(resid, uvw, grid_lm, freq, flag)
         dirty = im.sum(axis=(1, 2)).reshape(npx, npx) / nvis
         # 3. Hogbom CLEAN minor cycles on the residual image
-        psf = jnp.zeros((2 * npx, 2 * npx), f32).at[npx, npx].set(1.0)
+        # hogbom's psf-window convention centres at (npx-1, npx-1)
+        psf = jnp.zeros((2 * npx, 2 * npx), f32).at[npx - 1, npx - 1].set(1.0)
         cleaned, res = hogbom_clean(dirty, psf, gamma=0.1,
                                     threshold=0.2, niter=50)
         # 4. re-predict the model

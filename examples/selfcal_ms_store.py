@@ -165,9 +165,12 @@ def main():
                      None, 2 * nx, 2 * nx, cell, cell, 1e-4,
                      do_wstacking=False)
     )
-    ndirty = dirty / psf.max()
+    ndirty = np.array(dirty / psf.max())
+    # hogbom expects the psf peak at (npix-1, npix-1); the FFT-gridded
+    # psf of an even image peaks at (npix, npix) — shift by one
+    psf = np.roll(psf, (-1, -1), axis=(0, 1))
     cleaned, resid = hogbom_clean(ndirty, psf / psf.max(),
-                                  gamma=0.2, threshold=0.2, niter=300)
+                                  gamma=0.1, threshold=0.3, niter=150)
     cleaned = np.asarray(cleaned)
     print(
         f"dirty peak {ndirty.max():.3f}, cleaned flux "
