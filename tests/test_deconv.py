@@ -138,3 +138,45 @@ def test_hogbom_clean_gamma_invariance():
     _, r2 = hogbom_clean(dirty, psf, gamma=0.3, threshold=0.1, niter=2000)
     assert np.asarray(r1).max() <= 0.1 * dirty.max() + 1e-6
     assert np.asarray(r2).max() <= 0.1 * dirty.max() + 1e-6
+
+
+def test_hogbom_converges_on_gridded_psf(rng):
+    """Regression: CLEAN with a *gridded* interferometric PSF (strong
+    sidelobes; FFT centre at (npix, npix), rolled to the documented
+    (npix-1, npix-1) convention) must reduce the residual, not diverge
+    (a one-pixel psf-centre shift makes the loop inject flux)."""
+    import jax.numpy as jnp
+
+    from africanus_tpu.gridding.wgridder.core import grid_adjoint
+    from africanus_tpu.ops.cplx import Cplx
+
+    nx = 32
+    cell = 0.03 / nx
+    nrow, nchan = 300, 2
+    freq = np.array([1.0e9, 1.4e9], np.float32)
+    uvw = ((rng.uniform(size=(nrow, 3)) - 0.5)
+           / (cell * freq[-1] / 2.99792458e8)).astype(np.float32)
+    uvw[:, 2] *= 0.01
+    # two point sources
+    lm = np.array([[0.002, -0.003], [-0.004, 0.001]], np.float32)
+    n1 = np.sqrt(1 - (lm**2).sum(1)) - 1
+    vis = np.zeros((nrow, nchan), np.complex64)
+    for c in range(nchan):
+        ph = (-2 * np.pi * freq[c] / 2.99792458e8) * (
+            uvw[:, 0] * lm[:, 0, None] + uvw[:, 1] * lm[:, 1, None]
+            + uvw[:, 2] * n1[:, None]
+        )
+        vis[:, c] = np.exp(1j * ph).sum(0)
+    v = Cplx(vis.real, vis.imag)
+    dirty = np.asarray(grid_adjoint(uvw, freq, v, None, nx, nx, cell, cell,
+                                    1e-4, do_wstacking=False))
+    ones = Cplx(np.ones_like(vis.real), np.zeros_like(vis.imag))
+    psf = np.asarray(grid_adjoint(uvw, freq, ones, None, 2 * nx, 2 * nx,
+                                  cell, cell, 1e-4, do_wstacking=False))
+    psf = np.roll(psf, (-1, -1), axis=(0, 1))
+    nd = dirty / psf.max()
+    clean, resid = hogbom_clean(nd, psf / psf.max(), gamma=0.1,
+                                threshold=0.2, niter=400)
+    resid = np.asarray(resid)
+    assert np.abs(resid).max() < 0.6 * np.abs(nd).max()
+    assert np.abs(resid).max() < np.abs(nd).max()
