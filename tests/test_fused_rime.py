@@ -320,3 +320,26 @@ def test_fused_rime_source_block_with_gaussian(obs):
     for block in (1, 2, 4):
         blocked = to_numpy(rime(spec, obs, source_block=block))
         assert_allclose(blocked, full, rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.parametrize("base", ["log", "log10"])
+def test_fused_rime_log_spectral_bases(obs, base):
+    """Brightness term with log/log10 spectral bases against the
+    unfused spectral_model + convert composition (reference
+    terms/brightness.py folds the same three bases)."""
+    from africanus_tpu.coordinates import radec_to_lm
+
+    out = rime("(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]", obs,
+               spi_base=base)
+    got = to_numpy(out)
+
+    lm = np.asarray(radec_to_lm(obs["radec"], obs["phase_dir"]))
+    K = np.asarray(phase_delay(lm, obs["uvw"], obs["chan_freq"]))
+    spec = np.asarray(
+        spectral_model(obs["stokes"], obs["spi"], obs["ref_freq"],
+                       obs["chan_freq"], base=base)
+    )
+    B = np.asarray(convert(spec, ["I", "Q", "U", "V"],
+                           ["XX", "XY", "YX", "YY"]))
+    want = np.einsum("srf,sfc->rfc", K, B)
+    assert_allclose(got, want, rtol=1e-9, atol=1e-10)
