@@ -261,3 +261,28 @@ def test_beam_cube_dde_pallas_chan_invariant(rng, beam_setup):
     )
     assert_allclose(fast, ref, rtol=1e-5, atol=1e-6)
     assert_allclose(slow, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_beam_cube_dde_pallas_out_of_cube_freqs(rng, beam_setup):
+    """Frequencies outside the cube scale the lm coordinates instead of
+    extrapolating (freq_grid_interp semantics) — the general pallas path
+    must reproduce the XLA gathers there too (the chan-invariant fast
+    path correctly refuses: scale != 1)."""
+    from africanus_tpu.ops.cplx import to_numpy
+    from africanus_tpu.rime.fast_beam_cubes import beam_cube_dde_ri
+
+    beam, extents, freq_map = beam_setup
+    nsrc, ntime, nants, nchan = 3, 2, 3, 5
+    lm = rng.uniform(-0.01, 0.01, (nsrc, 2))
+    pa = rng.uniform(-np.pi, np.pi, (ntime, nants))
+    pe = np.zeros((ntime, nants, nchan, 2))
+    ascale = np.ones((nants, nchan, 2))
+    # below, inside, above the cube's frequency range
+    freq = np.array([0.5e9, 1.0e9, 1.3e9, 1.6e9, 2.2e9])
+
+    args = (beam, extents, freq_map, lm, pa, pe, ascale, freq)
+    ref = to_numpy(beam_cube_dde_ri(*args, use_pallas=False))
+    got = to_numpy(
+        beam_cube_dde_ri(*args, use_pallas=True, interpret=True)
+    )
+    assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
