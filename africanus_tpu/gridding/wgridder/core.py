@@ -95,12 +95,16 @@ def _wavelength_coords_jnp(uvw, freq):
     return u, v, w
 
 
-def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly):
+def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
     """Pallas tile-binning sub-plan (host metadata; see ops/pallas_grid).
 
     Mirrors :func:`_spread_indices_weights` in f64 host numpy: uv window
-    starts + fractional offsets per (row·chan) sample, expanded to one
-    virtual sample per touched w-plane with the w-axis ES tap as scale.
+    starts + fractional offsets per (row·chan) sample. With
+    ``fused_wstack`` (default) a multi-plane problem keeps one entry per
+    sample and the kernel spreads to every touched w-plane; with it off
+    (the per-shard packed-plan path, whose array protocol predates the
+    fused kernel) each sample expands to one virtual sample per plane
+    with the w-axis ES tap as scale.
     """
     from africanus_tpu.ops import pallas_grid as pg
 
@@ -129,6 +133,14 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly):
             inside, np.exp(beta * (np.sqrt(1.0 - zc * zc) - 1.0)), 0.0
         )
         n = iu0.shape[0]
+        if fused_wstack:
+            # one entry per sample: the kernel spreads each window into
+            # all `support` touched planes — measured 2.6x the
+            # virtual-sample kernel and ~17x faster planning
+            return pg.plan_tiles_wstack(
+                iu0, iv0, uf, vf, support, beta, nu, nv,
+                p0=iw0, wscales=kw.T, nplanes=nplanes,
+            )
         plane_v = np.clip((iw0[:, None] + offs), 0, nplanes - 1).ravel()
         return pg.plan_tiles(
             np.repeat(iu0, support), np.repeat(iv0, support),
@@ -293,14 +305,21 @@ def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
     if tile_plan is not None:
         from africanus_tpu.ops.pallas_grid import (
             assemble_tiles,
+            assemble_wstack_tiles,
             grid_tiles_pallas,
+            grid_tiles_wstack_pallas,
         )
 
         interpret = jax.default_backend() != "tpu"
-        t_re, t_im = grid_tiles_pallas(tile_plan, vre, vim,
-                                       interpret=interpret,
-                                       arrays=tile_arrays)
-        grid_re, grid_im = assemble_tiles(t_re, t_im, tile_plan)
+        if tile_plan.get("wstack_fused"):
+            t_re, t_im = grid_tiles_wstack_pallas(tile_plan, vre, vim,
+                                                  interpret=interpret)
+            grid_re, grid_im = assemble_wstack_tiles(t_re, t_im, tile_plan)
+        else:
+            t_re, t_im = grid_tiles_pallas(tile_plan, vre, vim,
+                                           interpret=interpret,
+                                           arrays=tile_arrays)
+            grid_re, grid_im = assemble_tiles(t_re, t_im, tile_plan)
     else:
         iu0, iv0, iw0, ku, kv, kw = _spread_indices_weights(
             u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta
@@ -390,11 +409,21 @@ def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
     if plan is None:
         plan = _plan(np.asarray(uvw), np.asarray(freq), nx, ny, cellx,
                      celly, epsilon, do_wstacking)
-    if use_tiles and "tile_plan" not in plan:
-        plan["tile_plan"] = _tile_plan(
-            np.asarray(uvw), np.asarray(freq), plan, nx, ny, cellx, celly
-        )
-    tile_plan = plan.get("tile_plan") if use_tiles else None
+    # the degridder speaks the virtual-sample plan format; the fused
+    # wstack plan (grid-side) keeps its own key
+    if use_tiles:
+        tp = plan.get("tile_plan")
+        if tp is None or tp.get("wstack_fused"):
+            if "tile_plan_degrid" not in plan:
+                plan["tile_plan_degrid"] = _tile_plan(
+                    np.asarray(uvw), np.asarray(freq), plan, nx, ny,
+                    cellx, celly, fused_wstack=False,
+                )
+            tile_plan = plan["tile_plan_degrid"]
+        else:
+            tile_plan = tp
+    else:
+        tile_plan = None
     support, beta = plan["support"], plan["beta"]
     nu, nv, nplanes = plan["nu"], plan["nv"], plan["nplanes"]
 

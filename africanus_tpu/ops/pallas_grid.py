@@ -53,8 +53,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["plan_tiles", "plan_tiles_table", "grid_tiles_pallas",
-           "grid_tiles_table_pallas", "assemble_tiles", "extract_tiles",
+__all__ = ["plan_tiles", "plan_tiles_table", "plan_tiles_wstack",
+           "grid_tiles_pallas", "grid_tiles_table_pallas",
+           "grid_tiles_wstack_pallas", "assemble_tiles",
+           "assemble_wstack_tiles", "extract_tiles",
            "degrid_tiles_pallas", "degrid_tiles_table_pallas",
            "choose_tile", "pack_shard_plans", "PLAN_ARRAY_KEYS"]
 
@@ -1000,3 +1002,220 @@ def degrid_tiles_table_pallas(plan, table, tiles_re, tiles_im, nvis,
     out_re = jnp.where(valid, flat_re[sel], 0).sum(axis=1)
     out_im = jnp.where(valid, flat_im[sel], 0).sum(axis=1)
     return out_re, out_im
+
+
+def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
+                      wscales, nplanes, tile_r=None, tile_c=None,
+                      group=1024):
+    """Host tile binning for the multi-plane w-stack kernel.
+
+    One entry per *visibility sample* (not per touched w-plane): the
+    kernel spreads each sample's W×W window into all ``support``
+    consecutive w-planes starting at ``p0`` (clipped to the stack), with
+    per-plane ES taps ``wscales`` (support, E). Compared to the
+    per-plane virtual samples of :func:`plan_tiles` this divides the
+    entry count — and the per-entry window build — by the w-support,
+    and consecutive RMWs land on different planes' accumulators, so the
+    serial read-modify-write chains interleave.
+    """
+    iu0 = np.asarray(iu0)
+    iv0 = np.asarray(iv0)
+    uf = np.asarray(uf, np.float32)
+    vf = np.asarray(vf, np.float32)
+    p0 = np.asarray(p0)
+    wscales = np.asarray(wscales, np.float32)  # (support, E)
+    n = iu0.shape[0]
+    w = support
+
+    if tile_r is None:
+        tile_r = choose_tile(nu)
+    if tile_c is None:
+        tile_c = choose_tile(nv)
+    if nu % tile_r or nv % tile_c:
+        raise ValueError(f"tiles ({tile_r},{tile_c}) must divide ({nu},{nv})")
+    if w > min(tile_r, tile_c):
+        raise ValueError(f"support {w} exceeds tile ({tile_r},{tile_c})")
+
+    ntr = nu // tile_r
+    ntc = nv // tile_c
+    ntiles = ntr * ntc
+
+    tr_raw = iu0 // tile_r
+    tc_raw = iv0 // tile_c
+    tile_ids = ((tr_raw % ntr) * ntc + tc_raw % ntc).astype(np.int64)
+
+    ir_all = (iu0 - tr_raw * tile_r + w).astype(np.int32)
+    ic_all = (iv0 - tc_raw * tile_c + w).astype(np.int32)
+    ir_al = (ir_all // 8) * 8
+    uf_abs = (uf + (ir_all - ir_al)).astype(np.float32)
+    vf_abs = (vf + ic_all).astype(np.float32)
+
+    counts = np.bincount(tile_ids, minlength=ntiles)
+    ngroups_per = np.maximum(-(-counts // group), 1)
+    group_base = np.zeros(ntiles, np.int64)
+    np.cumsum(ngroups_per[:-1], out=group_base[1:])
+    ngroups = int(ngroups_per.sum())
+    group_tile = np.repeat(np.arange(ntiles, dtype=np.int64), ngroups_per)
+    first = np.zeros(ngroups, np.int32)
+    first[group_base] = 1
+
+    order = np.argsort(tile_ids, kind="stable")
+    sids = tile_ids[order]
+    tile_start = np.zeros(ntiles, np.int64)
+    np.cumsum(counts[:-1], out=tile_start[1:])
+    k = np.arange(n) - tile_start[sids]
+    gidx = group_base[sids] + k // group
+    slot = k % group
+
+    sample_pack = np.zeros((ngroups, group), np.int32)
+    ir_pack = np.zeros((ngroups, group), np.int32)
+    uf_pack = np.full((ngroups, group), -2.0 * w, np.float32)
+    vfa_pack = np.full((ngroups, group), -2.0 * w, np.float32)
+    p0_pack = np.zeros((ngroups, group), np.int32)
+    wsc_pack = np.zeros((ngroups, w, group), np.float32)
+
+    sample_pack[gidx, slot] = np.arange(n, dtype=np.int32)[order]
+    ir_pack[gidx, slot] = ir_al[order]
+    uf_pack[gidx, slot] = uf_abs[order]
+    vfa_pack[gidx, slot] = vf_abs[order]
+    p0_pack[gidx, slot] = p0.astype(np.int32)[order]
+    for t in range(w):
+        wsc_pack[gidx, t, slot] = wscales[t, order]
+
+    blk = _round_up(w + 7, 8)
+    max_r0a = ((tile_r + w - 1) // 8) * 8
+    tpad_r = max(_round_up(tile_r + 2 * w, 8), max_r0a + blk)
+    tpad_c = _round_up(tile_c + 2 * w, 128)
+
+    return dict(
+        tile_r=tile_r, tile_c=tile_c, support=w, beta=float(beta),
+        ntr=ntr, ntc=ntc, nu=nu, nv=nv, nplanes=nplanes,
+        tpad_r=tpad_r, tpad_c=tpad_c, blk=blk,
+        ngroups=ngroups, group=group, wstack_fused=True,
+        group_tile=group_tile.astype(np.int32),
+        sample_pack=sample_pack, ir_loc=ir_pack,
+        uf=uf_pack, vfa=vfa_pack, p0=p0_pack, wsc=wsc_pack,
+        first=first,
+    )
+
+
+def _grid_wstack_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
+                        p0_ref, wsc_ref, vre_ref, vim_ref, out_re_ref,
+                        out_im_ref, *, group, support, beta, tpad_r,
+                        tpad_c, nplanes, blk):
+    g = pl.program_id(0)
+    half = support / 2.0
+
+    @pl.when(first_ref[g] == 1)
+    def _():
+        out_re_ref[...] = jnp.zeros_like(out_re_ref)
+        out_im_ref[...] = jnp.zeros_like(out_im_ref)
+
+    lanes_f = lax.broadcasted_iota(jnp.int32, (1, tpad_c), 1).astype(
+        jnp.float32
+    )
+    subl_f = lax.broadcasted_iota(jnp.int32, (blk, 1), 0).astype(
+        jnp.float32
+    )
+
+    unroll = 8 if group % 8 == 0 else 1
+
+    def body(j, _):
+        for k in range(unroll):
+            e = j * unroll + k
+            r0 = ir_ref[0, 0, e]
+            uf = uf_ref[0, 0, e]
+            vfa = vfa_ref[0, 0, e]
+            p0 = p0_ref[0, 0, e]
+            vr = vre_ref[0, 0, e]
+            vi = vim_ref[0, 0, e]
+
+            # window computed ONCE per sample, spread to every touched
+            # w-plane with its ES tap; planes clip to the stack edges
+            base = _es((vfa - lanes_f) / half, beta) * _es(
+                (uf - subl_f) / half, beta
+            )
+            rs = pl.ds(pl.multiple_of(r0, 8), blk)
+            for t in range(support):
+                sc = wsc_ref[0, t, e]
+                p = jnp.clip(p0 + t, 0, nplanes - 1)
+                sl = (0, p, rs, slice(None))
+                out_re_ref[sl] = out_re_ref[sl] + (sc * vr) * base
+                out_im_ref[sl] = out_im_ref[sl] + (sc * vi) * base
+        return 0
+
+    lax.fori_loop(0, group // unroll, body, 0, unroll=False)
+
+
+def grid_tiles_wstack_pallas(plan, vre_flat, vim_flat, interpret=False):
+    """Run a :func:`plan_tiles_wstack` plan over flat (N,) visibilities.
+
+    Returns padded tiles (re, im): (ntr·ntc, nplanes, tpad_r, tpad_c);
+    assemble with :func:`assemble_wstack_tiles`.
+    """
+    w = plan["support"]
+    group, ngroups = plan["group"], plan["ngroups"]
+    ntiles = plan["ntr"] * plan["ntc"]
+    nplanes = plan["nplanes"]
+    tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+
+    sample_pack = jnp.asarray(plan["sample_pack"])
+    vre = vre_flat[sample_pack].astype(jnp.float32)
+    vim = vim_flat[sample_pack].astype(jnp.float32)
+
+    kernel = partial(_grid_wstack_kernel, group=group, support=w,
+                     beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
+                     nplanes=nplanes, blk=plan["blk"])
+
+    smem_vec = pl.BlockSpec((1, 1, group), lambda g, f, t: (g, 0, 0),
+                            memory_space=pltpu.SMEM)
+    smem_wsc = pl.BlockSpec((1, w, group), lambda g, f, t: (g, 0, 0),
+                            memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, nplanes, tpad_r, tpad_c),
+                            lambda g, f, t: (t[g], 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # first, group_tile
+        grid=(ngroups,),
+        in_specs=[smem_vec] * 4 + [smem_wsc] + [smem_vec] * 2,
+        out_specs=[out_spec, out_spec],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((ntiles, nplanes, tpad_r, tpad_c),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((ntiles, nplanes, tpad_r, tpad_c),
+                             jnp.float32),
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        jnp.asarray(plan["first"]),
+        jnp.asarray(plan["group_tile"]),
+        jnp.asarray(plan["ir_loc"])[:, None, :],
+        jnp.asarray(plan["uf"])[:, None, :],
+        jnp.asarray(plan["vfa"])[:, None, :],
+        jnp.asarray(plan["p0"])[:, None, :],
+        jnp.asarray(plan["wsc"]),
+        vre[:, None, :],
+        vim[:, None, :],
+    )
+
+
+def assemble_wstack_tiles(out_re, out_im, plan):
+    """Fold (ntr·ntc, nplanes, tpad_r, tpad_c) tiles to (nplanes, nu, nv)
+    via the plane-major :func:`assemble_tiles` machinery."""
+    ntsp = plan["ntr"] * plan["ntc"]
+    npl = plan["nplanes"]
+
+    def rearrange(x):
+        return jnp.moveaxis(x, 1, 0).reshape(
+            npl * ntsp, plan["tpad_r"], plan["tpad_c"]
+        )
+
+    return _fold(rearrange(out_re), plan), _fold(rearrange(out_im), plan)

@@ -61,8 +61,10 @@ def sharded_dirty(mesh, uvw, freq, vis, nx, ny, cell, epsilon=1e-4,
 
         rows_per = nrow // nshard
         shard_plans = [
+            # per-shard packed plans speak the virtual-sample array
+            # protocol (pack_shard_plans), not the fused-wstack one
             _tile_plan(uvw[s * rows_per : (s + 1) * rows_per], freq, plan,
-                       nx, ny, cell, cell)
+                       nx, ny, cell, cell, fused_wstack=False)
             for s in range(nshard)
         ]
         if all(p is not None for p in shard_plans):
@@ -147,8 +149,10 @@ def sharded_degrid(mesh, uvw, freq, image, cell, epsilon=1e-4,
 
         rows_per = nrow // nshard
         shard_plans = [
+            # per-shard packed plans speak the virtual-sample array
+            # protocol (pack_shard_plans), not the fused-wstack one
             _tile_plan(uvw[s * rows_per : (s + 1) * rows_per], freq, plan,
-                       nx, ny, cell, cell)
+                       nx, ny, cell, cell, fused_wstack=False)
             for s in range(nshard)
         ]
         if all(p is not None for p in shard_plans):

@@ -212,3 +212,54 @@ def test_degrid_tiles_spot_oracle(rng):
                 acc += ku[i, a] * kv[i, b] * g[0, (iu0[i] + a) % nu,
                                                (iv0[i] + b) % nv]
         assert_allclose(np.asarray(o_re)[i], acc, rtol=2e-4, atol=2e-5)
+
+
+def test_wstack_fused_matches_virtual_samples(rng):
+    """The multi-plane w-stack kernel (one entry per sample spreading to
+    all touched planes) must reproduce the per-plane virtual-sample
+    formulation exactly (interpret mode)."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.pallas_grid import (
+        assemble_wstack_tiles, grid_tiles_wstack_pallas, plan_tiles_wstack,
+    )
+
+    w, beta = 6, 2.3 * 6
+    nu = nv = 64
+    nplanes = 5
+    n = 150
+    upos = rng.uniform(0, nu, n)
+    vpos = rng.uniform(0, nv, n)
+    iu0 = np.floor(upos).astype(np.int64) - (w // 2 - 1)
+    iv0 = np.floor(vpos).astype(np.int64) - (w // 2 - 1)
+    uf, vf = upos - iu0, vpos - iv0
+    wpos = rng.uniform(0, nplanes - 1, n)
+    iw0 = np.floor(wpos).astype(np.int64) - (w // 2 - 1)
+    offs = np.arange(w)
+    z = (wpos[:, None] - (iw0[:, None] + offs)) / (w / 2.0)
+    kw = es_np(z, beta)
+    vre = rng.normal(size=n).astype(np.float32)
+
+    # old formulation: per-plane virtual samples
+    plane_v = np.clip(iw0[:, None] + offs, 0, nplanes - 1).ravel()
+    plan_old = plan_tiles(
+        np.repeat(iu0, w), np.repeat(iv0, w),
+        np.repeat(uf, w), np.repeat(vf, w), w, beta, nu, nv,
+        sample_id=np.repeat(np.arange(n), w), scale=kw.ravel(),
+        plane=plane_v, nplanes=nplanes, group=64,
+    )
+    t_re, t_im = grid_tiles_pallas(plan_old, jnp.asarray(vre),
+                                   jnp.asarray(vre) * 0.0, interpret=True)
+    ref, _ = assemble_tiles(t_re, t_im, plan_old)
+
+    # fused formulation: one entry per sample
+    plan_new = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                                 p0=iw0, wscales=kw.T, nplanes=nplanes,
+                                 group=64)
+    t2_re, t2_im = grid_tiles_wstack_pallas(
+        plan_new, jnp.asarray(vre), jnp.asarray(vre) * 0.0, interpret=True
+    )
+    got, _ = assemble_wstack_tiles(t2_re, t2_im, plan_new)
+
+    assert got.shape == ref.shape == (nplanes, nu, nv)
+    assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                    atol=1e-6)
