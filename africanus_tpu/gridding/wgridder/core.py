@@ -136,11 +136,32 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
         if fused_wstack:
             # one entry per sample: the kernel spreads each window into
             # all `support` touched planes — measured 2.6x the
-            # virtual-sample kernel and ~17x faster planning
-            return pg.plan_tiles_wstack(
-                iu0, iv0, uf, vf, support, beta, nu, nv,
-                p0=iw0, wscales=kw.T, nplanes=nplanes,
-            )
+            # virtual-sample kernel and ~17x faster planning. The output
+            # block holds EVERY plane of one tile in VMEM: shrink the
+            # tile until (nplanes, tpad_r, tpad_c) x re/im x double-
+            # buffering fits the ~16 MB budget, else fall back to the
+            # per-plane virtual-sample plan.
+            blk = -(-(support + 7) // 8) * 8
+            for target in (256, 128, 64):
+                tr = pg.choose_tile(nu, target)
+                tc = pg.choose_tile(nv, target)
+                if support > min(tr, tc):
+                    continue
+                tpad_r = max(
+                    -(-(tr + 2 * support) // 8) * 8,
+                    ((tr + support - 1) // 8) * 8 + blk,
+                )
+                tpad_c = -(-(tc + 2 * support) // 128) * 128
+                # re+im f32 blocks; revisited output blocks are not
+                # double-buffered (measured: 7.7 MB at tile 256/9
+                # planes and 8.3 MB at tile 128/14 planes both fit)
+                vmem = nplanes * tpad_r * tpad_c * 4 * 2
+                if vmem <= 12 * 2**20:
+                    return pg.plan_tiles_wstack(
+                        iu0, iv0, uf, vf, support, beta, nu, nv,
+                        p0=iw0, wscales=kw.T, nplanes=nplanes,
+                        tile_r=tr, tile_c=tc,
+                    )
         plane_v = np.clip((iw0[:, None] + offs), 0, nplanes - 1).ravel()
         return pg.plan_tiles(
             np.repeat(iu0, support), np.repeat(iv0, support),
