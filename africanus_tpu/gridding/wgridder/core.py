@@ -152,11 +152,14 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
                     ((tr + support - 1) // 8) * 8 + blk,
                 )
                 tpad_c = -(-(tc + 2 * support) // 128) * 128
-                # re+im f32 blocks; revisited output blocks are not
-                # double-buffered (measured: 7.7 MB at tile 256/9
-                # planes and 8.3 MB at tile 128/14 planes both fit)
-                vmem = nplanes * tpad_r * tpad_c * 4 * 2
-                if vmem <= 12 * 2**20:
+                # re+im f32 blocks. The gridder's revisited OUTPUT blocks
+                # are not double-buffered, but the degridder reads the
+                # same plan and its tile blocks are INPUTS — the pipeline
+                # double-buffers those, so the binding budget is 4 copies
+                # (re+im × 2). Tile 128 measured no slower than 256 for
+                # the gridder, so one plan serves both sides.
+                vmem = nplanes * tpad_r * tpad_c * 4 * 4
+                if vmem <= 13 * 2**20:
                     return pg.plan_tiles_wstack(
                         iu0, iv0, uf, vf, support, beta, nu, nv,
                         p0=iw0, wscales=kw.T, nplanes=nplanes,
@@ -334,7 +337,8 @@ def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
         interpret = jax.default_backend() != "tpu"
         if tile_plan.get("wstack_fused"):
             t_re, t_im = grid_tiles_wstack_pallas(tile_plan, vre, vim,
-                                                  interpret=interpret)
+                                                  interpret=interpret,
+                                                  arrays=tile_arrays)
             grid_re, grid_im = assemble_wstack_tiles(t_re, t_im, tile_plan)
         else:
             t_re, t_im = grid_tiles_pallas(tile_plan, vre, vim,
@@ -430,19 +434,16 @@ def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
     if plan is None:
         plan = _plan(np.asarray(uvw), np.asarray(freq), nx, ny, cellx,
                      celly, epsilon, do_wstacking)
-    # the degridder speaks the virtual-sample plan format; the fused
-    # wstack plan (grid-side) keeps its own key
+    # fused w-stack plans (one entry per sample, all-planes VMEM block)
+    # serve the degridder directly; only when the cached plan predates
+    # the fused format is one built here
     if use_tiles:
-        tp = plan.get("tile_plan")
-        if tp is None or tp.get("wstack_fused"):
-            if "tile_plan_degrid" not in plan:
-                plan["tile_plan_degrid"] = _tile_plan(
-                    np.asarray(uvw), np.asarray(freq), plan, nx, ny,
-                    cellx, celly, fused_wstack=False,
-                )
-            tile_plan = plan["tile_plan_degrid"]
-        else:
-            tile_plan = tp
+        tile_plan = plan.get("tile_plan")
+        if tile_plan is None:
+            plan["tile_plan"] = tile_plan = _tile_plan(
+                np.asarray(uvw), np.asarray(freq), plan, nx, ny,
+                cellx, celly,
+            )
     else:
         tile_plan = None
     support, beta = plan["support"], plan["beta"]
@@ -480,14 +481,23 @@ def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
     if tile_plan is not None:
         from africanus_tpu.ops.pallas_grid import (
             degrid_tiles_pallas,
+            degrid_tiles_wstack_pallas,
             extract_tiles,
+            extract_wstack_tiles,
         )
 
         interpret = jax.default_backend() != "tpu"
-        tre, tim = extract_tiles(gre, gim, tile_plan)
-        out_re, out_im = degrid_tiles_pallas(tile_plan, tre, tim, nsamp,
-                                             interpret=interpret,
-                                             arrays=tile_arrays)
+        if tile_plan.get("wstack_fused"):
+            tre, tim = extract_wstack_tiles(gre, gim, tile_plan)
+            out_re, out_im = degrid_tiles_wstack_pallas(
+                tile_plan, tre, tim, nsamp, interpret=interpret,
+                arrays=tile_arrays,
+            )
+        else:
+            tre, tim = extract_tiles(gre, gim, tile_plan)
+            out_re, out_im = degrid_tiles_pallas(tile_plan, tre, tim, nsamp,
+                                                 interpret=interpret,
+                                                 arrays=tile_arrays)
     else:
         iu0, iv0, iw0, ku, kv, kw = _spread_indices_weights(
             u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta

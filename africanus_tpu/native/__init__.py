@@ -20,7 +20,7 @@ from pathlib import Path
 import numpy as np
 
 __all__ = ["available", "lib", "tc_row_mapper_core", "bda_binner_core",
-           "tile_pack_core"]
+           "tile_pack_core", "tile_pack_slots"]
 
 log = logging.getLogger(__name__)
 
@@ -99,6 +99,11 @@ def _build_and_load():
             [ctypes.c_int64] * 3 + [ctypes.c_void_p] * 18
         )
 
+        lib.tile_pack_slots_core.restype = None
+        lib.tile_pack_slots_core.argtypes = (
+            [ctypes.c_int64] * 3 + [ctypes.c_void_p] * 3
+        )
+
         _lib = lib
         log.debug("native mappers loaded from %s", so_path)
     except Exception as e:  # g++ missing, compile failure, …
@@ -175,3 +180,15 @@ def tile_pack_core(tile_ids, group_base, group, ntiles, sample_id, ir, ic,
         _ptr(o_sample), _ptr(o_ir), _ptr(o_ic), _ptr(o_fr), _ptr(o_fc),
         _ptr(o_uf), _ptr(o_vf), _ptr(o_scale),
     )
+
+
+def tile_pack_slots(tile_ids, group_base, group, ntiles):
+    """Per-entry flat slot indices into the packed (ngroups, group) layout
+    (stable within each tile). tile_ids/group_base must be C-contiguous
+    int64; returns (n,) int64."""
+    slots = np.empty(tile_ids.shape[0], np.int64)
+    lib().tile_pack_slots_core(
+        tile_ids.shape[0], int(group), int(ntiles),
+        _ptr(tile_ids), _ptr(group_base), _ptr(slots),
+    )
+    return slots

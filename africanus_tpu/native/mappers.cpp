@@ -290,4 +290,26 @@ void tile_pack_core(
   }
 }
 
+// Entry -> packed-slot placement (ops/pallas_grid.py plan_tiles_wstack).
+// Computes, per input entry, its flat slot index in the (ngroups, group)
+// packed arrays: slot = (group_base[tile] + k/group)*group + k%group with
+// k the entry's stable rank within its tile. Payload placement then
+// becomes one vectorised numpy fancy-index per payload — generic over any
+// payload set (the fused w-stack plan carries extra p0/wscale payloads
+// that tile_pack_core's fixed signature does not know about), and the
+// slots array doubles as the degridder's inverse permutation (one entry
+// per visibility sample in the fused format).
+void tile_pack_slots_core(
+    int64_t n, int64_t group, int64_t ntiles,
+    const int64_t* tile_ids,
+    const int64_t* group_base,
+    int64_t* slots) {
+  std::vector<int64_t> cursor(static_cast<size_t>(ntiles), 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t t = tile_ids[i];
+    const int64_t k = cursor[t]++;
+    slots[i] = (group_base[t] + k / group) * group + k % group;
+  }
+}
+
 }  // extern "C"

@@ -34,6 +34,7 @@ __all__ = [
     "split", "two_sum", "quick_two_sum", "two_prod",
     "df_add", "df_mul", "df_neg", "df_div", "df_sqrt",
     "df_const", "df_dot3", "reduce_cycles", "n_minus_one_df",
+    "compensated_sum",
 ]
 
 # Dekker split factor for f32 (24-bit significand): 2^12 + 1
@@ -131,6 +132,29 @@ def df_dot3(a0, b0, a1, b1, a2, b2):
     """a0·b0 + a1·b1 + a2·b2 as a normalized (hi, lo) pair."""
     return df_add(df_add(two_prod(a0, b0), two_prod(a1, b1)),
                   two_prod(a2, b2))
+
+
+def compensated_sum(x, axis=0):
+    """Sum along ``axis`` via a double-float pairwise tree.
+
+    Each tree level halves the axis with :func:`df_add` (error-free
+    two_sum plus carried low words), so rounding error stays O(eps)
+    independent of length — the parallel-friendly equivalent of the
+    reference fused kernel's sequential Kahan accumulation
+    (reference experimental/rime/fused/core.py:97-118). Odd levels pad
+    with an exact zero. Returns the (hi + lo) collapsed result.
+    """
+    x = jnp.moveaxis(jnp.asarray(x), axis, 0)
+    hi, lo = x, jnp.zeros_like(x)
+    while hi.shape[0] > 1:
+        n = hi.shape[0]
+        if n % 2:
+            pad = [(0, 1)] + [(0, 0)] * (hi.ndim - 1)
+            hi = jnp.pad(hi, pad)
+            lo = jnp.pad(lo, pad)
+            n += 1
+        hi, lo = df_add((hi[0::2], lo[0::2]), (hi[1::2], lo[1::2]))
+    return hi[0] + lo[0]
 
 
 def n_minus_one_df(l, m):  # noqa: E741

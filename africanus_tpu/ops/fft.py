@@ -1,11 +1,26 @@
 """Complex 2D FFTs on split re/im pairs.
 
 Backends with complex support (CPU/GPU) use the native FFT. The axon TPU
-backend has no complex element type at all, so the fallback computes the
-2D DFT as real matmuls against precomputed cos/sin twiddle matrices —
-8 (n×n)·(n×m) MXU matmuls per transform. That is O(n³) vs the FFT's
-O(n² log n), but it runs on the systolic array; for production grid sizes
-the Pallas split-radix kernel is the planned upgrade.
+backend has no complex element type at all, so transforms run on split
+re/im pairs as *matmul four-step FFTs* (Bailey's algorithm): a length-n
+DFT with n = n1·n2 factors into
+
+  1. n2 batched DFTs of length n1  (one (n1, n1) matmul),
+  2. an elementwise twiddle  e^{s·2πi·k1·j2/n},
+  3. n1 batched DFTs of length n2  (one (n2, n2) matmul),
+  4. a (k1, k2) -> (k2, k1) index transpose.
+
+Sub-DFTs ≤ the base size run as direct DFT matmuls; larger ones recurse,
+so the flop count is O(n·√n) per axis at one level and approaches
+O(n·log n) with recursion depth — all of it dense (batch, n_i) × (n_i,
+n_i) matmuls that tile straight onto the MXU, instead of the previous
+O(n²)-per-axis direct matmul-DFT whose cubic total dominated dirty/model/
+residual/hessian beyond ~1k² grids. Replaces pocketfft inside ducc0 for
+the reference's wgridder path (reference gridding/wgridder/vis2im.py:4).
+
+Twiddle/DFT matrices are built on the host in float64 and cast to the
+operand dtype; contractions run at ``lax.Precision.HIGHEST`` (bf16
+operand passes would destroy the phases — see CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -17,7 +32,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["backend_has_complex", "cifft2", "cfft2"]
+__all__ = ["backend_has_complex", "cifft2", "cfft2", "split_fft",
+           "split_ifft"]
+
+# largest sub-DFT solved as one direct DFT matmul; factors above this
+# recurse through another four-step level
+_BASE = 128
 
 
 def backend_has_complex() -> bool:
@@ -25,35 +45,117 @@ def backend_has_complex() -> bool:
     return jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
 
 
-@lru_cache(maxsize=32)
-def _twiddles(n, sign, dtype_name):
-    """cos/sin DFT matrices: T[k, j] = exp(sign·2πi·k·j/n)."""
+@lru_cache(maxsize=64)
+def _split_factor(n):
+    """Largest factor pair (n1, n2), n1 ≤ n2, with n1 as close to √n as
+    possible; (1, n) when n is prime."""
+    for n1 in range(int(np.sqrt(n)), 0, -1):
+        if n % n1 == 0:
+            return n1, n // n1
+    return 1, n
+
+
+@lru_cache(maxsize=64)
+def _dft_matrices(n, sign, dtype_name):
+    """cos/sin DFT matrices: T[j, k] = exp(sign·2πi·j·k/n) (symmetric)."""
     k = np.arange(n)
     ang = sign * 2.0 * np.pi * np.outer(k, k) / n
     dt = np.dtype(dtype_name)
     return np.cos(ang).astype(dt), np.sin(ang).astype(dt)
 
 
-def _matmul_dft_1d(re, im, axis, sign):
-    """DFT along ``axis`` via real matmuls (split complex)."""
-    n = re.shape[axis]
-    cos_t, sin_t = _twiddles(n, sign, str(re.dtype))
-    cos_t = jnp.asarray(cos_t)
-    sin_t = jnp.asarray(sin_t)
+@lru_cache(maxsize=64)
+def _twiddle_factors(n, n1, n2, sign, dtype_name):
+    """Four-step twiddles W[k1, j2] = exp(sign·2πi·k1·j2/n)."""
+    ang = sign * 2.0 * np.pi * np.outer(np.arange(n1), np.arange(n2)) / n
+    dt = np.dtype(dtype_name)
+    return np.cos(ang).astype(dt), np.sin(ang).astype(dt)
 
-    re_m = jnp.moveaxis(re, axis, -1)
-    im_m = jnp.moveaxis(im, axis, -1)
+
+def _cdot_last(re, im, cos_t, sin_t):
+    """Complex contraction of the last axis with a complex (n, n) DFT
+    matrix given as split cos/sin — 4 real MXU matmuls."""
+    ct = jnp.asarray(cos_t)
+    st = jnp.asarray(sin_t)
 
     def dot(x, t):
         return lax.dot_general(
             x, t,
-            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
             precision=lax.Precision.HIGHEST,
         )
 
-    out_re = dot(re_m, cos_t) - dot(im_m, sin_t)
-    out_im = dot(re_m, sin_t) + dot(im_m, cos_t)
-    return jnp.moveaxis(out_re, -1, axis), jnp.moveaxis(out_im, -1, axis)
+    return (dot(re, ct) - dot(im, st)), (dot(re, st) + dot(im, ct))
+
+
+def _dft_last(re, im, sign):
+    """Unnormalised DFT along the last axis (split pair), dispatching to
+    the direct matmul below the base size and four-step above it."""
+    n = re.shape[-1]
+    if n <= _BASE:
+        cos_t, sin_t = _dft_matrices(n, sign, str(re.dtype))
+        return _cdot_last(re, im, cos_t, sin_t)
+    n1, n2 = _split_factor(n)
+    if n1 == 1:  # prime length: no choice but the direct matmul
+        cos_t, sin_t = _dft_matrices(n, sign, str(re.dtype))
+        return _cdot_last(re, im, cos_t, sin_t)
+
+    shape = re.shape
+    a_re = re.reshape(shape[:-1] + (n1, n2))
+    a_im = im.reshape(shape[:-1] + (n1, n2))
+
+    # step 1: length-n1 DFTs down the n1 axis (put it last, recurse)
+    a_re = jnp.swapaxes(a_re, -1, -2)  # (..., n2, n1)
+    a_im = jnp.swapaxes(a_im, -1, -2)
+    b_re, b_im = _dft_last(a_re, a_im, sign)  # (..., n2, k1)
+
+    # step 2: twiddle — W[k1, j2] laid out to match (..., j2, k1)
+    wc, ws = _twiddle_factors(n, n1, n2, sign, str(re.dtype))
+    wc = jnp.asarray(wc.T)  # (n2, n1)
+    ws = jnp.asarray(ws.T)
+    c_re = b_re * wc - b_im * ws
+    c_im = b_re * ws + b_im * wc
+
+    # step 3: length-n2 DFTs down the n2 axis (put it last, recurse)
+    c_re = jnp.swapaxes(c_re, -1, -2)  # (..., k1, j2)
+    c_im = jnp.swapaxes(c_im, -1, -2)
+    d_re, d_im = _dft_last(c_re, c_im, sign)  # (..., k1, k2)
+
+    # step 4: out[k2·n1 + k1] = D[k1, k2]
+    out_re = jnp.swapaxes(d_re, -1, -2).reshape(shape)
+    out_im = jnp.swapaxes(d_im, -1, -2).reshape(shape)
+    return out_re, out_im
+
+
+def _split_dft_1d(re, im, axis, sign):
+    """Unnormalised DFT along ``axis`` via the four-step matmul path."""
+    ax = axis % re.ndim
+    if ax != re.ndim - 1:
+        re = jnp.moveaxis(re, ax, -1)
+        im = jnp.moveaxis(im, ax, -1)
+    re, im = _dft_last(re, im, sign)
+    if ax != re.ndim - 1:
+        re = jnp.moveaxis(re, -1, ax)
+        im = jnp.moveaxis(im, -1, ax)
+    return re, im
+
+
+def split_fft(re, im, axes=(-2, -1)):
+    """Forward (e^{-2πi}, unnormalised) FFT on a split pair over ``axes``
+    using the matmul four-step path regardless of backend (the TPU path;
+    exposed for oracle testing)."""
+    for ax in axes:
+        re, im = _split_dft_1d(re, im, ax, -1.0)
+    return re, im
+
+
+def split_ifft(re, im, axes=(-2, -1)):
+    """Inverse (e^{+2πi}, 1/N-normalised) FFT on a split pair."""
+    norm = 1.0
+    for ax in axes:
+        re, im = _split_dft_1d(re, im, ax, 1.0)
+        norm *= re.shape[ax % re.ndim]
+    return re / norm, im / norm
 
 
 def cfft2(re, im, axes=(-2, -1)):
@@ -61,9 +163,7 @@ def cfft2(re, im, axes=(-2, -1)):
     if backend_has_complex():
         out = jnp.fft.fft2(lax.complex(re, im), axes=axes)
         return out.real, out.imag
-    for ax in axes:
-        re, im = _matmul_dft_1d(re, im, ax % re.ndim, -1.0)
-    return re, im
+    return split_fft(re, im, axes=axes)
 
 
 def cifft2(re, im, axes=(-2, -1)):
@@ -71,8 +171,4 @@ def cifft2(re, im, axes=(-2, -1)):
     if backend_has_complex():
         out = jnp.fft.ifft2(lax.complex(re, im), axes=axes)
         return out.real, out.imag
-    norm = 1.0
-    for ax in axes:
-        re, im = _matmul_dft_1d(re, im, ax % re.ndim, 1.0)
-        norm *= re.shape[ax % re.ndim]
-    return re / norm, im / norm
+    return split_ifft(re, im, axes=axes)

@@ -57,13 +57,20 @@ __all__ = ["plan_tiles", "plan_tiles_table", "plan_tiles_wstack",
            "grid_tiles_pallas", "grid_tiles_table_pallas",
            "grid_tiles_wstack_pallas", "assemble_tiles",
            "assemble_wstack_tiles", "extract_tiles",
-           "degrid_tiles_pallas", "degrid_tiles_table_pallas",
-           "choose_tile", "pack_shard_plans", "PLAN_ARRAY_KEYS"]
+           "extract_wstack_tiles", "degrid_tiles_pallas",
+           "degrid_tiles_table_pallas", "degrid_tiles_wstack_pallas",
+           "choose_tile", "pack_shard_plans", "PLAN_ARRAY_KEYS",
+           "WSTACK_PLAN_ARRAY_KEYS"]
 
 log = logging.getLogger(__name__)
 
 PLAN_ARRAY_KEYS = ("first", "group_tile", "ir_loc", "uf", "vfa", "scale",
                    "sample_pack")
+
+# fused w-stack plan format (plan_tiles_wstack): one entry per sample,
+# per-plane taps in wsc; vis_slot is appended by pack_shard_plans
+WSTACK_PLAN_ARRAY_KEYS = ("first", "group_tile", "ir_loc", "uf", "vfa",
+                          "p0", "wsc", "sample_pack")
 
 
 def _round_up(x, m):
@@ -648,37 +655,44 @@ def degrid_tiles_pallas(plan, tiles_re, tiles_im, nvis, interpret=False,
 def pack_shard_plans(plans):
     """Stack per-shard tile plans into one static geometry + stacked arrays.
 
-    All plans must share tile geometry (same grid/support/tiles/group).
-    Each shard's packed arrays are padded to the max ngroups with inert
-    groups (first=0, scale=0, repeating the shard's last tile id so
-    output-block revisits stay contiguous), then stacked on a leading
+    All plans must share tile geometry (same grid/support/tiles/group) and
+    format (all virtual-sample, or all fused w-stack). Each shard's packed
+    arrays are padded to the max ngroups with inert groups (first=0,
+    scale=0 / all-outside uv windows, repeating the shard's last tile id
+    so output-block revisits stay contiguous), then stacked on a leading
     shard axis for use as shard_map inputs (``arrays`` override of
-    :func:`grid_tiles_pallas`).
+    :func:`grid_tiles_pallas` / :func:`grid_tiles_wstack_pallas`).
 
-    Returns (plan_static, arrays) where ``arrays`` maps PLAN_ARRAY_KEYS to
-    (nshard, ngroups_max, ...) numpy arrays.
+    Fused w-stack plans additionally stack ``vis_slot`` (the per-shard
+    packed-slot permutation, one slot per local visibility sample) so the
+    sharded degridder keeps the pure-gather inverse.
+
+    Returns (plan_static, arrays) where ``arrays`` maps the format's array
+    keys to (nshard, ngroups_max, ...) numpy arrays.
     """
+    fused = bool(plans[0].get("wstack_fused"))
     geo_keys = ("tile_r", "tile_c", "support", "beta", "ntr", "ntc", "nu",
                 "nv", "nplanes", "tpad_r", "tpad_c", "group", "blk")
     geo = {k: plans[0][k] for k in geo_keys}
     for p in plans[1:]:
+        if bool(p.get("wstack_fused")) != fused:
+            raise ValueError("shard plans disagree on wstack_fused format")
         for k in geo_keys:
             if p[k] != geo[k]:
                 raise ValueError(f"shard plans disagree on {k}")
 
+    keys = WSTACK_PLAN_ARRAY_KEYS if fused else PLAN_ARRAY_KEYS
     ng_max = max(p["ngroups"] for p in plans)
-    arrays = {k: [] for k in PLAN_ARRAY_KEYS}
+    arrays = {k: [] for k in keys}
     for p in plans:
         pad = ng_max - p["ngroups"]
-        for k in PLAN_ARRAY_KEYS:
+        for k in keys:
             a = p[k]
             if pad:
                 if k == "first":
                     tail = np.zeros((pad,), a.dtype)
                 elif k == "group_tile":
                     tail = np.full((pad,), a[-1], a.dtype)
-                elif k == "scale":
-                    tail = np.zeros((pad,) + a.shape[1:], a.dtype)
                 elif k in ("uf", "vfa"):
                     tail = np.full((pad,) + a.shape[1:],
                                    -2.0 * geo["support"], a.dtype)
@@ -686,10 +700,18 @@ def pack_shard_plans(plans):
                     tail = np.zeros((pad,) + a.shape[1:], a.dtype)
                 a = np.concatenate([a, tail], axis=0)
             arrays[k].append(a)
+    if fused:
+        nvis = {p["vis_slot"].shape[0] for p in plans}
+        if len(nvis) != 1:
+            raise ValueError("fused shard plans must cover equal sample "
+                             f"counts, got {sorted(nvis)}")
+        arrays["vis_slot"] = [p["vis_slot"] for p in plans]
     arrays = {k: np.stack(v, axis=0) for k, v in arrays.items()}
 
     plan_static = dict(geo)
     plan_static["ngroups"] = ng_max
+    if fused:
+        plan_static["wstack_fused"] = True
     return plan_static, arrays
 
 
@@ -1035,6 +1057,15 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
         raise ValueError(f"tiles ({tile_r},{tile_c}) must divide ({nu},{nv})")
     if w > min(tile_r, tile_c):
         raise ValueError(f"support {w} exceeds tile ({tile_r},{tile_c})")
+    # the kernels index plane p0+t directly (no out-of-stack handling):
+    # a caller-supplied out-of-range p0 would silently double-deposit on
+    # the clipped edge planes, so reject it here. wgridder's _plan pads
+    # nplanes by support+2 precisely so every window stays in-stack.
+    if n and (p0.min() < 0 or p0.max() + w > nplanes):
+        raise ValueError(
+            f"w-plane window out of stack: p0 in "
+            f"[{p0.min()}, {p0.max()}], support {w}, nplanes {nplanes}"
+        )
 
     ntr = nu // tile_r
     ntc = nv // tile_c
@@ -1042,7 +1073,9 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
 
     tr_raw = iu0 // tile_r
     tc_raw = iv0 // tile_c
-    tile_ids = ((tr_raw % ntr) * ntc + tc_raw % ntc).astype(np.int64)
+    tile_ids = np.ascontiguousarray(
+        ((tr_raw % ntr) * ntc + tc_raw % ntc).astype(np.int64)
+    )
 
     ir_all = (iu0 - tr_raw * tile_r + w).astype(np.int32)
     ic_all = (iv0 - tc_raw * tile_c + w).astype(np.int32)
@@ -1059,13 +1092,22 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
     first = np.zeros(ngroups, np.int32)
     first[group_base] = 1
 
-    order = np.argsort(tile_ids, kind="stable")
-    sids = tile_ids[order]
-    tile_start = np.zeros(ntiles, np.int64)
-    np.cumsum(counts[:-1], out=tile_start[1:])
-    k = np.arange(n) - tile_start[sids]
-    gidx = group_base[sids] + k // group
-    slot = k % group
+    # per-entry flat slot in the (ngroups, group) packed layout — native
+    # counting-sort core when available (the numpy argsort chain dominated
+    # plan time at multi-million-sample counts)
+    from africanus_tpu import native
+
+    if native.available():
+        slots = native.tile_pack_slots(tile_ids, group_base, group, ntiles)
+    else:
+        order = np.argsort(tile_ids, kind="stable")
+        tile_start = np.zeros(ntiles, np.int64)
+        np.cumsum(counts[:-1], out=tile_start[1:])
+        k = np.arange(n) - tile_start[tile_ids[order]]
+        slots = np.empty(n, np.int64)
+        slots[order] = (
+            (group_base[tile_ids[order]] + k // group) * group + k % group
+        )
 
     sample_pack = np.zeros((ngroups, group), np.int32)
     ir_pack = np.zeros((ngroups, group), np.int32)
@@ -1074,13 +1116,16 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
     p0_pack = np.zeros((ngroups, group), np.int32)
     wsc_pack = np.zeros((ngroups, w, group), np.float32)
 
-    sample_pack[gidx, slot] = np.arange(n, dtype=np.int32)[order]
-    ir_pack[gidx, slot] = ir_al[order]
-    uf_pack[gidx, slot] = uf_abs[order]
-    vfa_pack[gidx, slot] = vf_abs[order]
-    p0_pack[gidx, slot] = p0.astype(np.int32)[order]
+    sample_pack.reshape(-1)[slots] = np.arange(n, dtype=np.int32)
+    ir_pack.reshape(-1)[slots] = ir_al
+    uf_pack.reshape(-1)[slots] = uf_abs
+    vfa_pack.reshape(-1)[slots] = vf_abs
+    p0_pack.reshape(-1)[slots] = p0.astype(np.int32)
+    # (g, t, s) flattens to (g*w + t)*group + s
+    g_of, s_of = slots // group, slots % group
+    wflat = wsc_pack.reshape(-1)
     for t in range(w):
-        wsc_pack[gidx, t, slot] = wscales[t, order]
+        wflat[(g_of * w + t) * group + s_of] = wscales[t]
 
     blk = _round_up(w + 7, 8)
     max_r0a = ((tile_r + w - 1) // 8) * 8
@@ -1095,7 +1140,7 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
         group_tile=group_tile.astype(np.int32),
         sample_pack=sample_pack, ir_loc=ir_pack,
         uf=uf_pack, vfa=vfa_pack, p0=p0_pack, wsc=wsc_pack,
-        first=first,
+        first=first, vis_slot=slots,
     )
 
 
@@ -1138,7 +1183,8 @@ def _grid_wstack_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
             rs = pl.ds(pl.multiple_of(r0, 8), blk)
             for t in range(support):
                 sc = wsc_ref[0, t, e]
-                p = jnp.clip(p0 + t, 0, nplanes - 1)
+                # plan_tiles_wstack guarantees p0+t in [0, nplanes)
+                p = p0 + t
                 sl = (0, p, rs, slice(None))
                 out_re_ref[sl] = out_re_ref[sl] + (sc * vr) * base
                 out_im_ref[sl] = out_im_ref[sl] + (sc * vi) * base
@@ -1147,8 +1193,13 @@ def _grid_wstack_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
     lax.fori_loop(0, group // unroll, body, 0, unroll=False)
 
 
-def grid_tiles_wstack_pallas(plan, vre_flat, vim_flat, interpret=False):
+def grid_tiles_wstack_pallas(plan, vre_flat, vim_flat, interpret=False,
+                             arrays=None):
     """Run a :func:`plan_tiles_wstack` plan over flat (N,) visibilities.
+
+    ``arrays`` optionally overrides the plan's packed entry arrays with
+    (possibly traced) replacements of identical shape — the per-shard
+    plan mechanism (see :func:`pack_shard_plans`).
 
     Returns padded tiles (re, im): (ntr·ntc, nplanes, tpad_r, tpad_c);
     assemble with :func:`assemble_wstack_tiles`.
@@ -1158,8 +1209,10 @@ def grid_tiles_wstack_pallas(plan, vre_flat, vim_flat, interpret=False):
     ntiles = plan["ntr"] * plan["ntc"]
     nplanes = plan["nplanes"]
     tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+    if arrays is None:
+        arrays = plan
 
-    sample_pack = jnp.asarray(plan["sample_pack"])
+    sample_pack = jnp.asarray(arrays["sample_pack"])
     vre = vre_flat[sample_pack].astype(jnp.float32)
     vim = vim_flat[sample_pack].astype(jnp.float32)
 
@@ -1195,13 +1248,13 @@ def grid_tiles_wstack_pallas(plan, vre_flat, vim_flat, interpret=False):
         out_shape=out_shape,
         interpret=interpret,
     )(
-        jnp.asarray(plan["first"]),
-        jnp.asarray(plan["group_tile"]),
-        jnp.asarray(plan["ir_loc"])[:, None, :],
-        jnp.asarray(plan["uf"])[:, None, :],
-        jnp.asarray(plan["vfa"])[:, None, :],
-        jnp.asarray(plan["p0"])[:, None, :],
-        jnp.asarray(plan["wsc"]),
+        jnp.asarray(arrays["first"]),
+        jnp.asarray(arrays["group_tile"]),
+        jnp.asarray(arrays["ir_loc"])[:, None, :],
+        jnp.asarray(arrays["uf"])[:, None, :],
+        jnp.asarray(arrays["vfa"])[:, None, :],
+        jnp.asarray(arrays["p0"])[:, None, :],
+        jnp.asarray(arrays["wsc"]),
         vre[:, None, :],
         vim[:, None, :],
     )
@@ -1219,3 +1272,150 @@ def assemble_wstack_tiles(out_re, out_im, plan):
         )
 
     return _fold(rearrange(out_re), plan), _fold(rearrange(out_im), plan)
+
+
+def extract_wstack_tiles(grid_re, grid_im, plan):
+    """Padded-tile views of a (nplanes, nu, nv) grid pair in the fused
+    w-stack layout (ntr·ntc, nplanes, tpad_r, tpad_c), ready for
+    :func:`degrid_tiles_wstack_pallas`."""
+    ntsp = plan["ntr"] * plan["ntc"]
+    npl = plan["nplanes"]
+
+    def rearrange(x):  # (npl·ntsp, r, c) plane-major -> tile-major
+        return jnp.moveaxis(
+            x.reshape(npl, ntsp, plan["tpad_r"], plan["tpad_c"]), 0, 1
+        )
+
+    return rearrange(_unfold(grid_re, plan)), rearrange(_unfold(grid_im, plan))
+
+
+def _degrid_wstack_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, p0_ref,
+                          wsc_ref, tre_ref, tim_ref, out_re_ref,
+                          out_im_ref, *, group, support, beta, tpad_r,
+                          tpad_c, nplanes, blk):
+    half = support / 2.0
+
+    lanes_f = lax.broadcasted_iota(jnp.int32, (1, tpad_c), 1).astype(
+        jnp.float32
+    )
+    subl_f = lax.broadcasted_iota(jnp.int32, (blk, 1), 0).astype(
+        jnp.float32
+    )
+
+    unroll = 8 if group % 8 == 0 else 1
+
+    def body(j, _):
+        for k in range(unroll):
+            e = j * unroll + k
+            r0 = ir_ref[0, 0, e]
+            uf = uf_ref[0, 0, e]
+            vfa = vfa_ref[0, 0, e]
+            p0 = p0_ref[0, 0, e]
+
+            # gather-side mirror of _grid_wstack_kernel: the window is
+            # computed once per sample; the touched planes' blocks are
+            # first combined with their w-taps (block adds), then ONE
+            # multiply-reduce against the window yields the visibility —
+            # support−1 fewer multiply-reduces than reducing each plane
+            # separately. plan_tiles_wstack guarantees p0+t ∈ [0, nplanes).
+            base = _es((vfa - lanes_f) / half, beta) * _es(
+                (uf - subl_f) / half, beta
+            )
+            rs = pl.ds(pl.multiple_of(r0, 8), blk)
+            sc0 = wsc_ref[0, 0, e]
+            acc_re = sc0 * tre_ref[0, p0, rs, :]
+            acc_im = sc0 * tim_ref[0, p0, rs, :]
+            for t in range(1, support):
+                sc = wsc_ref[0, t, e]
+                sl = (0, p0 + t, rs, slice(None))
+                acc_re = acc_re + sc * tre_ref[sl]
+                acc_im = acc_im + sc * tim_ref[sl]
+            out_re_ref[0, 0, e] = jnp.sum(jnp.sum(acc_re * base, axis=0))
+            out_im_ref[0, 0, e] = jnp.sum(jnp.sum(acc_im * base, axis=0))
+        return 0
+
+    lax.fori_loop(0, group // unroll, body, 0, unroll=False)
+
+
+def degrid_tiles_wstack_pallas(plan, tiles_re, tiles_im, nvis,
+                               interpret=False, arrays=None):
+    """Gather model visibilities from fused w-stack grid tiles.
+
+    Mirror of :func:`grid_tiles_wstack_pallas`: per entry (= one
+    visibility sample), the aligned row block of every touched w-plane is
+    read from the (nplanes, tpad_r, tpad_c) VMEM-resident tile, combined
+    with the per-plane ES taps and reduced against the uv window. The
+    fused plan carries exactly one entry per sample, so the packed
+    outputs map back to visibilities by the plan's slot permutation
+    (``vis_slot``) — a pure gather, no scatter.
+
+    ``arrays`` overrides the plan's packed entry arrays (per-shard plans,
+    :func:`pack_shard_plans`); sharded callers fall back to a one-hit
+    scatter-add since no host permutation is available for traced arrays.
+
+    Returns flat (nvis,) re/im model visibilities.
+    """
+    w = plan["support"]
+    group, ngroups = plan["group"], plan["ngroups"]
+    nplanes = plan["nplanes"]
+    tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+    if arrays is None:
+        arrays = plan
+
+    kernel = partial(_degrid_wstack_kernel, group=group, support=w,
+                     beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
+                     nplanes=nplanes, blk=plan["blk"])
+
+    smem_vec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
+                            memory_space=pltpu.SMEM)
+    smem_wsc = pl.BlockSpec((1, w, group), lambda g, t: (g, 0, 0),
+                            memory_space=pltpu.SMEM)
+    tile_spec = pl.BlockSpec((1, nplanes, tpad_r, tpad_c),
+                             lambda g, t: (t[g], 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # group_tile
+        grid=(ngroups,),
+        in_specs=[smem_vec] * 4 + [smem_wsc] + [tile_spec, tile_spec],
+        out_specs=[smem_vec, smem_vec],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((ngroups, 1, group), jnp.float32),
+        jax.ShapeDtypeStruct((ngroups, 1, group), jnp.float32),
+    ]
+
+    vals_re, vals_im = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        jnp.asarray(arrays["group_tile"]),
+        jnp.asarray(arrays["ir_loc"])[:, None, :],
+        jnp.asarray(arrays["uf"])[:, None, :],
+        jnp.asarray(arrays["vfa"])[:, None, :],
+        jnp.asarray(arrays["p0"])[:, None, :],
+        jnp.asarray(arrays["wsc"]),
+        tiles_re.astype(jnp.float32),
+        tiles_im.astype(jnp.float32),
+    )
+
+    vals_re = vals_re.reshape(-1)
+    vals_im = vals_im.reshape(-1)
+
+    if arrays is plan or "vis_slot" in arrays:
+        # one entry per sample: the packed slots are a permutation — the
+        # inverse is a pure gather (pack_shard_plans stacks per-shard
+        # vis_slot so the sharded path keeps it too)
+        sel = jnp.asarray(arrays["vis_slot"] if arrays is not plan
+                          else plan["vis_slot"])
+        return vals_re[sel], vals_im[sel]
+    # traced per-shard arrays without a slot table: each sample owns
+    # exactly one slot, inert padding slots carry zero values (their uv
+    # window is all-zero), so a one-hit scatter-add reconstructs them
+    sample = jnp.asarray(arrays["sample_pack"]).reshape(-1)
+    out_re = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_re)
+    out_im = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_im)
+    return out_re, out_im

@@ -61,10 +61,10 @@ def sharded_dirty(mesh, uvw, freq, vis, nx, ny, cell, epsilon=1e-4,
 
         rows_per = nrow // nshard
         shard_plans = [
-            # per-shard packed plans speak the virtual-sample array
-            # protocol (pack_shard_plans), not the fused-wstack one
+            # per-shard plans in the default (fused w-stack when
+            # multi-plane) format; pack_shard_plans stacks either format
             _tile_plan(uvw[s * rows_per : (s + 1) * rows_per], freq, plan,
-                       nx, ny, cell, cell, fused_wstack=False)
+                       nx, ny, cell, cell)
             for s in range(nshard)
         ]
         if all(p is not None for p in shard_plans):
@@ -110,7 +110,7 @@ def sharded_psf(mesh, uvw, freq, nx, ny, cell, epsilon=1e-4,
                          do_wstacking)
 
 
-def sharded_degrid(mesh, uvw, freq, image, cell, epsilon=1e-4,
+def sharded_degrid(mesh, uvw, freq, image, *, cell, epsilon=1e-4,
                    do_wstacking=False, wgt=None, use_tiles=None):
     """Model visibilities from an image with rows sharded over "row".
 
@@ -128,6 +128,9 @@ def sharded_degrid(mesh, uvw, freq, image, cell, epsilon=1e-4,
     if cell is None:
         raise TypeError("sharded_degrid: cell (pixel size, radians) is "
                         "required")
+    if not np.isscalar(cell) or not 0.0 < float(cell) < 1.0:
+        raise ValueError(f"sharded_degrid: cell must be a pixel size in "
+                         f"radians (0 < cell < 1), got {cell!r}")
     uvw = np.asarray(uvw)
     freq = np.asarray(freq)
     image = jnp.asarray(image)
@@ -149,10 +152,10 @@ def sharded_degrid(mesh, uvw, freq, image, cell, epsilon=1e-4,
 
         rows_per = nrow // nshard
         shard_plans = [
-            # per-shard packed plans speak the virtual-sample array
-            # protocol (pack_shard_plans), not the fused-wstack one
+            # per-shard plans in the default (fused w-stack when
+            # multi-plane) format; pack_shard_plans stacks either format
             _tile_plan(uvw[s * rows_per : (s + 1) * rows_per], freq, plan,
-                       nx, ny, cell, cell, fused_wstack=False)
+                       nx, ny, cell, cell)
             for s in range(nshard)
         ]
         if all(p is not None for p in shard_plans):
@@ -202,7 +205,7 @@ def sharded_residual(mesh, uvw, freq, vis, image, cell, epsilon=1e-4,
     v = vis if isinstance(vis, Cplx) else Cplx(
         jnp.real(jnp.asarray(vis)), jnp.imag(jnp.asarray(vis))
     )
-    model = sharded_degrid(mesh, uvw, freq, image, cell, epsilon=epsilon,
+    model = sharded_degrid(mesh, uvw, freq, image, cell=cell, epsilon=epsilon,
                            do_wstacking=do_wstacking, use_tiles=use_tiles)
     resid = Cplx(v.re - model.re, v.im - model.im)
     return sharded_dirty(mesh, uvw, freq, resid, nx, ny, cell,

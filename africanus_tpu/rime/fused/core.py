@@ -216,6 +216,12 @@ class RimeFactory:
                 )
             source_block = min(int(source_block), int(nsrc))
         if source_block is None:
+            from africanus_tpu.ops.dfloat import compensated_sum
+
+            # the reference Kahan-sums the source axis unconditionally
+            # (fused/core.py:97-118); the one-grid path uses the
+            # parallel-friendly equivalent — a double-float pairwise
+            # tree — so blocked and non-blocked evaluation agree to ulps
             chain = self._sample_chain(state)
             outs = []
             for comp in chain.comps:
@@ -225,7 +231,8 @@ class RimeFactory:
                 im = jnp.broadcast_to(
                     comp.im, (comp.im.shape[0], nrow, nchan)
                 )
-                outs.append(Cplx(re.sum(axis=0), im.sum(axis=0)))
+                outs.append(Cplx(compensated_sum(re, axis=0),
+                                 compensated_sum(im, axis=0)))
             out_re = jnp.stack([o.re for o in outs], axis=-1)
             out_im = jnp.stack([o.im for o in outs], axis=-1)
             return Cplx(out_re, out_im)

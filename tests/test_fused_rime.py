@@ -343,3 +343,55 @@ def test_fused_rime_log_spectral_bases(obs, base):
                            ["XX", "XY", "YX", "YY"]))
     want = np.einsum("srf,sfc->rfc", K, B)
     assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+def test_fused_nonblocked_compensation_f32(rng, wsrt_ants):
+    """At 10k sources in f32, the non-blocked path's double-float
+    pairwise tree must agree with the blocked two_sum scan to f32 ulps,
+    and both must track the f64 truth far better than a plain f32 sum
+    could (the reference Kahan-sums unconditionally, fused/core.py:97-118)."""
+    import jax
+
+    nsrc, ntime, nchan = 10000, 2, 2
+    nant = 4
+    a1, a2 = np.triu_indices(nant, 1)
+    antenna1 = np.tile(a1, ntime)
+    antenna2 = np.tile(a2, ntime)
+    time = np.repeat(5.03e9 + np.arange(ntime) * 8.0, a1.size)
+    nrow = time.shape[0]
+    obs64 = dict(
+        time=time,
+        antenna1=antenna1,
+        antenna2=antenna2,
+        radec=rng.uniform(-0.01, 0.01, (nsrc, 2)) + np.array([0.2, -0.6]),
+        phase_dir=np.array([0.2, -0.6]),
+        uvw=rng.uniform(-1000, 1000, (nrow, 3)),
+        chan_freq=np.linspace(0.856e9, 1.712e9, nchan),
+        stokes=rng.uniform(0.5, 2.0, (nsrc, 4)),
+        antenna_position=wsrt_ants[:nant],
+    )
+    spec = "(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]"
+
+    def as32(d):
+        return {k: (np.asarray(v, np.float32)
+                    if np.asarray(v).dtype == np.float64 else v)
+                for k, v in d.items()}
+
+    obs32 = as32(obs64)
+    # f64 truth fed the same f32-rounded inputs (the repo's standard
+    # oracle protocol) isolates accumulation error from input rounding
+    obs64r = {k: (np.asarray(v, np.float64)
+                  if np.asarray(v).dtype == np.float32 else v)
+              for k, v in obs32.items()}
+    full32 = to_numpy(rime(spec, obs32))
+    blocked32 = to_numpy(rime(spec, obs32, source_block=512))
+    truth = to_numpy(rime(spec, obs64r))
+    scale = np.abs(truth).max()
+
+    # blocked (two_sum scan) and non-blocked (double-float pairwise
+    # tree) f32 paths agree to f32 ulps of the result — accumulation
+    # order no longer changes the answer
+    assert np.abs(full32 - blocked32).max() < 4e-7 * scale
+    # both sit at the per-sample f32 phase-rounding floor of the f64
+    # truth; the accumulation itself contributes nothing above it
+    assert np.abs(full32 - truth).max() < 1e-3 * scale

@@ -225,14 +225,16 @@ def test_wstack_fused_matches_virtual_samples(rng):
 
     w, beta = 6, 2.3 * 6
     nu = nv = 64
-    nplanes = 5
+    nplanes = 12
     n = 150
     upos = rng.uniform(0, nu, n)
     vpos = rng.uniform(0, nv, n)
     iu0 = np.floor(upos).astype(np.int64) - (w // 2 - 1)
     iv0 = np.floor(vpos).astype(np.int64) - (w // 2 - 1)
     uf, vf = upos - iu0, vpos - iv0
-    wpos = rng.uniform(0, nplanes - 1, n)
+    # windows stay inside the stack (the wgridder pads nplanes by
+    # support+2 for exactly this; plan_tiles_wstack rejects out-of-stack)
+    wpos = rng.uniform(w / 2, nplanes - w / 2 - 1, n)
     iw0 = np.floor(wpos).astype(np.int64) - (w // 2 - 1)
     offs = np.arange(w)
     z = (wpos[:, None] - (iw0[:, None] + offs)) / (w / 2.0)
@@ -263,3 +265,66 @@ def test_wstack_fused_matches_virtual_samples(rng):
     assert got.shape == ref.shape == (nplanes, nu, nv)
     assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
                     atol=1e-6)
+
+
+def test_wstack_fused_degrid_matches_oracle(rng):
+    """The fused multi-plane degridder (one entry per sample gathering
+    from all touched planes) equals the direct windowed sum over the
+    3D (plane, u, v) grid (interpret mode)."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.pallas_grid import (
+        degrid_tiles_wstack_pallas, extract_wstack_tiles,
+        plan_tiles_wstack,
+    )
+
+    w, beta = 6, 2.3 * 6
+    nu = nv = 64
+    nplanes = 12
+    n = 100
+    iu0, iv0, uf, vf = _problem(rng, n, nu, nv)
+    wpos = rng.uniform(w / 2, nplanes - w / 2 - 1, n)
+    iw0 = np.floor(wpos).astype(np.int64) - (w // 2 - 1)
+    offs = np.arange(w)
+    kw = es_np((wpos[:, None] - (iw0[:, None] + offs)) / (w / 2.0), beta)
+
+    plan = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                             p0=iw0, wscales=kw.T, nplanes=nplanes,
+                             group=64)
+    g = rng.normal(size=(nplanes, nu, nv)).astype(np.float32)
+    gi = rng.normal(size=(nplanes, nu, nv)).astype(np.float32)
+
+    tre, tim = extract_wstack_tiles(jnp.asarray(g), jnp.asarray(gi), plan)
+    o_re, o_im = degrid_tiles_wstack_pallas(plan, tre, tim, n,
+                                            interpret=True)
+
+    ku = es_np((uf[:, None] - offs) / (w / 2.0), beta)
+    kv = es_np((vf[:, None] - offs) / (w / 2.0), beta)
+    for i in range(0, n, 7):
+        acc_re = acc_im = 0.0
+        for t in range(w):
+            for a in range(w):
+                for b in range(w):
+                    tap = kw[i, t] * ku[i, a] * kv[i, b]
+                    acc_re += tap * g[iw0[i] + t, (iu0[i] + a) % nu,
+                                      (iv0[i] + b) % nv]
+                    acc_im += tap * gi[iw0[i] + t, (iu0[i] + a) % nu,
+                                       (iv0[i] + b) % nv]
+        assert_allclose(np.asarray(o_re)[i], acc_re, rtol=2e-4, atol=3e-5)
+        assert_allclose(np.asarray(o_im)[i], acc_im, rtol=2e-4, atol=3e-5)
+
+
+def test_wstack_plan_rejects_out_of_stack():
+    """plan_tiles_wstack refuses windows leaving the w-stack (the kernels
+    index planes directly; clipping would double-deposit on edges)."""
+    from africanus_tpu.ops.pallas_grid import plan_tiles_wstack
+
+    n, w = 10, 6
+    iu0 = iv0 = np.zeros(n, np.int64)
+    uf = vf = np.full(n, 2.0)
+    wsc = np.ones((w, n), np.float32)
+    with pytest.raises(ValueError, match="out of stack"):
+        plan_tiles_wstack(iu0, iv0, uf, vf, w, BETA, 64, 64,
+                          p0=np.full(n, -1), wscales=wsc, nplanes=12)
+    with pytest.raises(ValueError, match="out of stack"):
+        plan_tiles_wstack(iu0, iv0, uf, vf, w, BETA, 64, 64,
+                          p0=np.full(n, 7), wscales=wsc, nplanes=12)
