@@ -143,6 +143,28 @@ class _Binner:
         return out
 
 
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 8
+
+
+def _plan_key(arrays, params):
+    """Content hash of the mapping inputs (metadata is a few MB even at
+    100k rows; hashing is ~ms vs the ~100 ms plan build)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for a in arrays:
+        if a is None:
+            h.update(b"\x00none")
+        else:
+            a = np.ascontiguousarray(a)
+            h.update(str(a.dtype).encode())
+            h.update(str(a.shape).encode())
+            h.update(a.view(np.uint8).data)
+    h.update(repr(params).encode())
+    return h.digest()
+
+
 def bda_mapper(
     time,
     interval,
@@ -163,7 +185,47 @@ def bda_mapper(
     Returns RowMapOutput with ``map`` (row, chan) → flat output index,
     ``offsets`` run starts per output row, per-output decorrelated channel
     width, broadcast time/interval/chan_width columns and flag_row.
+
+    Plans are cached by input content (8-entry LRU): selfcal loops call
+    the mapper every solver iteration with identical metadata, and the
+    plan build is pure host work. Treat the returned arrays as
+    read-only.
     """
+    key = _plan_key(
+        (time, interval, ant1, ant2, uvw, chan_width, chan_freq, flag_row),
+        (max_uvw_dist, max_fov, decorrelation, time_bin_secs, min_nchan),
+    )
+    hit = _PLAN_CACHE.pop(key, None)
+    if hit is not None:
+        _PLAN_CACHE[key] = hit  # refresh LRU position
+        return hit
+    out = _bda_mapper_impl(
+        time, interval, ant1, ant2, uvw, chan_width, chan_freq,
+        max_uvw_dist, flag_row=flag_row, max_fov=max_fov,
+        decorrelation=decorrelation, time_bin_secs=time_bin_secs,
+        min_nchan=min_nchan,
+    )
+    _PLAN_CACHE[key] = out
+    while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    return out
+
+
+def _bda_mapper_impl(
+    time,
+    interval,
+    ant1,
+    ant2,
+    uvw,
+    chan_width,
+    chan_freq,
+    max_uvw_dist,
+    flag_row=None,
+    max_fov=3.0,
+    decorrelation=0.98,
+    time_bin_secs=None,
+    min_nchan=1,
+):
     time = np.asarray(time)
     interval = np.asarray(interval)
     uvw = np.asarray(uvw)
@@ -206,11 +268,17 @@ def bda_mapper(
     time_lookup = np.full((nbl, ntime), sentinel, time.dtype)
     interval_lookup = np.full((nbl, ntime), sentinel, interval.dtype)
     bin_flagged = np.zeros((nbl, ntime), bool)
-    bin_chan_map = np.empty((nbl, ntime, nchan), np.int32)
+    # per-bin output channel count (pre min_nchan clamp); the (bl, tbin,
+    # chan) channel maps derive from it on demand — materialising the
+    # full (nbl, ntime, nchan) cube cost ~GBs of traffic at synthesis
+    # row counts
+    bin_nchan_arr = np.zeros((nbl, ntime), np.int64)
 
-    if len(set(zip(bl_inv.tolist(), time_inv.tolist()))) != nrow:
-        raise ValueError("Duplicate (TIME, ANTENNA1, ANTENNA2)")
     row_lookup[bl_inv, time_inv] = np.arange(nrow)
+    # colliding (baseline, time) pairs overwrite the same cell, leaving
+    # fewer filled cells than rows — O(nrow) vs the set-of-tuples check
+    if np.count_nonzero(row_lookup != -1) != nrow:
+        raise ValueError("Duplicate (TIME, ANTENNA1, ANTENNA2)")
 
     if time_bin_secs is None:
         time_bin_secs = np.finfo(time.dtype).max
@@ -229,9 +297,8 @@ def bda_mapper(
         interval_lookup[bl, tbin] = bint
         bin_flagged[bl, tbin] = bflag
         use_nchan = max(fnchan, min_nchan)
-        bin_nchan = max(nchan // use_nchan, 1)
         bin_chan_width[bl, tbin] = bandwidth / fnchan
-        bin_chan_map[bl, tbin, :] = np.arange(nchan) // bin_nchan
+        bin_nchan_arr[bl, tbin] = fnchan
         out_rows += 1
         out_row_chans += use_nchan
 
@@ -248,7 +315,6 @@ def bda_mapper(
         tl64 = np.full((nbl, ntime), sentinel, np.float64)
         il64 = np.full((nbl, ntime), sentinel, np.float64)
         bin_flagged8 = np.zeros((nbl, ntime), np.uint8)
-        bin_nchan = np.zeros((nbl, ntime), np.int64)
         bcw64 = np.zeros((nbl, ntime), np.float64)
 
         out_rows, out_row_chans = native.bda_binner_core(
@@ -263,18 +329,12 @@ def bda_mapper(
             float(binner.max_lm), float(binner.n_max), float(dphi),
             float(time_bin_secs), float(chan_freq.max()),
             float(bandwidth), int(min_nchan), float(sentinel),
-            bin_lookup, tl64, il64, bin_flagged8, bin_nchan, bcw64,
+            bin_lookup, tl64, il64, bin_flagged8, bin_nchan_arr, bcw64,
         )
         time_lookup[:] = tl64.astype(time_lookup.dtype)
         interval_lookup[:] = il64.astype(interval_lookup.dtype)
         bin_flagged[:] = bin_flagged8.astype(bool)
         bin_chan_width[:] = bcw64.astype(bin_chan_width.dtype)
-        # derive the channel maps from the per-bin output channel counts
-        use_nchan = np.maximum(bin_nchan, min_nchan)
-        per_bin = np.maximum(nchan // np.maximum(use_nchan, 1), 1)
-        bin_chan_map[:] = (
-            np.arange(nchan)[None, None, :] // per_bin[:, :, None]
-        ).astype(np.int32)
     else:
         for bl in range(nbl):
             binner.reset()
@@ -308,17 +368,24 @@ def bda_mapper(
     inv_argsort = np.empty_like(argsort)
     inv_argsort[argsort] = np.arange(argsort.size)
 
-    fbin_chan_map = bin_chan_map.reshape(-1, nchan)
+    # input channels per output channel, per (bl, tbin) — the (nchan,)
+    # channel map of bin b is arange(nchan) // per_bin[b]
+    use_nchan = np.maximum(bin_nchan_arr, min_nchan)
+    per_bin = np.maximum(nchan // np.maximum(use_nchan, 1), 1)
+    per_bin_flat = per_bin.reshape(-1)
+
     offsets = np.zeros(out_rows + 1, np.uint32)
     decorr_chan_width = np.empty(out_rows, chan_width.dtype)
-    for r in range(1, out_rows + 1):
-        prev_bin_chans = fbin_chan_map[argsort[r - 1]].max() + 1
-        offsets[r] = offsets[r - 1] + prev_bin_chans
+    # per-bin output channel counts, cumulated (vectorised: the python
+    # per-row .max() loop dominated plan time at ~100k output rows)
+    bin_chans = (nchan - 1) // per_bin_flat[argsort[:out_rows]] + 1
+    offsets[1:] = np.cumsum(bin_chans)
 
-    row_chan_map = np.full((nrow, nchan), -1, np.int32)
-    time_ret = np.full(out_row_chans, -1, time.dtype)
-    int_ret = np.full(out_row_chans, -1, interval.dtype)
-    chan_width_ret = np.zeros(out_row_chans, chan_width.dtype)
+    # every output channel slot has >= 1 contributing input row, so these
+    # are fully overwritten below — no fill pass needed (memory traffic
+    # dominates planning at synthesis row counts)
+    time_ret = np.empty(out_row_chans, time.dtype)
+    int_ret = np.empty(out_row_chans, interval.dtype)
     out_flag_row = (
         None if flag_row is None else np.empty(out_row_chans, flag_row.dtype)
     )
@@ -338,19 +405,22 @@ def bda_mapper(
         )
 
     row_chan_map = (
-        offsets[row_out][:, None].astype(np.int64)
-        + bin_chan_map[bl_inv, row_tbin]
-    ).astype(np.int32)
+        offsets[row_out][:, None].astype(np.int32)
+        + np.arange(nchan, dtype=np.int32)[None, :]
+        // per_bin[bl_inv, row_tbin].astype(np.int32)[:, None]
+    )
     if (row_chan_map >= out_row_chans).any():
         raise RowMapperError("out_offset >= out_row_chans")
 
-    flat = row_chan_map.ravel()
-    time_ret[flat] = np.repeat(time_lookup[bl_inv, row_tbin], nchan)
-    int_ret[flat] = np.repeat(interval_lookup[bl_inv, row_tbin], nchan)
-    np.add.at(chan_width_ret, flat, np.tile(chan_width, nrow))
+    time_ret[row_chan_map] = time_lookup[bl_inv, row_tbin][:, None]
+    int_ret[row_chan_map] = interval_lookup[bl_inv, row_tbin][:, None]
+    chan_width_ret = np.bincount(
+        row_chan_map.ravel(), weights=np.tile(chan_width, nrow),
+        minlength=out_row_chans,
+    ).astype(chan_width.dtype)
     if flag_row is not None:
-        out_flag_row[flat] = np.repeat(
-            row_flagged.astype(out_flag_row.dtype), nchan
+        out_flag_row[row_chan_map] = (
+            row_flagged.astype(out_flag_row.dtype)[:, None]
         )
 
     return RowMapOutput(

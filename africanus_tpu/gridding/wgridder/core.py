@@ -136,15 +136,18 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
         if fused_wstack:
             # one entry per sample: the kernel spreads each window into
             # all `support` touched planes — measured 2.6x the
-            # virtual-sample kernel and ~17x faster planning. The output
-            # block holds EVERY plane of one tile in VMEM: shrink the
-            # tile until (nplanes, tpad_r, tpad_c) x re/im x double-
-            # buffering fits the ~16 MB budget, else fall back to the
-            # per-plane virtual-sample plan.
+            # virtual-sample kernel and ~17x faster planning. Tile
+            # columns target ONE 128-lane block (tile_c ≤ 128−2W): every
+            # per-entry block op runs over tpad_c lanes while only ~W
+            # carry taps, and halving the lanes measured 3.3x on the
+            # degridder (lane-throughput bound; the gridder's RMW chains
+            # measured no slower narrow). The output block holds EVERY
+            # plane of one tile in VMEM: shrink the tile until the
+            # budget fits, else fall back to the virtual-sample plan.
             blk = -(-(support + 7) // 8) * 8
-            for target in (256, 128, 64):
-                tr = pg.choose_tile(nu, target)
-                tc = pg.choose_tile(nv, target)
+            tc = pg.choose_tile(nv, 128 - 2 * support)
+            for target_r in (256, 128, 64):
+                tr = pg.choose_tile(nu, target_r)
                 if support > min(tr, tc):
                     continue
                 tpad_r = max(
@@ -156,8 +159,7 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
                 # are not double-buffered, but the degridder reads the
                 # same plan and its tile blocks are INPUTS — the pipeline
                 # double-buffers those, so the binding budget is 4 copies
-                # (re+im × 2). Tile 128 measured no slower than 256 for
-                # the gridder, so one plan serves both sides.
+                # (re+im × 2).
                 vmem = nplanes * tpad_r * tpad_c * 4 * 4
                 if vmem <= 13 * 2**20:
                     return pg.plan_tiles_wstack(

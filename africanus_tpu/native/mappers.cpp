@@ -12,11 +12,39 @@
 #include <cmath>
 #include <cstdint>
 #include <algorithm>
+#include <thread>
 #include <vector>
 
 namespace {
 
 constexpr double kLightspeed = 2.99792458e8;
+
+// Run fn(bl_begin, bl_end) over contiguous baseline ranges on worker
+// threads. Baselines are fully independent in every mapper below (each
+// writes only its own (bl, :) rows), so this is a plain static split;
+// small problems stay single-threaded to dodge spawn overhead.
+template <typename Fn>
+void parallel_over_baselines(int64_t nbl, int64_t ntime, Fn&& fn) {
+  const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+  const int64_t min_work = 1 << 15;  // ~32k cells per thread minimum
+  int64_t nthreads = std::min<int64_t>(hw, std::max<int64_t>(
+      1, (nbl * ntime) / min_work));
+  nthreads = std::min<int64_t>(nthreads, nbl);
+  if (nthreads <= 1) {
+    fn(0, nbl);
+    return;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(nthreads);
+  const int64_t chunk = (nbl + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    const int64_t b0 = t * chunk;
+    const int64_t b1 = std::min(nbl, b0 + chunk);
+    if (b0 >= b1) break;
+    workers.emplace_back([&fn, b0, b1] { fn(b0, b1); });
+  }
+  for (auto& w : workers) w.join();
+}
 
 }  // namespace
 
@@ -42,50 +70,55 @@ int64_t tc_row_mapper_core(
     double* time_lookup,
     double* interval_lookup,
     uint8_t* bin_flagged) {
-  int64_t out_rows = 0;
+  std::vector<int64_t> rows_per_bl(static_cast<size_t>(nbl), 0);
 
-  for (int64_t bl = 0; bl < nbl; ++bl) {
-    int64_t tbin = 0;
-    int64_t bin_count = 0;
-    int64_t bin_flag_count = 0;
-    double bin_low = 0.0;
-    const int64_t base = bl * ntime;
+  parallel_over_baselines(nbl, ntime, [&](int64_t bl0, int64_t bl1) {
+    for (int64_t bl = bl0; bl < bl1; ++bl) {
+      int64_t tbin = 0;
+      int64_t bin_count = 0;
+      int64_t bin_flag_count = 0;
+      double bin_low = 0.0;
+      const int64_t base = bl * ntime;
 
-    for (int64_t t = 0; t < ntime; ++t) {
-      const int32_t r = row_lookup[base + t];
-      if (r == -1) continue;
+      for (int64_t t = 0; t < ntime; ++t) {
+        const int32_t r = row_lookup[base + t];
+        if (r == -1) continue;
 
-      const double half_int = interval[r] * 0.5;
-      if (bin_count == 0) {
-        bin_low = time[r] - half_int;
-      } else if (time[r] + half_int - bin_low > time_bin_secs) {
+        const double half_int = interval[r] * 0.5;
+        if (bin_count == 0) {
+          bin_low = time[r] - half_int;
+        } else if (time[r] + half_int - bin_low > time_bin_secs) {
+          time_lookup[base + tbin] /= static_cast<double>(bin_count);
+          bin_flagged[base + tbin] = (bin_count == bin_flag_count) ? 1 : 0;
+          ++tbin;
+          bin_count = 0;
+          bin_low = time[r] - half_int;
+          bin_flag_count = 0;
+        }
+
+        bin_lookup[base + t] = static_cast<int32_t>(tbin);
+        time_lookup[base + tbin] += time[r];
+        interval_lookup[base + tbin] += interval[r];
+        ++bin_count;
+        if (flag_row != nullptr && flag_row[r] != 0) ++bin_flag_count;
+      }
+
+      if (bin_count > 0) {
         time_lookup[base + tbin] /= static_cast<double>(bin_count);
         bin_flagged[base + tbin] = (bin_count == bin_flag_count) ? 1 : 0;
         ++tbin;
-        bin_count = 0;
-        bin_low = time[r] - half_int;
-        bin_flag_count = 0;
       }
 
-      bin_lookup[base + t] = static_cast<int32_t>(tbin);
-      time_lookup[base + tbin] += time[r];
-      interval_lookup[base + tbin] += interval[r];
-      ++bin_count;
-      if (flag_row != nullptr && flag_row[r] != 0) ++bin_flag_count;
+      rows_per_bl[bl] = tbin;
+      for (int64_t b = tbin; b < ntime; ++b) {
+        time_lookup[base + b] = sentinel;
+        bin_flagged[base + b] = 0;
+      }
     }
+  });
 
-    if (bin_count > 0) {
-      time_lookup[base + tbin] /= static_cast<double>(bin_count);
-      bin_flagged[base + tbin] = (bin_count == bin_flag_count) ? 1 : 0;
-      ++tbin;
-    }
-
-    out_rows += tbin;
-    for (int64_t b = tbin; b < ntime; ++b) {
-      time_lookup[base + b] = sentinel;
-      bin_flagged[base + b] = 0;
-    }
-  }
+  int64_t out_rows = 0;
+  for (int64_t bl = 0; bl < nbl; ++bl) out_rows += rows_per_bl[bl];
   return out_rows;
 }
 
@@ -120,14 +153,17 @@ void bda_binner_core(
     int64_t* bin_nchan_out,
     double* bin_chan_width,
     int64_t* out_counts) {
-  int64_t out_rows = 0;
-  int64_t out_row_chans = 0;
   const double sinc_dphi = (dphi == 0.0) ? 1.0 : std::sin(M_PI * dphi) / (M_PI * dphi);
+  std::vector<int64_t> rows_per_bl(static_cast<size_t>(nbl), 0);
+  std::vector<int64_t> row_chans_per_bl(static_cast<size_t>(nbl), 0);
 
-  for (int64_t bl = 0; bl < nbl; ++bl) {
+  parallel_over_baselines(nbl, ntime, [&](int64_t bl0, int64_t bl1) {
+  for (int64_t bl = bl0; bl < bl1; ++bl) {
     const int64_t base = bl * ntime;
     const bool is_auto = auto_corr[bl] != 0;
 
+    int64_t out_rows = 0;
+    int64_t out_row_chans = 0;
     int64_t tbin = 0;
     int64_t bin_count = 0;
     int64_t bin_flag_count = 0;
@@ -234,10 +270,17 @@ void bda_binner_core(
       time_lookup[base + b] = sentinel;
       bin_flagged[base + b] = 0;
     }
+    rows_per_bl[bl] = out_rows;
+    row_chans_per_bl[bl] = out_row_chans;
   }
+  });
 
-  out_counts[0] = out_rows;
-  out_counts[1] = out_row_chans;
+  out_counts[0] = 0;
+  out_counts[1] = 0;
+  for (int64_t bl = 0; bl < nbl; ++bl) {
+    out_counts[0] += rows_per_bl[bl];
+    out_counts[1] += row_chans_per_bl[bl];
+  }
 }
 
 // Tile-plan entry packing (ops/pallas_grid.py plan_tiles /
