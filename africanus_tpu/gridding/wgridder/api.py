@@ -4,8 +4,10 @@ Reference-parity wrappers (``africanus/gridding/wgridder/vis2im.py:78``,
 ``im2vis.py:65``, ``im2residim.py:87``, ``hessian.py:85``) around the
 TPU-native gridder core: per-imaging-band loops over
 ``freq_bin_idx``/``freq_bin_counts``, with the ducc0 nthreads knob accepted
-(and ignored — parallelism is XLA's). ``double_accum`` maps to float64
-accumulation where the backend supports it.
+(and ignored — parallelism is XLA's). ``double_accum`` forces float64
+accumulation (ducc0's double_precision_accumulation); it needs an
+x64-capable backend and raises on this float64-less TPU rather than
+silently accumulating in float32.
 """
 
 from __future__ import annotations
@@ -59,7 +61,7 @@ def dirty(
         out.append(
             grid_adjoint(
                 uvw, freq[band], vis[:, band], wgt, nx, ny, cell, celly,
-                epsilon, do_wstacking, mask=msk,
+                epsilon, do_wstacking, mask=msk, double_accum=double_accum,
             )
         )
     return jnp.stack(out, axis=0)
@@ -134,7 +136,8 @@ def residual(
         out.append(
             grid_adjoint(uvw, freq[band], rvis, wgt,
                          image.shape[1], image.shape[2], cell, celly,
-                         epsilon, do_wstacking, mask=msk, plan=plan)
+                         epsilon, do_wstacking, mask=msk, plan=plan,
+                         double_accum=double_accum)
         )
     return jnp.stack(out, axis=0)
 
@@ -172,6 +175,7 @@ def hessian(
         out.append(
             grid_adjoint(uvw, freq[band], mvis, wgt,
                          image.shape[1], image.shape[2], cell, celly,
-                         epsilon, do_wstacking, mask=msk, plan=plan)
+                         epsilon, do_wstacking, mask=msk, plan=plan,
+                         double_accum=double_accum)
         )
     return jnp.stack(out, axis=0)

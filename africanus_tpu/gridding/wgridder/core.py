@@ -285,7 +285,7 @@ def make_plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking=True,
 
 def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
                  do_wstacking=True, mask=None, plan=None, use_tiles=None,
-                 tile_arrays=None):
+                 tile_arrays=None, double_accum=False):
     """ms2dirty equivalent: visibilities → dirty image (nx, ny).
 
     ``plan`` may be precomputed with :func:`make_plan` from *concrete*
@@ -298,7 +298,24 @@ def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
     pallas interpret mode — for tests). ``tile_arrays`` optionally
     substitutes traced packed entry arrays for the tile plan's — the
     per-shard plan mechanism (see ops.pallas_grid.pack_shard_plans).
+
+    ``double_accum`` accumulates the grid (and everything downstream)
+    in float64 regardless of the visibility dtype — the ducc0 contract
+    behind the reference's ``double_precision_accumulation``
+    (vis2im.py:78). It requires a backend with float64 (the f32-only
+    Pallas tile path is bypassed); on float64-less backends (this TPU)
+    it raises rather than silently returning f32-accumulated results.
     """
+    if double_accum:
+        if jax.config.jax_enable_x64 is False or (
+            jax.default_backend() == "tpu"
+        ):
+            raise ValueError(
+                "double_accum=True needs float64 (enable jax x64 on a "
+                "CPU/GPU backend); this backend would silently "
+                "accumulate in float32"
+            )
+        use_tiles = False  # the Pallas tile path is float32-only
     if use_tiles is None:
         use_tiles = _use_tiles_default()
     if plan is None:
@@ -319,6 +336,9 @@ def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
     v = cplx(vis)
     vre = v.re.reshape(-1)
     vim = v.im.reshape(-1)
+    if double_accum:
+        vre = vre.astype(jnp.float64)
+        vim = vim.astype(jnp.float64)
     if wgt is not None:
         wgt_f = jnp.asarray(wgt).reshape(-1)
         vre = vre * wgt_f

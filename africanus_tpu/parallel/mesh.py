@@ -35,7 +35,7 @@ __all__ = [
 
 
 def make_mesh(mesh_shape=None, axis_names=("row", "chan"), devices=None,
-              strict=False):
+              strict=True):
     """Build a Mesh over the available devices.
 
     Parameters
@@ -43,10 +43,12 @@ def make_mesh(mesh_shape=None, axis_names=("row", "chan"), devices=None,
     mesh_shape : optional tuple — defaults to all devices on the first axis.
     axis_names : mesh axis names (default ("row", "chan")).
     devices : optional explicit device list.
-    strict : if True, raise when ``mesh_shape`` needs more devices than are
-        available. The default degrades gracefully: the mesh shrinks to the
-        largest shape that fits (trailing axes collapse to 1 first), down to
-        a single-device mesh, with a warning.
+    strict : if True (the default), raise when ``mesh_shape`` needs more
+        devices than are available — sharded pipelines should not
+        silently run under-parallelised. ``strict=False`` (for smoke
+        tests / dryruns) degrades to the largest factorisation that
+        fits, preserving the requested per-axis proportions as closely
+        as possible, with a warning.
     """
     devices = list(jax.devices()) if devices is None else list(devices)
     if mesh_shape is None:
@@ -58,23 +60,49 @@ def make_mesh(mesh_shape=None, axis_names=("row", "chan"), devices=None,
             raise ValueError(
                 f"mesh {mesh_shape} needs {n} devices, have {len(devices)}"
             )
-        requested = mesh_shape
-        shape = list(mesh_shape)
-        # collapse trailing axes to 1, then shrink the leading axis
-        for i in range(len(shape) - 1, 0, -1):
-            if int(np.prod(shape)) <= len(devices):
-                break
-            shape[i] = 1
-        shape[0] = min(shape[0], max(1, len(devices) // int(np.prod(shape[1:]))))
-        mesh_shape = tuple(shape)
+        mesh_shape = _best_fitting_shape(mesh_shape, len(devices))
         n = int(np.prod(mesh_shape))
         warnings.warn(
-            f"mesh {requested} needs more devices than the {len(devices)} "
+            f"requested mesh needs more devices than the {len(devices)} "
             f"available; degraded to {mesh_shape}",
             stacklevel=2,
         )
     dev_array = np.array(devices[:n]).reshape(mesh_shape)
     return Mesh(dev_array, axis_names)
+
+
+def _best_fitting_shape(requested, ndev):
+    """Largest-product mesh shape fitting ``ndev`` devices, closest in
+    log-space to the requested per-axis proportions (e.g. (2, 4) on 4
+    devices becomes (2, 2), not (2, 1))."""
+    naxes = len(requested)
+
+    best = None
+
+    def rec(axis, shape, remaining):
+        nonlocal best
+        if axis == naxes:
+            cand = tuple(shape)
+            size = int(np.prod(cand))
+            skew = sum(
+                (np.log(c) - np.log(r)) ** 2
+                for c, r in zip(cand, requested)
+            )
+            # ties in size/skew prefer larger leading axes (row-major)
+            key = (size, -skew, cand)
+            if best is None or key > best[0]:
+                best = (key, cand)
+            return
+        d = 1
+        while d <= remaining and d <= requested[axis]:
+            shape.append(d)
+            rec(axis + 1, shape, remaining // d)
+            shape.pop()
+            d += 1
+        return
+
+    rec(0, [], ndev)
+    return best[1]
 
 
 def row_sharding(mesh, ndim, row_axis=0, chan_axis=None):

@@ -216,3 +216,27 @@ def test_sharded_residual_matches_local(rng, use_tiles):
                      True, use_tiles=use_tiles)
     )
     assert_allclose(got, want, rtol=1e-4, atol=1e-5 * np.abs(want).max())
+
+
+def test_make_mesh_strict_and_degrade():
+    """Library default raises on an oversubscribed mesh; explicit
+    strict=False degrades to the best-fitting factorisation rather than
+    collapsing trailing axes to 1 (round-2 advisor finding)."""
+    import warnings
+
+    import pytest
+
+    from africanus_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh((16, 2), ("row", "chan"))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m = make_mesh((4, 4), ("row", "chan"), strict=False)  # 8 devices
+    assert dict(m.shape) == {"row": 4, "chan": 2}
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m = make_mesh((2, 8), ("row", "chan"), strict=False)
+    assert dict(m.shape) == {"row": 2, "chan": 4}

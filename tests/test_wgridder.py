@@ -308,3 +308,54 @@ def test_degrid_f32_accuracy_bound(rng, grid_problem):
     got = np.asarray(out.re) + 1j * np.asarray(out.im)
     ref = explicit_degridder(uvw, freq, image, cell, cell, True)
     assert _l2error(got.astype(np.complex128), ref) <= epsilon
+
+
+def test_double_accum_changes_f32_error_floor(grid_problem):
+    """dirty(double_accum=True) must actually change the accumulation:
+    with f32 visibilities it lands measurably closer to the f64 truth
+    than the plain f32 accumulation (ducc0's
+    double_precision_accumulation contract, reference vis2im.py:78), and
+    on float64-less backends the flag raises instead of silently
+    accumulating in f32."""
+    from africanus_tpu.gridding.wgridder import dirty
+
+    nx, ny, cell, freq, uvw, vis, wgt = grid_problem
+    fbi = np.array([0])
+    fbc = np.array([freq.shape[0]])
+    v32 = vis.astype(np.complex64)
+
+    d32 = np.asarray(
+        dirty(uvw, freq, v32, fbi, fbc, nx, ny, cell,
+              weights=wgt.astype(np.float32), epsilon=1e-4,
+              do_wstacking=True, double_accum=False)
+    )[0]
+    d64 = np.asarray(
+        dirty(uvw, freq, v32, fbi, fbc, nx, ny, cell,
+              weights=wgt.astype(np.float32), epsilon=1e-4,
+              do_wstacking=True, double_accum=True)
+    )[0]
+    truth = np.asarray(
+        dirty(uvw, freq, vis.astype(np.complex128), fbi, fbc, nx, ny,
+              cell, weights=wgt, epsilon=1e-4, do_wstacking=True)
+    )[0]
+
+    # double accumulation of the same f32 inputs must beat the f32
+    # accumulation against the f64 truth (f32 input rounding remains)
+    e32 = _l2error(d32.astype(np.float64), truth)
+    e64 = _l2error(d64.astype(np.float64), truth)
+    assert e64 < e32
+
+    # float64-less path: the flag must raise, not silently degrade
+    from jax._src.config import enable_x64
+
+    from africanus_tpu.gridding.wgridder.core import grid_adjoint
+    from africanus_tpu.ops.cplx import Cplx
+
+    with enable_x64(False):
+        with pytest.raises(ValueError, match="double_accum"):
+            grid_adjoint(
+                uvw.astype(np.float32), freq.astype(np.float32),
+                Cplx(vis.real.astype(np.float32),
+                     vis.imag.astype(np.float32)),
+                None, nx, ny, cell, cell, 1e-4, double_accum=True,
+            )
