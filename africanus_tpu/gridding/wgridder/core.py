@@ -146,7 +146,10 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
             # budget fits, else fall back to the virtual-sample plan.
             blk = -(-(support + 7) // 8) * 8
             tc = pg.choose_tile(nv, 128 - 2 * support)
-            for target_r in (256, 128, 64):
+            # tile_r 128 measured best for the degridder (256-row tiles
+            # double-buffer 2x the VMEM and lost ~30%); the gridder is
+            # insensitive to tile_r
+            for target_r in (128, 256, 64):
                 tr = pg.choose_tile(nu, target_r)
                 if support > min(tr, tc):
                     continue

@@ -22,24 +22,35 @@ __all__ = ["BoundingConvexHull", "BoundingBox", "BoundingBoxFactory"]
 class BoundingConvexHull:
     """Convex hull of a set of points / hulls with a sparse pixel mask."""
 
+    @staticmethod
+    def _gather_vertices(hulls_or_points):
+        """Flatten a mixed list of hulls / (x, y) pairs into an (n, 2)
+        vertex array: hull-like items contribute their corner sets,
+        bare pairs contribute one row each."""
+        rows = []
+        for item in hulls_or_points:
+            corners = getattr(item, "corners", None)
+            if corners is None:
+                corners = np.asarray([item[0], item[1]], float)
+            rows.append(np.atleast_2d(corners))
+        return np.concatenate(rows, axis=0)
+
     def __init__(self, list_hulls, name="unnamed", mask=None,
                  check_mask_outofbounds=True):
         from scipy import spatial
 
+        verts = self._gather_vertices(list_hulls)
+        hull = spatial.ConvexHull(verts)
+
         self._name = name
-        self._check_mask_outofbounds = check_mask_outofbounds
         self._cached_filled_mask = None
-        self._vertices = np.vstack(
-            [
-                h.corners if hasattr(h, "corners") else [h[0], h[1]]
-                for h in list_hulls
-            ]
-        )
-        self._hull = spatial.ConvexHull(self._vertices)
-        if mask is None:
-            self._mask, self._mask_weights = self.init_mask()
+        self._check_mask_outofbounds = check_mask_outofbounds
+        self._vertices = verts
+        self._hull = hull
+        if mask is not None:
+            self.sparse_mask = mask  # validated (+ filtered) by the setter
         else:
-            self.sparse_mask = mask
+            self._mask, self._mask_weights = self.init_mask()
 
     # -- mask construction -------------------------------------------------
     def _extent(self):
