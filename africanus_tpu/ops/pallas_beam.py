@@ -76,18 +76,21 @@ def prepare_beam_slabs(beam_re, beam_im):
 
 def _beam_kernel(gc0_ref, gc1_ref, wlo_ref, mi_ref, ki_ref, vl_ref,
                  vm_ref, slab0_ref, slab1_ref, out_ref, *, lw, mh, ncorr,
-                 tile, mhc_p, normalize):
+                 tile, mhc_p, normalize, dot_precision="highest"):
     c = pl.program_id(0)
     k3 = 3 * ncorr
+    prec = (lax.Precision.HIGHEST if dot_precision == "highest"
+            else lax.Precision.HIGH)
 
     def dot3(a, b):
-        """Exact-f32 matmul (HIGHEST = 6 bf16 passes). A hand-rolled
-        bf16x2 split (4 passes) was tried and caps at ~2^-17 relative
-        (bf16 pairs carry 16 mantissa bits) — outside the 1e-5 parity
-        budget; DEFAULT (1 pass) is ~4e-3."""
+        """Near-f32 matmul. HIGHEST = 6 bf16 passes (exact f32);
+        HIGH = 3 passes (~2x the MXU rate, error measured ~1e-6 on the
+        two-hot gather — within the beam parity budget). A hand-rolled
+        bf16x2 split (4 passes) caps at ~2^-17 relative — outside the
+        1e-5 budget; DEFAULT (1 pass) is ~4e-3."""
         return lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
+            precision=prec,
             preferred_element_type=jnp.float32,
         )
 
@@ -147,7 +150,8 @@ def _beam_kernel(gc0_ref, gc1_ref, wlo_ref, mi_ref, ki_ref, vl_ref,
 
 
 def beam_interp_pallas(slabs, lw, mh, ncorr, vl, vm, gc0, gc1, wlo,
-                       tile=256, interpret=False, normalize=True):
+                       tile=256, interpret=False, normalize=True,
+                       dot_precision="highest"):
     """Interpolate freq-blended beam slabs at (chan, nsamp) coordinates.
 
     Parameters
@@ -179,7 +183,8 @@ def beam_interp_pallas(slabs, lw, mh, ncorr, vl, vm, gc0, gc1, wlo,
     mhc_p = slabs.shape[2]
 
     kernel = partial(_beam_kernel, lw=lw, mh=mh, ncorr=ncorr, tile=tile,
-                     mhc_p=mhc_p, normalize=normalize)
+                     mhc_p=mhc_p, normalize=normalize,
+                     dot_precision=dot_precision)
     nlanes = (2 if normalize else 3) * ncorr
 
     # (nchan, ntiles, 1, tile): trailing block dims (1, tile) satisfy

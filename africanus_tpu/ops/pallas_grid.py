@@ -1292,7 +1292,7 @@ def extract_wstack_tiles(grid_re, grid_im, plan):
 def _degrid_wstack_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, p0_ref,
                           wsc_ref, tre_ref, tim_ref, out_re_ref,
                           out_im_ref, *, group, support, beta, tpad_r,
-                          tpad_c, nplanes, blk):
+                          tpad_c, nplanes, blk, unroll=4):
     half = support / 2.0
 
     lanes_f = lax.broadcasted_iota(jnp.int32, (1, tpad_c), 1).astype(
@@ -1302,7 +1302,8 @@ def _degrid_wstack_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, p0_ref,
         jnp.float32
     )
 
-    unroll = 8 if group % 8 == 0 else 1
+    if group % unroll:
+        unroll = 1
 
     def body(j, _):
         for k in range(unroll):
@@ -1338,7 +1339,7 @@ def _degrid_wstack_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, p0_ref,
 
 
 def degrid_tiles_wstack_pallas(plan, tiles_re, tiles_im, nvis,
-                               interpret=False, arrays=None):
+                               interpret=False, arrays=None, unroll=4):
     """Gather model visibilities from fused w-stack grid tiles.
 
     Mirror of :func:`grid_tiles_wstack_pallas`: per entry (= one
@@ -1364,7 +1365,7 @@ def degrid_tiles_wstack_pallas(plan, tiles_re, tiles_im, nvis,
 
     kernel = partial(_degrid_wstack_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
-                     nplanes=nplanes, blk=plan["blk"])
+                     nplanes=nplanes, blk=plan["blk"], unroll=unroll)
 
     smem_vec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
                             memory_space=pltpu.SMEM)

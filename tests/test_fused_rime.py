@@ -395,3 +395,61 @@ def test_fused_nonblocked_compensation_f32(rng, wsrt_ants):
     # both sit at the per-sample f32 phase-rounding floor of the f64
     # truth; the accumulation itself contributes nothing above it
     assert np.abs(full32 - truth).max() < 1e-3 * scale
+
+
+@pytest.mark.parametrize("nsrc,blocks", [(335, 129), (335, 67), (35, 16)])
+def test_fused_rime_chunk_sweep(rng, wsrt_ants, nsrc, blocks):
+    """Combined chunk-invariance sweep at the reference's scale: uneven
+    source blocking x row+chan 2D sharding must reproduce the one-shot
+    grid exactly (ref experimental/rime/fused/tests/test_rime.py:37-61,
+    whose dask chunk dicts split source as (129, 67, 139) and row/chan
+    in twos)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from africanus_tpu.rime.fused import RimeFactory
+
+    ntime, nchan = 2, 4
+    nant = 6
+    a1, a2 = np.triu_indices(nant, 1)  # 15 rows/time
+    antenna1 = np.tile(np.concatenate([a1, [0]]), ntime)  # 16 rows/time
+    antenna2 = np.tile(np.concatenate([a2, [1]]), ntime)
+    time = np.repeat(5.03e9 + np.arange(ntime) * 8.0, a1.size + 1)
+    nrow = time.shape[0]
+    ds = dict(
+        time=time,
+        antenna1=antenna1,
+        antenna2=antenna2,
+        radec=rng.uniform(-0.01, 0.01, (nsrc, 2)) + np.array([0.2, -0.6]),
+        phase_dir=np.array([0.2, -0.6]),
+        uvw=rng.uniform(-1000, 1000, (nrow, 3)),
+        chan_freq=np.linspace(0.856e9, 1.712e9, nchan),
+        stokes=rng.uniform(0.5, 2.0, (nsrc, 4)),
+        spi=rng.normal(scale=0.2, size=(nsrc, 1, 4)),
+        ref_freq=np.full(nsrc, 1.2e9),
+        antenna_position=wsrt_ants[:nant],
+    )
+
+    fac = RimeFactory("(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]")
+    state = fac.build_state(**ds)
+    want = to_numpy(fac.evaluate(state))
+
+    # uneven source blocks via source_block (the scan pads the ragged
+    # tail, mirroring the reference's (129, 67, 139) chunking)
+    blocked = to_numpy(fac.evaluate(state, source_block=blocks))
+    assert_allclose(blocked, want, rtol=1e-10, atol=1e-11)
+
+    # 2D (row, chan) sharding on top of source blocking
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("row", "chan"))
+    rsh = NamedSharding(mesh, P("row"))
+    csh = NamedSharding(mesh, P("chan"))
+    sharded = dict(state)
+    for k in ("uvw", "time_inverse", "antenna1_inverse",
+              "antenna2_inverse"):
+        sharded[k] = jax.device_put(np.asarray(state[k]), rsh)
+    sharded["chan_freq"] = jax.device_put(
+        np.asarray(state["chan_freq"]), csh
+    )
+    got = to_numpy(fac.evaluate(sharded, source_block=blocks))
+    assert_allclose(got, want, rtol=1e-10, atol=1e-11)
