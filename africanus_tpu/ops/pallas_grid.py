@@ -1292,7 +1292,7 @@ def extract_wstack_tiles(grid_re, grid_im, plan):
 def _degrid_wstack_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, p0_ref,
                           wsc_ref, tre_ref, tim_ref, out_re_ref,
                           out_im_ref, *, group, support, beta, tpad_r,
-                          tpad_c, nplanes, blk, unroll=4):
+                          tpad_c, nplanes, blk, unroll=8):
     half = support / 2.0
 
     lanes_f = lax.broadcasted_iota(jnp.int32, (1, tpad_c), 1).astype(
@@ -1339,7 +1339,7 @@ def _degrid_wstack_kernel(gtile_ref, ir_ref, uf_ref, vfa_ref, p0_ref,
 
 
 def degrid_tiles_wstack_pallas(plan, tiles_re, tiles_im, nvis,
-                               interpret=False, arrays=None, unroll=4):
+                               interpret=False, arrays=None, unroll=8):
     """Gather model visibilities from fused w-stack grid tiles.
 
     Mirror of :func:`grid_tiles_wstack_pallas`: per entry (= one

@@ -46,7 +46,10 @@ def freq_grid_interp(frequency, beam_freq_map):
     fmap = jnp.asarray(beam_freq_map)
     n = fmap.shape[0]
 
-    i1 = jnp.clip(jnp.searchsorted(fmap, frequency, side="left"), 1, n - 1)
+    # side="right" matches the reference's interval choice on exact grid
+    # points (an on-grid frequency reports the interval ABOVE it with
+    # full lower weight — numerically identical, index-parity exact)
+    i1 = jnp.clip(jnp.searchsorted(fmap, frequency, side="right"), 1, n - 1)
     gc0 = i1 - 1
     f_low = fmap[gc0]
     f_high = fmap[gc0 + 1]

@@ -286,3 +286,68 @@ def test_beam_cube_dde_pallas_out_of_cube_freqs(rng, beam_setup):
         beam_cube_dde_ri(*args, use_pallas=True, interpret=True)
     )
     assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_freq_grid_interp_reference_vectors():
+    """The reference's exact corner-case vectors (ref
+    rime/tests/test_fast_beams.py:130-151): out-of-range frequencies
+    scale the lm coordinates and clamp to the edge slabs; on-grid
+    frequencies carry unit/zero lower weights."""
+    from numpy.testing import assert_array_almost_equal, assert_array_equal
+
+    from africanus_tpu.rime.fast_beam_cubes import freq_grid_interp
+
+    freqs = np.array([0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.1])
+    fmap = np.array([0.5, 0.56, 0.7, 0.91, 1.0])
+    fd = np.asarray(freq_grid_interp(freqs, fmap))
+
+    assert_array_almost_equal(
+        fd[:, 0], [0.8, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.1]
+    )
+    assert_array_equal(fd[:, 2].astype(np.int32),
+                       [0, 0, 1, 2, 2, 2, 3, 3])
+    assert_array_almost_equal(
+        fd[:, 1],
+        [1.0, 1.0, 0.71428571, 1.0, 0.52380952, 0.04761905, 0.0, 0.0],
+    )
+
+
+def test_beam_cube_dde_pen_and_paper(rng):
+    """2x2x2 single-corr cube, one source at (0.1, 0.1): the DDE equals
+    the hand-computed trilinear + amplitude-normalised sum, including
+    the reference's golden value (ref test_fast_beam_small,
+    rime/tests/test_fast_beams.py:43-127)."""
+    from africanus_tpu.rime.fast_beam_cubes import beam_cube_dde
+
+    np.random.seed(42)
+    beam = (np.random.random((2, 2, 2, 1))
+            + 1j * np.random.random((2, 2, 2, 1)))
+    freq = np.array([0.3])
+    fmap = np.array([0.0, 1.0])
+    extents = np.array([[-1.0, 1.0], [-1.0, 1.0]])
+    lm = np.array([[0.1, 0.1]])
+
+    ddes = np.asarray(
+        beam_cube_dde(
+            beam, extents, fmap, lm,
+            np.zeros((1, 1)), np.zeros((1, 1, 1, 2)),
+            np.ones((1, 1, 2)), freq,
+        )
+    )
+
+    ld = (lm[0, 0] - extents[0, 0]) / (extents[0, 1] - extents[0, 0])
+    md = (lm[0, 1] - extents[1, 0]) / (extents[1, 1] - extents[1, 0])
+    chd = freq[0]
+    acc = 0.0
+    aabs = 0.0
+    for (gl, wl) in ((0, 1 - ld), (1, ld)):
+        for (gm, wm) in ((0, 1 - md), (1, md)):
+            for (gc, wc) in ((0, 1 - chd), (1, chd)):
+                w = wl * wm * wc
+                acc = acc + w * beam[gl, gm, gc, 0]
+                aabs = aabs + w * np.abs(beam[gl, gm, gc, 0])
+    want = acc * (aabs / np.abs(acc))
+
+    assert_allclose(ddes.squeeze(), want, rtol=1e-6)
+    # the reference's golden number for this seed
+    assert_allclose(ddes.squeeze(), 0.470255 + 0.4786j, atol=1e-6)
