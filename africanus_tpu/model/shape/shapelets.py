@@ -111,6 +111,38 @@ def _shapelet_core(coords, frequency, coeffs, beta, delta_lm):
     return Cplx(out.re.transpose(1, 2, 0), out.im.transpose(1, 2, 0))
 
 
+def shapelet_1d(u, coeffs, fourier, delta_x=1, beta=1.0):
+    """One-dimensional shapelet evaluation (reference shapelets.py:155-191).
+
+    ``fourier=False`` evaluates the signal-space basis
+    Σₙ cₙ·(2ⁿ√π n! β)^{-1/2}·Hₙ(u/β)·e^{-u²/2β²}; ``fourier=True`` the
+    uv-space transform with the iⁿ phase and 1/Δx scaling. Vectorised
+    over ``u`` (the reference loops per row)."""
+    u = jnp.asarray(u)
+    coeffs = np.asarray(coeffs)
+    if fourier:
+        if delta_x is None:
+            raise ValueError("delta_x is required in Fourier mode")
+        re = jnp.zeros(u.shape)
+        im = jnp.zeros(u.shape)
+        for n, c in enumerate(coeffs):
+            b = c * _basis_1d(n, u, beta, delta_x)
+            tre, tim = _apply_i_power(b, jnp.zeros_like(b), n)
+            re = re + tre
+            im = im + tim
+        return lax.complex(re, im)
+    out = jnp.zeros(u.shape)
+    for n, c in enumerate(coeffs):
+        norm = 1.0 / np.sqrt(
+            2.0**n * np.sqrt(np.pi) * float(_math_factorial(n)) * beta
+        )
+        out = out + (
+            c * norm * hermite(n, u / beta)
+            * jnp.exp(-(u * u) / (2.0 * beta * beta))
+        )
+    return out
+
+
 def shapelet(coords, frequency, coeffs, beta, delta_lm, dtype=jnp.complex128):
     """Shapelet visibilities of shape (row, chan, src) (reference parity)."""
     out = _shapelet_core(coords, frequency, coeffs, beta, delta_lm)

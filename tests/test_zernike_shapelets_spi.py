@@ -249,3 +249,64 @@ def test_zernike_orthogonality():
                 )
             else:
                 assert abs(integral) < 2e-2, (js[a], js[b], integral)
+
+
+def test_shapelet_1d_fourier_duality():
+    """The uv-space 1D shapelet equals the FFT of the signal-space
+    shapelet on matched grids (reference test_1d_shapelet,
+    model/shape/tests/test_shapelets.py:16-37)."""
+    from africanus_tpu.model.shape import shapelet_1d
+
+    beta = 1.0
+    npix = 513
+    coeffs = np.ones(1)
+    l_min, l_max = -15.0 * beta, 15.0 * beta
+    delta_l = (l_max - l_min) / (npix - 1)
+    l_coords = l_min + np.arange(npix) * delta_l
+    img = np.asarray(shapelet_1d(l_coords, coeffs, False, beta=beta))
+
+    Fs, iFs = np.fft.fftshift, np.fft.ifftshift
+    u = Fs(np.fft.fftfreq(npix, d=delta_l))
+    fft_shape = Fs(np.fft.fft(iFs(img)))
+    uv = np.asarray(shapelet_1d(u, coeffs, True, delta_x=delta_l,
+                                beta=beta))
+    assert_allclose(uv, fft_shape, rtol=0, atol=1e-8 * np.abs(fft_shape).max())
+
+
+def test_shapelet_2d_separability():
+    """The 2D shapelet visibility grid separates into the product of 1D
+    fourier shapelets, and matches the FFT of the 2D image-space product
+    (reference test_fourier_space_shapelets, test_shapelets.py:89-157)."""
+    from africanus_tpu.constants import c as lightspeed
+    from africanus_tpu.model.shape import shapelet, shapelet_1d
+
+    beta_l = beta_m = 1.0
+    scale_fact = 10.0
+    l_min = -3 * np.sqrt(2) * beta_l * scale_fact
+    l_max = 3 * np.sqrt(2) * beta_l * scale_fact
+    npix = 257
+    delta_l = (l_max - l_min) / (npix - 1)
+    lvals = l_min + np.arange(npix) * delta_l
+
+    ls = np.asarray(shapelet_1d(lvals, np.ones(1), False, beta=beta_l))
+    img = np.outer(ls, ls)
+
+    Fs, iFs = np.fft.fftshift, np.fft.ifftshift
+    fft_shapelet = Fs(np.fft.fft2(iFs(img)))
+    fft_shapelet /= fft_shapelet.real.max()
+
+    freq_u = Fs(np.fft.fftfreq(npix, d=delta_l))
+    uu, vv = np.meshgrid(freq_u, freq_u)
+    uvw = np.zeros((npix * npix, 3))
+    uvw[:, 0] = uu.ravel()
+    uvw[:, 1] = vv.ravel()
+
+    frequency = np.array([lightspeed / (2 * np.pi)])
+    coeffs = np.ones((1, 1, 1))
+    beta = np.array([[beta_l, beta_m]])
+    uv_shape = np.array(
+        shapelet(uvw, frequency, coeffs, beta, (delta_l, delta_l))
+    ).reshape(npix, npix)
+    uv_shape = uv_shape / uv_shape.real.max()
+
+    assert_allclose(uv_shape, fft_shapelet, rtol=0, atol=1e-6)
