@@ -470,6 +470,18 @@ def config4_imaging():
     )
     rate = nvis / dt / 1e6
 
+    # the other half of every major cycle: fused multi-plane degrid on
+    # the same plan (round-3 addition; ref im2vis.py:65)
+    from africanus_tpu.gridding.wgridder.core import degrid_ri
+
+    image32 = np.random.default_rng(5).normal(size=(nx, ny)).astype(f32)
+    degrid_dt = measure(
+        lambda im: degrid_ri(uvw32, freq32, im, None, cell, cell, 1e-4,
+                             True, plan=plan).re,
+        jnp.asarray(image32), reps=3,
+    )
+    degrid_rate = nvis / degrid_dt / 1e6
+
     # accuracy: small-problem dirty vs the explicit w-aware DFT (the
     # reference's own oracle, gridding/wgridder/tests/test_wgridder.py)
     ns, nxs = 400, 32
@@ -551,6 +563,7 @@ def config4_imaging():
         vs_baseline=round(rate / cpu_rate, 2),
         roofline_frac=round(vpu_issue_frac, 4), bound="latency",
         max_rel_err=err,
+        degrid_mvis_s=round(degrid_rate, 2),
         bda_mvis_s=round(bda_rate, 1),
         plan_seconds=round(plan_dt, 2),
         shape=dict(nrow=nrow, nchan=nchan, nx=nx, ny=ny),
