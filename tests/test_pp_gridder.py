@@ -265,3 +265,71 @@ def test_baseline_transform_policies(rng, pp_problem):
     assert not np.allclose(tilted, uvw)
     assert_allclose(np.linalg.norm(tilted, axis=1),
                     np.linalg.norm(uvw, axis=1), rtol=1e-10)
+
+
+def test_wcorrection_faceting_backward(rng):
+    """Facet imaging of an off-centre source: gridding DFT visibilities
+    of a point ~600 px from the phase centre into a small facet CENTRED
+    on the source (phase rotation + baseline rotation policies) must
+    put the peak at the facet centre with near-unit amplitude
+    (reference test_wcorrection_faceting_backward,
+    perleypolyhedron/tests/test_ppgridder.py:655-799)."""
+    from africanus_tpu.coordinates import radec_to_lm
+    from africanus_tpu.dft import im_to_vis_ri
+
+    W, os = 5, 9
+    kern = kernels.kbsinc(W, oversample=os)
+    nrow_bl, ntime = 25, 40
+    nrow = nrow_bl * ntime
+    d0 = np.pi / 4.0
+    blpos = rng.uniform(26, 10000, size=(nrow_bl, 3))
+    h0s = np.linspace(np.deg2rad(-20), np.deg2rad(20), ntime)
+    s, c = np.sin, np.cos
+    uvw = np.zeros((nrow, 3))
+    for n in range(nrow_bl):
+        for ih, h0 in enumerate(h0s):
+            R = np.array([
+                [s(h0), c(h0), 0],
+                [-s(d0) * c(h0), s(d0) * s(h0), c(d0)],
+                [c(d0) * c(h0), -c(d0) * s(h0), s(d0)],
+            ])
+            uvw[n * ntime + ih] = R @ blpos[n]
+
+    freq = np.array([1.4e9])
+    wl = C / freq
+    pxacrossbeam = 5
+    cell_rad = wl[0] / (max(np.abs(uvw[:, 0]).max(),
+                            np.abs(uvw[:, 1]).max()) * pxacrossbeam)
+    cell = np.rad2deg(cell_rad) * 3600  # arcsec
+    npixfacet = 100
+
+    # source 600 cells off the phase centre; facet centred on it
+    offset = 600 * cell_rad
+    phase_centre = np.array([0.0, d0])
+    source_radec = phase_centre + np.array([offset, offset])
+    lm = np.asarray(radec_to_lm(source_radec[None, :], phase_centre))
+
+    image = np.ones((1, 1, 1))
+    vis1 = im_to_vis_ri(image, uvw, lm, freq)
+    vis = Cplx(np.repeat(np.asarray(vis1.re), 2, axis=-1).reshape(nrow, 1, 2),
+               np.repeat(np.asarray(vis1.im), 2, axis=-1).reshape(nrow, 1, 2))
+
+    chanmap = np.array([0], np.int32)
+    facet_grid = to_numpy(
+        gridder(uvw, vis, wl, chanmap, npixfacet, cell,
+                tuple(source_radec), tuple(phase_centre), kern, W, os,
+                "rotate", "phase_rotate", "I_FROM_XXYY",
+                "conv_1d_axisymmetric_packed_scatter",
+                do_normalize=True)
+    )
+    img = np.fft.fftshift(
+        np.fft.ifft2(np.fft.ifftshift(facet_grid[0]))
+    ).real * npixfacet**2
+
+    peak = np.unravel_index(np.argmax(img), img.shape)
+    # the source lands at the facet centre with unit amplitude — the
+    # facet phase rotation has taken out the w-term exactly (the
+    # reference asserts |max - 1| < 1e-6 on the same construction)
+    assert abs(peak[0] - npixfacet // 2) <= 1
+    assert abs(peak[1] - npixfacet // 2) <= 1
+    assert abs(img.max() - 1.0) < 1e-6
