@@ -368,6 +368,32 @@ def config3_beam():
 
     dt = _time_jit(lambda pa_t: chain(pa_t).re, pa.astype(f32))
     rate = nsamp / dt / 1e6
+
+    # secondary legs (round-3 verdict: "the bench should not only
+    # showcase the fast one"):
+    # (a) TIME-VARYING pointing errors stay chan-invariant -> fast path
+    pe_tvar = np.broadcast_to(
+        rng.normal(scale=1e-4, size=(ntime, nant, 1, 2)),
+        (ntime, nant, nchan, 2),
+    ).astype(f32)
+    def chain_tvar(pa_t):
+        return beam_cube_dde_ri(
+            beam_ri, argsf[0], argsf[1], argsf[2], pa_t,
+            jnp.asarray(pe_tvar), argsf[5], argsf[6], use_pallas=None,
+            chan_invariant=True,
+        ).re
+    tvar_dt = _time_jit(chain_tvar, pa.astype(f32), reps=5)
+    tvar_rate = nsamp / tvar_dt / 1e6
+    # (b) genuinely per-chan pointing errors forfeit it -> general path
+    pe_pc = rng.normal(scale=1e-4, size=(ntime, nant, nchan, 2)).astype(f32)
+    def chain_general(pa_t):
+        return beam_cube_dde_ri(
+            beam_ri, argsf[0], argsf[1], argsf[2], pa_t,
+            jnp.asarray(pe_pc), argsf[5], argsf[6], use_pallas=True,
+            chan_invariant=False,
+        ).re
+    gen_dt = _time_jit(chain_general, pa.astype(f32), reps=3)
+    gen_rate = nsamp / gen_dt / 1e6
     # Fast-path accounting. The MXU kernel touches only nud·(s·t·a)
     # samples; the per-(chan, sample) work is the XLA stages, which are
     # multi-PASS HBM traffic over ~(nsamp · lanes · 4 B) arrays:
@@ -389,6 +415,8 @@ def config3_beam():
         vs_baseline=round(rate / cpu_rate, 2),
         roofline_frac=frac, bound=bound,
         max_rel_err=err,
+        time_varying_pointing_msamples_s=round(tvar_rate, 1),
+        per_chan_pointing_msamples_s=round(gen_rate, 1),
         shape=dict(nsrc=nsrc, ntime=ntime, nant=nant, nchan=nchan,
                    cube=[lw, mh, nud, ncorr]),
     )

@@ -161,3 +161,108 @@ def test_vis_to_im_pallas_matches_einsum(rng):
                                   use_pallas=True, interpret=True))
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() < 3e-6 * scale
+
+
+def test_im_to_vis_phase_centre():
+    """A single source at the phase centre returns its flux with zero
+    imaginary part at every uv point (reference test_dft.py:12-41)."""
+    from africanus_tpu.dft import im_to_vis
+
+    rng = np.random.default_rng(1)
+    nrow, npix, nchan, ncorr = 100, 35, 11, 2
+    uvw = rng.uniform(size=(nrow, 3))
+    x = np.linspace(-0.1, 0.1, npix)
+    ll, mm = np.meshgrid(x, x)
+    lm = np.vstack((ll.ravel(), mm.ravel())).T
+    frequency = np.linspace(1.0, 2.0, nchan)
+    inu = 1.0 * (frequency / frequency[nchan // 2]) ** -0.7
+    image = np.zeros((npix, npix, nchan, ncorr))
+    image[npix // 2, npix // 2] = inu[:, None]
+    image = image.reshape(npix * npix, nchan, ncorr)
+
+    vis = np.asarray(im_to_vis(image, uvw, lm, frequency))
+    assert np.abs(vis.real - inu[None, :, None]).max() < 1e-12
+    assert np.abs(vis.imag).max() < 1e-12
+
+
+@pytest.mark.parametrize("convention", ["fourier", "casa"])
+def test_im_to_vis_fft_oracle(convention):
+    """DFT on a regular uv grid with w=0 equals the 2D FFT of the image,
+    conjugated under the casa convention (reference test_dft.py:87-133)."""
+    from africanus_tpu.constants import c as lightspeed
+    from africanus_tpu.dft import im_to_vis
+
+    rng = np.random.default_rng(123)
+    npix, nsource = 29, 25
+    image2d = np.zeros((npix, npix))
+    ix = rng.integers(5, npix - 5, nsource)
+    iy = rng.integers(5, npix - 5, nsource)
+    image2d[ix, iy] = rng.normal(size=nsource)
+    Fs, iFs = np.fft.fftshift, np.fft.ifftshift
+    fft_image = Fs(np.fft.fft2(iFs(image2d)))
+
+    deltal = 0.001
+    l_coord = np.arange(-(npix // 2), npix // 2 + 1) * deltal
+    ll, mm = np.meshgrid(l_coord, l_coord)
+    lm = np.vstack((ll.ravel(), mm.ravel())).T
+    u = Fs(np.fft.fftfreq(npix, d=deltal))
+    uu, vv = np.meshgrid(u, u)
+    uvw = np.zeros((npix * npix, 3))
+    uvw[:, 0] = uu.ravel()
+    uvw[:, 1] = vv.ravel()
+    frequency = np.array([lightspeed])
+
+    vis = np.asarray(
+        im_to_vis(image2d.reshape(npix * npix, 1, 1), uvw, lm, frequency,
+                  convention=convention)
+    ).reshape(npix, npix)
+    want = np.conj(fft_image) if convention == "casa" else fft_image
+    assert_allclose(vis, want, rtol=0, atol=1e-12)
+
+
+def test_vis_to_im_flagged():
+    """Flags zero contributions: with all rows flagged except a unit-vis
+    zero-uvw row, the image is exactly one everywhere (reference
+    test_dft.py:180-216; note the reference's flag convention is
+    INVERTED — flag==1 means use)."""
+    from africanus_tpu.constants import c as lightspeed
+    from africanus_tpu.dft import vis_to_im
+
+    rng = np.random.default_rng(123)
+    nsource, nrow, nchan, ncorr = 21, 31, 3, 4
+    uvw = 100 * rng.uniform(size=(nrow, 3))
+    uvw[0] = 0.0
+    lm = 0.01 * rng.standard_normal((nsource, 2))
+    vis = (rng.standard_normal((nrow, nchan, ncorr))
+           + 1j * rng.standard_normal((nrow, nchan, ncorr)))
+    vis[0] = 1.0
+    flags = np.ones((nrow, nchan, ncorr), bool)
+    flags[0] = 0
+    frequency = np.full(nchan, lightspeed)
+
+    img = np.asarray(vis_to_im(vis, uvw, lm, frequency, flags))
+    assert_allclose(img, np.ones((nsource, nchan, ncorr)), rtol=0,
+                    atol=1e-12)
+
+
+def test_symmetric_covariance():
+    """The image-plane normal matrix Rᴴ R sampled at source positions is
+    symmetric (reference test_dft.py:297-331)."""
+    from africanus_tpu.dft import im_to_vis, vis_to_im
+
+    rng = np.random.default_rng(123)
+    nsource, nrows = 25, 500
+    lm = rng.uniform(-0.05, 0.05, (nsource, 2))
+    uvw = rng.standard_normal((nrows, 3)) * 1000
+    uvw[:, 2] = 0.0
+    freq = np.array([1.0e9])
+    flags = np.zeros((nrows, 1, 1), bool)
+
+    psf = np.zeros((nsource, nsource))
+    point = np.ones((1, 1, 1))
+    for s in range(nsource):
+        Ki = np.asarray(im_to_vis(point, uvw, lm[s : s + 1], freq))
+        psf[:, s] = np.asarray(
+            vis_to_im(Ki, uvw, lm, freq, flags)
+        ).squeeze()
+    assert_allclose(psf, psf.T, rtol=0, atol=1e-9 * np.abs(psf).max())

@@ -2,7 +2,11 @@
 util/beams.py, testing/beam_factory.py, util/tests/test_beam_utils.py)."""
 
 import numpy as np
-from numpy.testing import assert_allclose
+from numpy.testing import (
+    assert_allclose,
+    assert_array_almost_equal,
+    assert_array_equal,
+)
 import pytest
 
 from africanus_tpu.utils.fits import read_fits, write_fits
@@ -95,3 +99,105 @@ def test_load_beam_cube_and_dde(tmp_path, rng):
     )
     assert ddes.shape == (1, 1, 1, 2, 2, 2)
     assert_allclose(ddes[0, 0, 0, :, 0, 0].real, 1.0, rtol=1e-6)
+
+
+@pytest.fixture
+def vla_beam_header():
+    """VLA-style beam cube header (reference test_beam_utils.py fixture
+    shape: 513^2 x 33 with an irregular GFREQ table)."""
+    hdr = {
+        "SIMPLE": "T",
+        "BITPIX": -64,
+        "NAXIS": 3,
+        "NAXIS1": 513,
+        "NAXIS2": 513,
+        "NAXIS3": 33,
+        "CTYPE1": "L       ",
+        "CUNIT1": "DEG     ",
+        "CDELT1": 0.011082,
+        "CRPIX1": 257,
+        "CRVAL1": 0.0110828777007,
+        "CTYPE2": "M       ",
+        "CUNIT2": "DEG     ",
+        "CDELT2": 0.011082,
+        "CRPIX2": 257,
+        "CRVAL2": -2.14349358381e-07,
+        "CTYPE3": "FREQ    ",
+        "CDELT3": 1008000.0,
+        "CRPIX3": 1,
+        "CRVAL3": 1400256000.0,
+        "CTYPE4": "STOKES  ",
+        "CDELT4": 1,
+        "CRPIX4": 1,
+        "CRVAL4": -5,
+    }
+    # irregular GFREQ table (last entry deliberately non-linear)
+    for i in range(33):
+        hdr[f"GFREQ{i + 1}"] = 1400256000.0 + i * 1008000.0 + (i % 5) * 997.0
+    hdr["GFREQ33"] = 1432456789.0
+    return hdr
+
+
+def test_fits_axes_reference_semantics(vla_beam_header):
+    """BeamAxes converts degree axes to radians and prefers the GFREQ
+    table over the regular grid; removing a GFREQ falls back to the
+    regular CRVAL/CDELT grid (reference test_fits_axes,
+    util/tests/test_beam_utils.py:81-121)."""
+    from africanus_tpu.utils.beams import BeamAxes
+
+    hdr = vla_beam_header
+    ax = BeamAxes(hdr)
+    assert ax.ctype[0] == "L"
+    assert ax.cunit[0] == "RAD"
+    assert ax.crval[0] == np.deg2rad(hdr["CRVAL1"])
+    assert ax.cdelt[0] == np.deg2rad(hdr["CDELT1"])
+    assert ax.ctype[1] == "M"
+    assert ax.cunit[1] == "RAD"
+
+    gfreqs = [hdr[f"GFREQ{i + 1}"] for i in range(hdr["NAXIS3"])]
+    assert_array_almost_equal(ax.grid[2], gfreqs)
+
+    hdr2 = dict(hdr)
+    del hdr2["GFREQ30"]
+    ax2 = BeamAxes(hdr2)
+    R = np.arange(ax2.naxis[2])
+    want = (R - ax2.crpix[2]) * ax2.cdelt[2] + ax2.crval[2]
+    assert_array_equal(ax2.grid[2], want)
+
+
+@pytest.mark.parametrize("m_axis", [None, "M", "-M", "Y", "-Y"])
+@pytest.mark.parametrize("l_axis", [None, "L", "-L", "X", "-X"])
+@pytest.mark.parametrize("header_m", ["M", "Y"])
+@pytest.mark.parametrize("header_l", ["L", "X"])
+def test_beam_grids_axis_variants(vla_beam_header, header_l, header_m,
+                                  l_axis, m_axis):
+    """beam_grids resolves L/M axes under every naming/sign variant the
+    reference supports (reference test_beam_grids,
+    util/tests/test_beam_utils.py:124-167)."""
+    from africanus_tpu.utils.beams import axis_and_sign, beam_grids
+
+    hdr = dict(vla_beam_header)
+    hdr["CTYPE1"] = header_l
+    hdr["CTYPE2"] = header_m
+
+    _, l_sgn = axis_and_sign(l_axis, "L")
+    _, m_sgn = axis_and_sign(m_axis, "M")
+
+    (l_ax, l_grid), (m_ax, m_grid), (_, freq_grid) = beam_grids(
+        hdr, l_axis, m_axis
+    )
+
+    assert hdr[f"CTYPE{l_ax}"] == header_l
+    R = np.arange(float(hdr[f"NAXIS{l_ax}"]))
+    exp = (R - (hdr[f"CRPIX{l_ax}"] - 1)) * hdr[f"CDELT{l_ax}"] \
+        + hdr[f"CRVAL{l_ax}"]
+    assert_array_almost_equal(np.deg2rad(exp) * l_sgn, l_grid)
+
+    assert hdr[f"CTYPE{m_ax}"] == header_m
+    R = np.arange(float(hdr[f"NAXIS{m_ax}"]))
+    exp = (R - (hdr[f"CRPIX{m_ax}"] - 1)) * hdr[f"CDELT{m_ax}"] \
+        + hdr[f"CRVAL{m_ax}"]
+    assert_array_almost_equal(np.deg2rad(exp) * m_sgn, m_grid)
+
+    gfreqs = [hdr[f"GFREQ{i + 1}"] for i in range(hdr["NAXIS3"])]
+    assert_array_almost_equal(freq_grid, gfreqs)
