@@ -59,3 +59,18 @@ def test_zenith_is_origin():
     pc = np.array([1.1, -0.4])
     lmn = np.asarray(radec_to_lmn(pc[None, :], pc))
     assert_allclose(lmn, [[0.0, 0.0, 1.0]], atol=1e-14)
+
+
+def test_radec_to_lmn_wraps(rng):
+    """Coordinates wrap: ra and ra + 2π give identical lmn (reference
+    test_coordinates.py:61-73)."""
+    from africanus_tpu.coordinates import radec_to_lmn
+
+    radec = rng.uniform(-0.5, 0.5, (10, 2))
+    phase = rng.uniform(-0.1, 0.1, 2)
+    base = np.asarray(radec_to_lmn(radec, phase))
+    wrapped = np.asarray(radec_to_lmn(radec + [2 * np.pi, 0.0], phase))
+    assert_allclose(base, wrapped, rtol=0, atol=1e-12)
+    # and the phase centre itself maps to (0, 0, 1)
+    centre = np.asarray(radec_to_lmn(phase[None, :], phase))
+    assert_allclose(centre, [[0.0, 0.0, 1.0]], rtol=0, atol=1e-14)
