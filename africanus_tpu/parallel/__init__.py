@@ -11,6 +11,8 @@ from africanus_tpu.parallel.predict import (
     sharded_rime_predict,
 )
 from africanus_tpu.parallel.imaging import (sharded_degrid, sharded_dirty,
+                                            sharded_pp_degridder,
+                                            sharded_pp_gridder,
                                             sharded_residual,
                                             sharded_psf)
 from africanus_tpu.parallel.chunked import stream_rows
@@ -29,4 +31,6 @@ __all__ = [
     "sharded_rime_predict",
     "sharded_dirty",
     "sharded_psf",
+    "sharded_pp_gridder",
+    "sharded_pp_degridder",
 ]

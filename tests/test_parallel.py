@@ -240,3 +240,59 @@ def test_make_mesh_strict_and_degrade():
         warnings.simplefilter("ignore")
         m = make_mesh((2, 8), ("row", "chan"), strict=False)
     assert dict(m.shape) == {"row": 2, "chan": 4}
+
+
+def test_sharded_pp_gridder_matches_local(rng):
+    """Row-sharded Perley-polyhedron gridding (partial grids psum) and
+    degridding (replicated grid) equal the single-device calls — the
+    reference's dask pp layer property (perleypolyhedron/dask.py)."""
+    from africanus_tpu.gridding.perleypolyhedron import (
+        degridder, gridder, kernels,
+    )
+    from africanus_tpu.ops.cplx import Cplx, to_numpy
+    from africanus_tpu.parallel import (
+        make_mesh, sharded_pp_degridder, sharded_pp_gridder,
+    )
+
+    C = 2.99792458e8
+    npix, nrow, nchan = 64, 96, 2
+    cell = 8.0  # arcsec
+    wl = C / np.array([1.0e9, 1.1e9])
+    fov = npix * cell / 3600.0 * np.pi / 180.0
+    uvw = rng.uniform(-0.4, 0.4, (nrow, 3)) / fov
+    uvw[:, 2] = 0.0
+    uvw *= wl.min()
+    W, os = 7, 63
+    kern = kernels.kbsinc(W, oversample=os)
+    chanmap = np.zeros(nchan, np.int32)
+    centre = (0.2, -0.4)
+    pol_args = ("None", "None", "I_FROM_XXYY",
+                "conv_1d_axisymmetric_unpacked_scatter")
+
+    v0 = rng.normal(size=(nrow, nchan)) + 1j * rng.normal(size=(nrow, nchan))
+    vis = Cplx(np.stack([v0.real] * 2, -1), np.stack([v0.imag] * 2, -1))
+
+    local_grid = to_numpy(
+        gridder(uvw, vis, wl, chanmap, npix, cell, centre, centre,
+                kern, W, os, *pol_args)
+    )
+    mesh = make_mesh((8,), ("row",))
+    shard_grid = to_numpy(
+        sharded_pp_gridder(mesh, uvw, vis, wl, chanmap, npix, cell,
+                           centre, centre, kern, W, os, *pol_args)
+    )
+    assert_allclose(shard_grid, local_grid, rtol=1e-12, atol=1e-12)
+
+    grid_c = Cplx(rng.normal(size=(1, npix, npix)),
+                  rng.normal(size=(1, npix, npix)))
+    pol_args_d = ("None", "None", "XXYY_FROM_I",
+                  "conv_1d_axisymmetric_packed_gather")
+    local_vis = to_numpy(
+        degridder(uvw, grid_c, wl, chanmap, cell, centre, centre,
+                  kern, W, os, *pol_args_d)
+    )
+    shard_vis = to_numpy(
+        sharded_pp_degridder(mesh, uvw, grid_c, wl, chanmap, cell,
+                             centre, centre, kern, W, os, *pol_args_d)
+    )
+    assert_allclose(shard_vis, local_vis, rtol=1e-12, atol=1e-12)
