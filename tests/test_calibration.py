@@ -281,3 +281,113 @@ def test_gauss_newton_recovers_phases(rng, obs):
                 true_jones[t, p] * np.conj(true_jones[t, q]),
                 rtol=1e-5,
             )
+
+
+@pytest.mark.parametrize(
+    "corr_shape, jones_shape",
+    [
+        ((1,), (1,)),    # DIAG_DIAG scalar
+        ((2,), (2,)),    # DIAG_DIAG
+        ((2, 2), (2,)),  # DIAG
+        ((2, 2), (2, 2)),  # FULL
+    ],
+)
+def test_corrupt_vis_equals_predict_vis(rng, corr_shape, jones_shape):
+    """corrupt_vis and predict_vis implement the same Jones chain:
+    across every corr/jones shape combination, corrupting a
+    multi-direction model equals the rime predict with the transposed
+    conventions (reference calibration/utils/tests/test_utils.py:22-73)."""
+    from africanus_tpu.rime import predict_vis
+
+    n_dir, n_time, n_chan, n_ant = 3, 8, 4, 5
+    a1u, a2u = np.triu_indices(n_ant, 1)
+    nbl = a1u.size
+    ant1 = np.tile(a1u, n_time)
+    ant2 = np.tile(a2u, n_time)
+    time = np.repeat(np.arange(n_time, dtype=np.float64), nbl)
+    n_row = time.size
+    _, tbi, tbc = chunkify_rows(time, 1)
+
+    jones = (rng.normal(scale=0.2,
+                        size=(n_time, n_ant, n_chan, n_dir) + jones_shape)
+             + 1j * rng.normal(
+                 scale=0.2,
+                 size=(n_time, n_ant, n_chan, n_dir) + jones_shape))
+    if len(jones_shape) == 1:
+        jones = jones + 1.0  # near-identity diagonal gains
+    else:
+        jones[..., 0, 0] += 1.0
+        jones[..., 1, 1] += 1.0
+    model = (rng.normal(size=(n_row, n_chan, n_dir) + corr_shape)
+             + 1j * rng.normal(size=(n_row, n_chan, n_dir) + corr_shape))
+
+    vis = np.asarray(
+        corrupt_vis(tbi, tbc, ant1, ant2, jones, model)
+    )
+
+    # predict_vis conventions: source-major jones/coherencies; DIAG
+    # gains broadcast onto the 2x2 diagonal
+    pj = jones
+    if jones_shape != corr_shape:
+        tmp = np.zeros((n_time, n_ant, n_chan, n_dir) + corr_shape,
+                       complex)
+        tmp[..., 0, 0] = jones[..., 0]
+        tmp[..., 1, 1] = jones[..., 1]
+        pj = tmp
+    if len(corr_shape) == 2:
+        pj = np.transpose(pj, [3, 0, 1, 2, 4, 5])
+        pm = np.transpose(model, [2, 0, 1, 3, 4])
+    else:
+        pj = np.transpose(pj, [3, 0, 1, 2, 4])
+        pm = np.transpose(model, [2, 0, 1, 3])
+
+    time_index = np.unique(time, return_inverse=True)[1]
+    want = np.asarray(
+        predict_vis(time_index, ant1, ant2, source_coh=pm,
+                    dde1_jones=pj, dde2_jones=pj)
+    )
+    assert_allclose(vis, want, rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "corr_shape, jones_shape",
+    [((2,), (2,)), ((2, 2), (2,)), ((2, 2), (2, 2))],
+)
+def test_residual_vis_subtracts_per_direction(rng, corr_shape,
+                                              jones_shape):
+    """residual_vis(vis, model) == vis − corrupt(model) across shape
+    modes (reference test_residual_vis, test_utils.py:76-129)."""
+    from africanus_tpu.calibration import residual_vis
+
+    n_dir, n_time, n_chan, n_ant = 2, 6, 3, 4
+    a1u, a2u = np.triu_indices(n_ant, 1)
+    nbl = a1u.size
+    ant1 = np.tile(a1u, n_time)
+    ant2 = np.tile(a2u, n_time)
+    time = np.repeat(np.arange(n_time, dtype=np.float64), nbl)
+    n_row = time.size
+    _, tbi, tbc = chunkify_rows(time, 1)
+
+    jones = (rng.normal(scale=0.1,
+                        size=(n_time, n_ant, n_chan, n_dir) + jones_shape)
+             + 1j * rng.normal(
+                 scale=0.1,
+                 size=(n_time, n_ant, n_chan, n_dir) + jones_shape))
+    if len(jones_shape) == 1:
+        jones = jones + 1.0
+    else:
+        jones[..., 0, 0] += 1.0
+        jones[..., 1, 1] += 1.0
+    model = (rng.normal(size=(n_row, n_chan, n_dir) + corr_shape)
+             + 1j * rng.normal(size=(n_row, n_chan, n_dir) + corr_shape))
+    vis = (rng.normal(size=(n_row, n_chan) + corr_shape)
+           + 1j * rng.normal(size=(n_row, n_chan) + corr_shape))
+    flag = np.zeros(vis.shape, bool)
+
+    res = np.asarray(
+        residual_vis(tbi, tbc, ant1, ant2, jones, vis, flag, model)
+    )
+    corrupted = np.asarray(
+        corrupt_vis(tbi, tbc, ant1, ant2, jones, model)
+    )
+    assert_allclose(res, vis - corrupted, rtol=1e-10, atol=1e-12)
