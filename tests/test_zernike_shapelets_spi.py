@@ -310,3 +310,74 @@ def test_shapelet_2d_separability():
     uv_shape = uv_shape / uv_shape.real.max()
 
     assert_allclose(uv_shape, fft_shapelet, rtol=0, atol=1e-6)
+
+
+def test_zernike_analytic_golden(rng):
+    """Low-order Zernike basis functions against their closed forms
+    (physics golden — any Noll-convention or radial-coefficient slip
+    shows up immediately): piston, tilts, defocus, astigmatisms, comas,
+    spherical."""
+    from africanus_tpu.rime.zernike import zernike_basis
+
+    rho = rng.uniform(0, 1, 200)
+    phi = rng.uniform(-np.pi, np.pi, 200)
+    x = rho * np.cos(phi)
+    y = rho * np.sin(phi)
+
+    # 0-based Noll j (the reference convention: j=0 piston) -> analytic
+    # form (unnormalised radial convention: R_n^m directly, no
+    # sqrt(2(n+1)) factor)
+    golden = {
+        0: np.ones_like(rho),                   # piston
+        1: rho * np.cos(phi),                   # x tilt
+        2: rho * np.sin(phi),                   # y tilt
+        3: 2 * rho**2 - 1,                      # defocus
+        4: rho**2 * np.sin(2 * phi),            # oblique astigmatism
+        5: rho**2 * np.cos(2 * phi),            # vertical astigmatism
+        6: (3 * rho**3 - 2 * rho) * np.sin(phi),   # vertical coma
+        7: (3 * rho**3 - 2 * rho) * np.cos(phi),   # horizontal coma
+        10: 6 * rho**4 - 6 * rho**2 + 1,        # primary spherical
+    }
+    for j, want in golden.items():
+        got = np.asarray(zernike_basis(j, rho, phi))
+        assert_allclose(got, want, rtol=0, atol=1e-12), j
+
+    # and outside the unit disc the basis clamps to zero
+    got = np.asarray(zernike_basis(3, np.array([1.5, 2.0]),
+                                   np.array([0.1, 0.2])))
+    assert_allclose(got, 0.0)
+    del x, y
+
+
+@pytest.mark.parametrize("base", ["std", "log", "log10"])
+def test_spectral_model_explicit_polynomials(rng, base):
+    """spectral_model against the reference's literal numpy oracle
+    (reference spec_model.py:11-53): std multiplies (nu/nu0)**alpha_i per
+    order; log/log10 bases exponentiate sums of alpha_i * log(nu/nu0)**(i+1),
+    with I0 OUTSIDE the exponent."""
+    from africanus_tpu.model.spectral import spectral_model
+
+    nsrc, nord, nchan = 5, 3, 16
+    stokes = rng.uniform(0.5, 2.0, nsrc)
+    spi = rng.normal(scale=0.3, size=(nsrc, nord))
+    ref_freq = rng.uniform(1.0e9, 1.4e9, nsrc)
+    freq = np.linspace(0.856e9, 1.712e9, nchan)
+
+    got = np.asarray(
+        spectral_model(stokes, spi, ref_freq, freq, base=base)
+    )
+
+    ratio = freq[None, :] / ref_freq[:, None]  # (src, chan)
+    if base == "std":
+        want = stokes[:, None] * np.prod(
+            ratio[:, None, :] ** spi[:, :, None], axis=1
+        )
+    else:
+        logf = np.log(ratio) if base == "log" else np.log10(ratio)
+        poly = sum(
+            spi[:, o, None] * logf ** (o + 1) for o in range(nord)
+        )
+        want = stokes[:, None] * (
+            np.exp(poly) if base == "log" else 10.0 ** poly
+        )
+    assert_allclose(got, want, rtol=1e-12, atol=1e-12)
