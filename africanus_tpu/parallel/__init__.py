@@ -15,6 +15,10 @@ from africanus_tpu.parallel.imaging import (sharded_degrid, sharded_dirty,
                                             sharded_pp_gridder,
                                             sharded_residual,
                                             sharded_psf)
+from africanus_tpu.parallel.calibration import (
+    sharded_gauss_newton,
+    sharded_residual_vis,
+)
 from africanus_tpu.parallel.chunked import stream_rows
 
 __all__ = [
@@ -33,4 +37,6 @@ __all__ = [
     "sharded_psf",
     "sharded_pp_gridder",
     "sharded_pp_degridder",
+    "sharded_residual_vis",
+    "sharded_gauss_newton",
 ]
