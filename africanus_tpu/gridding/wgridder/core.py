@@ -356,14 +356,18 @@ def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
             assemble_tiles,
             assemble_wstack_tiles,
             grid_tiles_pallas,
+            grid_tiles_wstack_mxu,
             grid_tiles_wstack_pallas,
+            wstack_use_mxu,
         )
 
         interpret = jax.default_backend() != "tpu"
         if tile_plan.get("wstack_fused"):
-            t_re, t_im = grid_tiles_wstack_pallas(tile_plan, vre, vim,
-                                                  interpret=interpret,
-                                                  arrays=tile_arrays)
+            grid_fn = (grid_tiles_wstack_mxu if wstack_use_mxu(tile_plan)
+                       else grid_tiles_wstack_pallas)
+            t_re, t_im = grid_fn(tile_plan, vre, vim,
+                                 interpret=interpret,
+                                 arrays=tile_arrays)
             grid_re, grid_im = assemble_wstack_tiles(t_re, t_im, tile_plan)
         else:
             t_re, t_im = grid_tiles_pallas(tile_plan, vre, vim,
@@ -506,15 +510,20 @@ def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
     if tile_plan is not None:
         from africanus_tpu.ops.pallas_grid import (
             degrid_tiles_pallas,
+            degrid_tiles_wstack_mxu,
             degrid_tiles_wstack_pallas,
             extract_tiles,
             extract_wstack_tiles,
+            wstack_use_mxu,
         )
 
         interpret = jax.default_backend() != "tpu"
         if tile_plan.get("wstack_fused"):
             tre, tim = extract_wstack_tiles(gre, gim, tile_plan)
-            out_re, out_im = degrid_tiles_wstack_pallas(
+            degrid_fn = (degrid_tiles_wstack_mxu
+                         if wstack_use_mxu(tile_plan)
+                         else degrid_tiles_wstack_pallas)
+            out_re, out_im = degrid_fn(
                 tile_plan, tre, tim, nsamp, interpret=interpret,
                 arrays=tile_arrays,
             )

@@ -59,10 +59,28 @@ __all__ = ["plan_tiles", "plan_tiles_table", "plan_tiles_wstack",
            "assemble_wstack_tiles", "extract_tiles",
            "extract_wstack_tiles", "degrid_tiles_pallas",
            "degrid_tiles_table_pallas", "degrid_tiles_wstack_pallas",
+           "grid_tiles_wstack_mxu", "degrid_tiles_wstack_mxu",
+           "wstack_use_mxu",
            "choose_tile", "pack_shard_plans", "PLAN_ARRAY_KEYS",
            "WSTACK_PLAN_ARRAY_KEYS"]
 
 log = logging.getLogger(__name__)
+
+# Route default for the fused w-stack path. The MXU matmul kernels
+# measured 2.2x (grid, 4.4 -> 9.6 Mvis/s) and 1.6x (degrid, 6.4 -> 10.2)
+# over the scatter/gather kernels on v5e at the config-4 shape
+# (benchmarks/RESULTS.md). Their per-plane dots are dense over the whole
+# w-stack, so the advantage shrinks as nplanes grows past the ~support
+# planes a sample actually touches — wstack_use_mxu caps the route.
+WSTACK_USE_MXU = True
+
+
+def wstack_use_mxu(plan):
+    """True when the MXU matmul route should serve this fused plan."""
+    return (WSTACK_USE_MXU
+            and plan.get("wstack_fused", False)
+            and plan["nplanes"] <= 3 * plan["support"])
+
 
 PLAN_ARRAY_KEYS = ("first", "group_tile", "ir_loc", "uf", "vfa", "scale",
                    "sample_pack")
@@ -1416,6 +1434,269 @@ def degrid_tiles_wstack_pallas(plan, tiles_re, tiles_im, nvis,
     # traced per-shard arrays without a slot table: each sample owns
     # exactly one slot, inert padding slots carry zero values (their uv
     # window is all-zero), so a one-hit scatter-add reconstructs them
+    sample = jnp.asarray(arrays["sample_pack"]).reshape(-1)
+    out_re = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_re)
+    out_im = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_im)
+    return out_re, out_im
+
+
+# ---------------------------------------------------------------------------
+# MXU matmul formulation of the fused w-stack kernels
+#
+# The scatter kernels above are RMW-latency bound (gridding) or
+# lane-throughput bound (degridding): each sample serially read-modify-
+# writes / reduces a (blk, lanes) window. The matmul formulation instead
+# treats a group's spreading as dense linear algebra. With row taps
+# R[r, s] = es((urow_s - r)/half), column taps C[s, c] = es((vfa_s -
+# c)/half) and per-plane w-taps W[p, s] (dense over planes, zero off the
+# sample's w-window), the deposit of a whole group is, per plane p,
+#
+#     tile_p += (R * (W[p] · v)) @ C            (tpad_r, S) @ (S, tpad_c)
+#
+# an outer-product sum that runs on the MXU — no RMW chain, no dynamic
+# slices, fully static control flow. Zero taps make padded entries and
+# off-window pixels exact no-ops, so results match the scatter kernels.
+# The degrid mirror contracts the other way and keeps samples on lanes
+# throughout (no transposes):
+#
+#     vis_s = sum_p W[p, s] * sum_r R[r, s] * (tile_p @ C^T)[r, s]
+#
+# Dots run at HIGHEST precision (6-pass bf16 ≈ f32-faithful) to hold the
+# wgridder epsilon contract; taps/scales are exact f32 VPU work.
+# ---------------------------------------------------------------------------
+
+
+def _grid_wstack_mxu_kernel(first_ref, gtile_ref, urow_ref, vfa_ref,
+                            p0_ref, wsc_ref, vre_ref, vim_ref,
+                            out_re_ref, out_im_ref, *, group, support,
+                            beta, tpad_r, tpad_c, nplanes):
+    g = pl.program_id(0)
+    half = support / 2.0
+
+    @pl.when(first_ref[g] == 1)
+    def _():
+        out_re_ref[...] = jnp.zeros_like(out_re_ref)
+        out_im_ref[...] = jnp.zeros_like(out_im_ref)
+
+    urow = urow_ref[0]                        # (1, S) absolute frac row
+    vfa = vfa_ref[0]                          # (1, S) absolute frac col
+    r_iota = lax.broadcasted_iota(jnp.int32, (tpad_r, group), 0).astype(
+        jnp.float32
+    )
+    tapr_t = _es((urow - r_iota) / half, beta)          # (tpad_r, S)
+    # column taps are computed transposed — (tpad_c, S), samples on
+    # lanes like every other per-sample array — and the dot contracts
+    # both operands over their lane axis, so no transpose is ever
+    # materialised in the kernel
+    tc_iota = lax.broadcasted_iota(jnp.int32, (tpad_c, group), 0).astype(
+        jnp.float32
+    )
+    tapc_t = _es((vfa - tc_iota) / half, beta)          # (tpad_c, S)
+
+    p0 = p0_ref[0]                            # (1, S) int32
+    p_iota = lax.broadcasted_iota(jnp.int32, (nplanes, group), 0)
+    wt = jnp.zeros((nplanes, group), jnp.float32)
+    for t in range(support):
+        wt = wt + jnp.where(p0 + t == p_iota, wsc_ref[0, t:t + 1, :], 0.0)
+    wv_re = wt * vre_ref[0]                   # (nplanes, S)
+    wv_im = wt * vim_ref[0]
+
+    dims = (((1,), (1,)), ((), ()))           # contract over samples
+    for p in range(nplanes):
+        rm_re = tapr_t * wv_re[p:p + 1, :]
+        rm_im = tapr_t * wv_im[p:p + 1, :]
+        acc_re = lax.dot_general(
+            rm_re, tapc_t, dims,
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        acc_im = lax.dot_general(
+            rm_im, tapc_t, dims,
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        out_re_ref[0, p] += acc_re
+        out_im_ref[0, p] += acc_im
+
+
+def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
+                          arrays=None):
+    """MXU matmul route for :func:`plan_tiles_wstack` plans.
+
+    Same plan, inputs and padded-tile output format as
+    :func:`grid_tiles_wstack_pallas`; the spreading runs as per-plane
+    (tpad_r, S) @ (S, tpad_c) outer-product dots instead of per-sample
+    scatter RMW. Assemble with :func:`assemble_wstack_tiles`.
+    """
+    w = plan["support"]
+    group, ngroups = plan["group"], plan["ngroups"]
+    ntiles = plan["ntr"] * plan["ntc"]
+    nplanes = plan["nplanes"]
+    tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+    if arrays is None:
+        arrays = plan
+
+    sample_pack = jnp.asarray(arrays["sample_pack"])
+    vre = vre_flat[sample_pack].astype(jnp.float32)
+    vim = vim_flat[sample_pack].astype(jnp.float32)
+    urow = (jnp.asarray(arrays["ir_loc"]).astype(jnp.float32)
+            + jnp.asarray(arrays["uf"]))
+
+    kernel = partial(_grid_wstack_mxu_kernel, group=group, support=w,
+                     beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
+                     nplanes=nplanes)
+
+    vec = pl.BlockSpec((1, 1, group), lambda g, f, t: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    wsc_spec = pl.BlockSpec((1, w, group), lambda g, f, t: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, nplanes, tpad_r, tpad_c),
+                            lambda g, f, t: (t[g], 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # first, group_tile
+        grid=(ngroups,),
+        in_specs=[vec, vec, vec, wsc_spec, vec, vec],
+        out_specs=[out_spec, out_spec],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((ntiles, nplanes, tpad_r, tpad_c),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((ntiles, nplanes, tpad_r, tpad_c),
+                             jnp.float32),
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        jnp.asarray(arrays["first"]),
+        jnp.asarray(arrays["group_tile"]),
+        urow[:, None, :],
+        jnp.asarray(arrays["vfa"])[:, None, :],
+        jnp.asarray(arrays["p0"]).astype(jnp.int32)[:, None, :],
+        jnp.asarray(arrays["wsc"]),
+        vre[:, None, :],
+        vim[:, None, :],
+    )
+
+
+def _degrid_wstack_mxu_kernel(gtile_ref, urow_ref, vfa_ref, p0_ref,
+                              wsc_ref, tre_ref, tim_ref, out_re_ref,
+                              out_im_ref, *, group, support, beta,
+                              tpad_r, tpad_c, nplanes):
+    half = support / 2.0
+
+    urow = urow_ref[0]                        # (1, S)
+    vfa = vfa_ref[0]                          # (1, S)
+    r_iota = lax.broadcasted_iota(jnp.int32, (tpad_r, group), 0).astype(
+        jnp.float32
+    )
+    tapr_t = _es((urow - r_iota) / half, beta)          # (tpad_r, S)
+    tc_iota = lax.broadcasted_iota(jnp.int32, (tpad_c, group), 0).astype(
+        jnp.float32
+    )
+    tapc_t = _es((vfa - tc_iota) / half, beta)          # (tpad_c, S)
+
+    p0 = p0_ref[0]                            # (1, S) int32
+    p_iota = lax.broadcasted_iota(jnp.int32, (nplanes, group), 0)
+    wt = jnp.zeros((nplanes, group), jnp.float32)
+    for t in range(support):
+        wt = wt + jnp.where(p0 + t == p_iota, wsc_ref[0, t:t + 1, :], 0.0)
+
+    dims = (((1,), (0,)), ((), ()))           # (tpad_r, tpad_c) @ (tpad_c, S)
+    acc_re = jnp.zeros((1, group), jnp.float32)
+    acc_im = jnp.zeros((1, group), jnp.float32)
+    for p in range(nplanes):
+        m_re = lax.dot_general(
+            tre_ref[0, p], tapc_t, dims,
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                     # (tpad_r, S)
+        m_im = lax.dot_general(
+            tim_ref[0, p], tapc_t, dims,
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        e_re = jnp.sum(tapr_t * m_re, axis=0, keepdims=True)   # (1, S)
+        e_im = jnp.sum(tapr_t * m_im, axis=0, keepdims=True)
+        acc_re = acc_re + wt[p:p + 1, :] * e_re
+        acc_im = acc_im + wt[p:p + 1, :] * e_im
+    out_re_ref[...] = acc_re[:, None, :]
+    out_im_ref[...] = acc_im[:, None, :]
+
+
+def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
+                            interpret=False, arrays=None):
+    """MXU matmul route mirroring :func:`degrid_tiles_wstack_pallas`.
+
+    Per plane the whole group's windows are gathered as (tpad_r, tpad_c)
+    @ (tpad_c, S) dots with samples kept on lanes, then reduced against
+    the row taps — same inputs/outputs/slot permutation as the scatter
+    formulation.
+    """
+    w = plan["support"]
+    group, ngroups = plan["group"], plan["ngroups"]
+    nplanes = plan["nplanes"]
+    tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+    if arrays is None:
+        arrays = plan
+
+    urow = (jnp.asarray(arrays["ir_loc"]).astype(jnp.float32)
+            + jnp.asarray(arrays["uf"]))
+
+    kernel = partial(_degrid_wstack_mxu_kernel, group=group, support=w,
+                     beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
+                     nplanes=nplanes)
+
+    vec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    wsc_spec = pl.BlockSpec((1, w, group), lambda g, t: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, nplanes, tpad_r, tpad_c),
+                             lambda g, t: (t[g], 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # group_tile
+        grid=(ngroups,),
+        in_specs=[vec, vec, vec, wsc_spec, tile_spec, tile_spec],
+        out_specs=[out_spec, out_spec],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((ngroups, 1, group), jnp.float32),
+        jax.ShapeDtypeStruct((ngroups, 1, group), jnp.float32),
+    ]
+
+    vals_re, vals_im = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        jnp.asarray(arrays["group_tile"]),
+        urow[:, None, :],
+        jnp.asarray(arrays["vfa"])[:, None, :],
+        jnp.asarray(arrays["p0"]).astype(jnp.int32)[:, None, :],
+        jnp.asarray(arrays["wsc"]),
+        tiles_re.astype(jnp.float32),
+        tiles_im.astype(jnp.float32),
+    )
+
+    vals_re = vals_re.reshape(-1)
+    vals_im = vals_im.reshape(-1)
+
+    if arrays is plan or "vis_slot" in arrays:
+        sel = jnp.asarray(arrays["vis_slot"] if arrays is not plan
+                          else plan["vis_slot"])
+        return vals_re[sel], vals_im[sel]
     sample = jnp.asarray(arrays["sample_pack"]).reshape(-1)
     out_re = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_re)
     out_im = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_im)

@@ -328,3 +328,82 @@ def test_wstack_plan_rejects_out_of_stack():
     with pytest.raises(ValueError, match="out of stack"):
         plan_tiles_wstack(iu0, iv0, uf, vf, w, BETA, 64, 64,
                           p0=np.full(n, 7), wscales=wsc, nplanes=12)
+
+
+def test_wstack_mxu_grid_matches_scatter(rng):
+    """The MXU matmul w-stack gridder (per-plane outer-product dots)
+    must match the scatter formulation to f32 roundoff: zero taps make
+    the dense sample contraction term-for-term identical."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.pallas_grid import (
+        assemble_wstack_tiles, grid_tiles_wstack_mxu,
+        grid_tiles_wstack_pallas, plan_tiles_wstack,
+    )
+
+    w, beta = 6, 2.3 * 6
+    nu = nv = 64
+    nplanes = 12
+    n = 150
+    upos = rng.uniform(0, nu, n)
+    vpos = rng.uniform(0, nv, n)
+    iu0 = np.floor(upos).astype(np.int64) - (w // 2 - 1)
+    iv0 = np.floor(vpos).astype(np.int64) - (w // 2 - 1)
+    uf, vf = upos - iu0, vpos - iv0
+    wpos = rng.uniform(w / 2, nplanes - w / 2 - 1, n)
+    iw0 = np.floor(wpos).astype(np.int64) - (w // 2 - 1)
+    offs = np.arange(w)
+    kw = es_np((wpos[:, None] - (iw0[:, None] + offs)) / (w / 2.0), beta)
+    vre = rng.normal(size=n).astype(np.float32)
+    vim = rng.normal(size=n).astype(np.float32)
+
+    plan = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                             p0=iw0, wscales=kw.T, nplanes=nplanes,
+                             group=64)
+    t_re, t_im = grid_tiles_wstack_pallas(plan, jnp.asarray(vre),
+                                          jnp.asarray(vim), interpret=True)
+    ref_re, ref_im = assemble_wstack_tiles(t_re, t_im, plan)
+    m_re, m_im = grid_tiles_wstack_mxu(plan, jnp.asarray(vre),
+                                       jnp.asarray(vim), interpret=True)
+    got_re, got_im = assemble_wstack_tiles(m_re, m_im, plan)
+
+    assert_allclose(np.asarray(got_re), np.asarray(ref_re), rtol=2e-5,
+                    atol=2e-5)
+    assert_allclose(np.asarray(got_im), np.asarray(ref_im), rtol=2e-5,
+                    atol=2e-5)
+
+
+def test_wstack_mxu_degrid_matches_scatter(rng):
+    """MXU matmul degrid (tile @ col-taps dots + row-tap reduce) equals
+    the per-sample gather formulation, including the slot permutation
+    back to visibility order."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.pallas_grid import (
+        degrid_tiles_wstack_mxu, degrid_tiles_wstack_pallas,
+        extract_wstack_tiles, plan_tiles_wstack,
+    )
+
+    w, beta = 6, 2.3 * 6
+    nu = nv = 64
+    nplanes = 12
+    n = 100
+    iu0, iv0, uf, vf = _problem(rng, n, nu, nv)
+    wpos = rng.uniform(w / 2, nplanes - w / 2 - 1, n)
+    iw0 = np.floor(wpos).astype(np.int64) - (w // 2 - 1)
+    offs = np.arange(w)
+    kw = es_np((wpos[:, None] - (iw0[:, None] + offs)) / (w / 2.0), beta)
+
+    plan = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                             p0=iw0, wscales=kw.T, nplanes=nplanes,
+                             group=64)
+    g = rng.normal(size=(nplanes, nu, nv)).astype(np.float32)
+    gi = rng.normal(size=(nplanes, nu, nv)).astype(np.float32)
+    tre, tim = extract_wstack_tiles(jnp.asarray(g), jnp.asarray(gi), plan)
+
+    o_re, o_im = degrid_tiles_wstack_pallas(plan, tre, tim, n,
+                                            interpret=True)
+    m_re, m_im = degrid_tiles_wstack_mxu(plan, tre, tim, n,
+                                         interpret=True)
+    assert_allclose(np.asarray(m_re), np.asarray(o_re), rtol=2e-4,
+                    atol=3e-5)
+    assert_allclose(np.asarray(m_im), np.asarray(o_im), rtol=2e-4,
+                    atol=3e-5)
