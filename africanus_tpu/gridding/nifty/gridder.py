@@ -87,7 +87,8 @@ def grid(vis, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
 
     if tile_plan is not None:
         from africanus_tpu.ops.pallas_grid import (
-            assemble_tiles, grid_tiles_pallas,
+            assemble_tiles, grid_tiles_mxu, grid_tiles_pallas,
+            tiles_use_mxu,
         )
         import jax
 
@@ -98,7 +99,9 @@ def grid(vis, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
         val_im = jnp.stack(
             [(v.im[..., c] * wgt[..., c]).reshape(-1) for c in range(ncorr)]
         )
-        t_re, t_im = grid_tiles_pallas(
+        g_fn = (grid_tiles_mxu if tiles_use_mxu(tile_plan)
+                else grid_tiles_pallas)
+        t_re, t_im = g_fn(
             tile_plan, val_re, val_im,
             interpret=jax.default_backend() != "tpu",
         )
@@ -233,7 +236,8 @@ def degrid(grid, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
     outs_re, outs_im = [], []
     if tile_plan is not None:
         from africanus_tpu.ops.pallas_grid import (
-            degrid_tiles_pallas, extract_tiles,
+            degrid_tiles_mxu, degrid_tiles_pallas, extract_tiles,
+            tiles_use_mxu,
         )
         import jax
 
@@ -242,8 +246,10 @@ def degrid(grid, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
         gre = jnp.moveaxis(g.re, -1, 0)[:, None]
         gim = jnp.moveaxis(g.im, -1, 0)[:, None]
         tre, tim = extract_tiles(gre, gim, tile_plan)
-        o_re, o_im = degrid_tiles_pallas(tile_plan, tre, tim, nsamp,
-                                         interpret=interpret)
+        d_fn = (degrid_tiles_mxu if tiles_use_mxu(tile_plan)
+                else degrid_tiles_pallas)
+        o_re, o_im = d_fn(tile_plan, tre, tim, nsamp,
+                          interpret=interpret)
         outs_re = list(o_re)
         outs_im = list(o_im)
     else:

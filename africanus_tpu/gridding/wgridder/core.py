@@ -370,9 +370,15 @@ def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
                                  arrays=tile_arrays)
             grid_re, grid_im = assemble_wstack_tiles(t_re, t_im, tile_plan)
         else:
-            t_re, t_im = grid_tiles_pallas(tile_plan, vre, vim,
-                                           interpret=interpret,
-                                           arrays=tile_arrays)
+            from africanus_tpu.ops.pallas_grid import (
+                grid_tiles_mxu, tiles_use_mxu,
+            )
+
+            g2_fn = (grid_tiles_mxu if tiles_use_mxu(tile_plan)
+                     else grid_tiles_pallas)
+            t_re, t_im = g2_fn(tile_plan, vre, vim,
+                               interpret=interpret,
+                               arrays=tile_arrays)
             grid_re, grid_im = assemble_tiles(t_re, t_im, tile_plan)
     else:
         iu0, iv0, iw0, ku, kv, kw = _spread_indices_weights(
@@ -528,10 +534,16 @@ def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
                 arrays=tile_arrays,
             )
         else:
+            from africanus_tpu.ops.pallas_grid import (
+                degrid_tiles_mxu, tiles_use_mxu,
+            )
+
             tre, tim = extract_tiles(gre, gim, tile_plan)
-            out_re, out_im = degrid_tiles_pallas(tile_plan, tre, tim, nsamp,
-                                                 interpret=interpret,
-                                                 arrays=tile_arrays)
+            d2_fn = (degrid_tiles_mxu if tiles_use_mxu(tile_plan)
+                     else degrid_tiles_pallas)
+            out_re, out_im = d2_fn(tile_plan, tre, tim, nsamp,
+                                   interpret=interpret,
+                                   arrays=tile_arrays)
     else:
         iu0, iv0, iw0, ku, kv, kw = _spread_indices_weights(
             u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta

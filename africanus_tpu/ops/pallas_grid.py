@@ -60,7 +60,8 @@ __all__ = ["plan_tiles", "plan_tiles_table", "plan_tiles_wstack",
            "extract_wstack_tiles", "degrid_tiles_pallas",
            "degrid_tiles_table_pallas", "degrid_tiles_wstack_pallas",
            "grid_tiles_wstack_mxu", "degrid_tiles_wstack_mxu",
-           "wstack_use_mxu",
+           "grid_tiles_mxu", "degrid_tiles_mxu", "wstack_use_mxu",
+           "tiles_use_mxu",
            "choose_tile", "pack_shard_plans", "PLAN_ARRAY_KEYS",
            "WSTACK_PLAN_ARRAY_KEYS"]
 
@@ -80,6 +81,20 @@ def wstack_use_mxu(plan):
     return (WSTACK_USE_MXU
             and plan.get("wstack_fused", False)
             and plan["nplanes"] <= 3 * plan["support"])
+
+
+def tiles_use_mxu(plan):
+    """True when the MXU matmul route should serve a :func:`plan_tiles`
+    plan. The dense dots cost tpad_r*tpad_c MACs per sample regardless
+    of the WxW window, so the route only wins on small padded tiles: at
+    (144, 128) it measured 1.4-1.6x the scatter/gather kernels (grid
+    45.8 -> 64.6, degrid 38.7 -> 61.4 Mvis/s 4-corr; 1-corr 11.5 ->
+    16.8 Msamples/s), while at the old 256-target tiles (272, 384) the
+    ~8x dense-area cost would lose; plan_tiles defaults to MXU-friendly
+    tiles accordingly."""
+    return (WSTACK_USE_MXU
+            and not plan.get("wstack_fused", False)
+            and plan["tpad_r"] * plan["tpad_c"] <= 144 * 128)
 
 
 PLAN_ARRAY_KEYS = ("first", "group_tile", "ir_loc", "uf", "vfa", "scale",
@@ -118,7 +133,8 @@ def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
         (u_pix − iu0); tap t's ES argument is (uf − t)·2/W.
     support : W; beta : ES shape parameter.
     nu, nv : grid shape (rows=u, cols=v). Tiles must divide them.
-    tile_r, tile_c : tile edges (default: largest divisor ≤ 256).
+    tile_r, tile_c : tile edges (default: largest divisors ≤ 128 /
+        ≤ 128−2W — one 128-lane padded block, the MXU-route sweet spot).
     group : entries per kernel invocation.
     sample_id : (E,) int index into the flat visibility array for each
         (virtual) sample; default ``arange(E)``.
@@ -139,9 +155,11 @@ def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
     w = support
 
     if tile_r is None:
-        tile_r = choose_tile(nu)
+        # MXU-friendly default (see tiles_use_mxu): 128-row tiles and a
+        # column tile whose padded width stays at one 128-lane block
+        tile_r = choose_tile(nu, 128)
     if tile_c is None:
-        tile_c = choose_tile(nv)
+        tile_c = choose_tile(nv, max(w, 128 - 2 * w))
     if nu % tile_r or nv % tile_c:
         raise ValueError(f"tiles ({tile_r},{tile_c}) must divide ({nu},{nv})")
     if w > min(tile_r, tile_c):
@@ -631,6 +649,13 @@ def degrid_tiles_pallas(plan, tiles_re, tiles_im, nvis, interpret=False,
         tiles_im.astype(jnp.float32),
     )
 
+    return _degrid_unpack(vals_re, vals_im, plan, arrays, nvis, ncorr,
+                          multi)
+
+
+def _degrid_unpack(vals_re, vals_im, plan, arrays, nvis, ncorr, multi):
+    """Map packed (ngroups, ncorr, group) degrid values back onto their
+    owning visibilities (virtual samples sum; see degrid_tiles_pallas)."""
     vals_re = jnp.moveaxis(vals_re, 1, 0).reshape(ncorr, -1)
     vals_im = jnp.moveaxis(vals_im, 1, 0).reshape(ncorr, -1)
 
@@ -761,9 +786,11 @@ def plan_tiles_table(ir0, ic0, fr, fc, support, oversample, nu, nv,
     w = support
 
     if tile_r is None:
-        tile_r = choose_tile(nu)
+        # MXU-friendly default (see tiles_use_mxu): 128-row tiles and a
+        # column tile whose padded width stays at one 128-lane block
+        tile_r = choose_tile(nu, 128)
     if tile_c is None:
-        tile_c = choose_tile(nv)
+        tile_c = choose_tile(nv, max(w, 128 - 2 * w))
     if nu % tile_r or nv % tile_c:
         raise ValueError(f"tiles ({tile_r},{tile_c}) must divide ({nu},{nv})")
     if w > min(tile_r, tile_c):
@@ -1469,7 +1496,8 @@ def degrid_tiles_wstack_pallas(plan, tiles_re, tiles_im, nvis,
 def _grid_wstack_mxu_kernel(first_ref, gtile_ref, urow_ref, vfa_ref,
                             p0_ref, wsc_ref, vre_ref, vim_ref,
                             out_re_ref, out_im_ref, *, group, support,
-                            beta, tpad_r, tpad_c, nplanes):
+                            beta, tpad_r, tpad_c, nplanes,
+                            precision=lax.Precision.HIGHEST):
     g = pl.program_id(0)
     half = support / 2.0
 
@@ -1486,8 +1514,10 @@ def _grid_wstack_mxu_kernel(first_ref, gtile_ref, urow_ref, vfa_ref,
     tapr_t = _es((urow - r_iota) / half, beta)          # (tpad_r, S)
     # column taps are computed transposed — (tpad_c, S), samples on
     # lanes like every other per-sample array — and the dot contracts
-    # both operands over their lane axis, so no transpose is ever
-    # materialised in the kernel
+    # both operands over their LANE axis (A·Bᵀ). Measured on this
+    # Mosaic toolchain the lane-lane contraction beats the canonical
+    # ((1,), (0,)) form with a host-transposed (S, 1) vfa column by
+    # ~30% (20.8 vs 27.1 ms at the config-4 shape) — keep A·Bᵀ.
     tc_iota = lax.broadcasted_iota(jnp.int32, (tpad_c, group), 0).astype(
         jnp.float32
     )
@@ -1506,13 +1536,11 @@ def _grid_wstack_mxu_kernel(first_ref, gtile_ref, urow_ref, vfa_ref,
         rm_re = tapr_t * wv_re[p:p + 1, :]
         rm_im = tapr_t * wv_im[p:p + 1, :]
         acc_re = lax.dot_general(
-            rm_re, tapc_t, dims,
-            precision=lax.Precision.HIGHEST,
+            rm_re, tapc_t, dims, precision=precision,
             preferred_element_type=jnp.float32,
         )
         acc_im = lax.dot_general(
-            rm_im, tapc_t, dims,
-            precision=lax.Precision.HIGHEST,
+            rm_im, tapc_t, dims, precision=precision,
             preferred_element_type=jnp.float32,
         )
         out_re_ref[0, p] += acc_re
@@ -1520,7 +1548,7 @@ def _grid_wstack_mxu_kernel(first_ref, gtile_ref, urow_ref, vfa_ref,
 
 
 def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
-                          arrays=None):
+                          arrays=None, precision=None):
     """MXU matmul route for :func:`plan_tiles_wstack` plans.
 
     Same plan, inputs and padded-tile output format as
@@ -1544,7 +1572,8 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
 
     kernel = partial(_grid_wstack_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
-                     nplanes=nplanes)
+                     nplanes=nplanes,
+                     precision=precision or lax.Precision.HIGHEST)
 
     vec = pl.BlockSpec((1, 1, group), lambda g, f, t: (g, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -1588,7 +1617,8 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
 def _degrid_wstack_mxu_kernel(gtile_ref, urow_ref, vfa_ref, p0_ref,
                               wsc_ref, tre_ref, tim_ref, out_re_ref,
                               out_im_ref, *, group, support, beta,
-                              tpad_r, tpad_c, nplanes):
+                              tpad_r, tpad_c, nplanes,
+                              precision=lax.Precision.HIGHEST):
     half = support / 2.0
 
     urow = urow_ref[0]                        # (1, S)
@@ -1613,13 +1643,11 @@ def _degrid_wstack_mxu_kernel(gtile_ref, urow_ref, vfa_ref, p0_ref,
     acc_im = jnp.zeros((1, group), jnp.float32)
     for p in range(nplanes):
         m_re = lax.dot_general(
-            tre_ref[0, p], tapc_t, dims,
-            precision=lax.Precision.HIGHEST,
+            tre_ref[0, p], tapc_t, dims, precision=precision,
             preferred_element_type=jnp.float32,
         )                                     # (tpad_r, S)
         m_im = lax.dot_general(
-            tim_ref[0, p], tapc_t, dims,
-            precision=lax.Precision.HIGHEST,
+            tim_ref[0, p], tapc_t, dims, precision=precision,
             preferred_element_type=jnp.float32,
         )
         e_re = jnp.sum(tapr_t * m_re, axis=0, keepdims=True)   # (1, S)
@@ -1631,7 +1659,7 @@ def _degrid_wstack_mxu_kernel(gtile_ref, urow_ref, vfa_ref, p0_ref,
 
 
 def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
-                            interpret=False, arrays=None):
+                            interpret=False, arrays=None, precision=None):
     """MXU matmul route mirroring :func:`degrid_tiles_wstack_pallas`.
 
     Per plane the whole group's windows are gathered as (tpad_r, tpad_c)
@@ -1651,7 +1679,8 @@ def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
 
     kernel = partial(_degrid_wstack_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
-                     nplanes=nplanes)
+                     nplanes=nplanes,
+                     precision=precision or lax.Precision.HIGHEST)
 
     vec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -1701,3 +1730,217 @@ def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
     out_re = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_re)
     out_im = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_im)
     return out_re, out_im
+
+
+def _grid_mxu_kernel(first_ref, gtile_ref, urow_ref, vfa_ref, vre_ref,
+                     vim_ref, out_re_ref, out_im_ref, *, group, support,
+                     beta, tpad_r, tpad_c, ncorr,
+                     precision=lax.Precision.HIGHEST):
+    g = pl.program_id(0)
+    half = support / 2.0
+
+    @pl.when(first_ref[g] == 1)
+    def _():
+        out_re_ref[...] = jnp.zeros_like(out_re_ref)
+        out_im_ref[...] = jnp.zeros_like(out_im_ref)
+
+    urow = urow_ref[0]                        # (1, S)
+    vfa = vfa_ref[0]                          # (1, S)
+    r_iota = lax.broadcasted_iota(jnp.int32, (tpad_r, group), 0).astype(
+        jnp.float32
+    )
+    tapr_t = _es((urow - r_iota) / half, beta)          # (tpad_r, S)
+    tc_iota = lax.broadcasted_iota(jnp.int32, (tpad_c, group), 0).astype(
+        jnp.float32
+    )
+    tapc_t = _es((vfa - tc_iota) / half, beta)          # (tpad_c, S)
+
+    dims = (((1,), (1,)), ((), ()))           # contract over samples
+    for c in range(ncorr):
+        rm_re = tapr_t * vre_ref[0, c:c + 1, :]
+        rm_im = tapr_t * vim_ref[0, c:c + 1, :]
+        acc_re = lax.dot_general(
+            rm_re, tapc_t, dims, precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        acc_im = lax.dot_general(
+            rm_im, tapc_t, dims, precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        out_re_ref[0, c] += acc_re
+        out_im_ref[0, c] += acc_im
+
+
+def grid_tiles_mxu(plan, vre_flat, vim_flat, interpret=False,
+                   arrays=None, precision=None):
+    """MXU matmul route for :func:`plan_tiles` plans.
+
+    Same plan/inputs/padded-tile outputs as :func:`grid_tiles_pallas`
+    (multi-correlation supported); each correlation's deposit is one
+    (tpad_r, S) @ (S, tpad_c) outer-product dot per group instead of a
+    per-sample scatter RMW. Virtual w-samples ride unchanged — the
+    per-entry ``scale`` is folded into the packed values exactly as in
+    the scatter wrapper. Assemble with :func:`assemble_tiles`.
+    """
+    w = plan["support"]
+    group, ngroups = plan["group"], plan["ngroups"]
+    ntiles = plan["nplanes"] * plan["ntr"] * plan["ntc"]
+    tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+    if arrays is None:
+        arrays = plan
+
+    multi = vre_flat.ndim == 2
+    ncorr = vre_flat.shape[0] if multi else 1
+    if not multi:
+        vre_flat = vre_flat[None]
+        vim_flat = vim_flat[None]
+
+    sample_pack = jnp.asarray(arrays["sample_pack"])
+    scale = jnp.asarray(arrays["scale"])
+    vre = (vre_flat[:, sample_pack] * scale).astype(jnp.float32)
+    vim = (vim_flat[:, sample_pack] * scale).astype(jnp.float32)
+    vre = jnp.moveaxis(vre, 0, 1)             # (ngroups, ncorr, group)
+    vim = jnp.moveaxis(vim, 0, 1)
+    urow = (jnp.asarray(arrays["ir_loc"]).astype(jnp.float32)
+            + jnp.asarray(arrays["uf"]))
+
+    kernel = partial(_grid_mxu_kernel, group=group, support=w,
+                     beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
+                     ncorr=ncorr,
+                     precision=precision or lax.Precision.HIGHEST)
+
+    vec = pl.BlockSpec((1, 1, group), lambda g, f, t: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    val = pl.BlockSpec((1, ncorr, group), lambda g, f, t: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ncorr, tpad_r, tpad_c),
+                            lambda g, f, t: (t[g], 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # first, group_tile
+        grid=(ngroups,),
+        in_specs=[vec, vec, val, val],
+        out_specs=[out_spec, out_spec],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((ntiles, ncorr, tpad_r, tpad_c), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles, ncorr, tpad_r, tpad_c), jnp.float32),
+    ]
+
+    t_re, t_im = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        jnp.asarray(arrays["first"]),
+        jnp.asarray(arrays["group_tile"]),
+        urow[:, None, :],
+        jnp.asarray(arrays["vfa"])[:, None, :],
+        vre,
+        vim,
+    )
+    if not multi:
+        return t_re[:, 0], t_im[:, 0]
+    return t_re, t_im
+
+
+def _degrid_mxu_kernel(gtile_ref, urow_ref, vfa_ref, scale_ref, tre_ref,
+                       tim_ref, out_re_ref, out_im_ref, *, group,
+                       support, beta, tpad_r, tpad_c, ncorr,
+                       precision=lax.Precision.HIGHEST):
+    half = support / 2.0
+
+    urow = urow_ref[0]                        # (1, S)
+    vfa = vfa_ref[0]                          # (1, S)
+    sc = scale_ref[0]                         # (1, S)
+    r_iota = lax.broadcasted_iota(jnp.int32, (tpad_r, group), 0).astype(
+        jnp.float32
+    )
+    tapr_t = _es((urow - r_iota) / half, beta)          # (tpad_r, S)
+    tc_iota = lax.broadcasted_iota(jnp.int32, (tpad_c, group), 0).astype(
+        jnp.float32
+    )
+    tapc_t = _es((vfa - tc_iota) / half, beta)          # (tpad_c, S)
+
+    dims = (((1,), (0,)), ((), ()))           # (tpad_r, tpad_c) @ (tpad_c, S)
+    for c in range(ncorr):
+        m_re = lax.dot_general(
+            tre_ref[0, c], tapc_t, dims, precision=precision,
+            preferred_element_type=jnp.float32,
+        )                                     # (tpad_r, S)
+        m_im = lax.dot_general(
+            tim_ref[0, c], tapc_t, dims, precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        e_re = jnp.sum(tapr_t * m_re, axis=0, keepdims=True)   # (1, S)
+        e_im = jnp.sum(tapr_t * m_im, axis=0, keepdims=True)
+        out_re_ref[0, c:c + 1, :] = sc * e_re
+        out_im_ref[0, c:c + 1, :] = sc * e_im
+
+
+def degrid_tiles_mxu(plan, tiles_re, tiles_im, nvis, interpret=False,
+                     arrays=None, precision=None):
+    """MXU matmul route mirroring :func:`degrid_tiles_pallas`.
+
+    Per correlation the whole group gathers as (tpad_r, tpad_c) @
+    (tpad_c, S) dots reduced against the row taps; virtual w-samples are
+    summed back onto their visibilities by the shared unpack."""
+    w = plan["support"]
+    group, ngroups = plan["group"], plan["ngroups"]
+    tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+    if arrays is None:
+        arrays = plan
+
+    multi = tiles_re.ndim == 4
+    ncorr = tiles_re.shape[1] if multi else 1
+    if not multi:
+        tiles_re = tiles_re[:, None]
+        tiles_im = tiles_im[:, None]
+
+    urow = (jnp.asarray(arrays["ir_loc"]).astype(jnp.float32)
+            + jnp.asarray(arrays["uf"]))
+
+    kernel = partial(_degrid_mxu_kernel, group=group, support=w,
+                     beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
+                     ncorr=ncorr,
+                     precision=precision or lax.Precision.HIGHEST)
+
+    vec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    val = pl.BlockSpec((1, ncorr, group), lambda g, t: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, ncorr, tpad_r, tpad_c),
+                             lambda g, t: (t[g], 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # group_tile
+        grid=(ngroups,),
+        in_specs=[vec, vec, vec, tile_spec, tile_spec],
+        out_specs=[val, val],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((ngroups, ncorr, group), jnp.float32),
+        jax.ShapeDtypeStruct((ngroups, ncorr, group), jnp.float32),
+    ]
+
+    vals_re, vals_im = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        jnp.asarray(arrays["group_tile"]),
+        urow[:, None, :],
+        jnp.asarray(arrays["vfa"])[:, None, :],
+        jnp.asarray(arrays["scale"])[:, None, :],
+        tiles_re.astype(jnp.float32),
+        tiles_im.astype(jnp.float32),
+    )
+
+    return _degrid_unpack(vals_re, vals_im, plan, arrays, nvis, ncorr,
+                          multi)

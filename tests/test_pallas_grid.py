@@ -407,3 +407,51 @@ def test_wstack_mxu_degrid_matches_scatter(rng):
                     atol=3e-5)
     assert_allclose(np.asarray(m_im), np.asarray(o_im), rtol=2e-4,
                     atol=3e-5)
+
+
+def test_2d_mxu_grid_degrid_match_scatter(rng):
+    """The 2D MXU matmul kernels (multi-correlation, virtual w-samples
+    via per-entry scale) must match the scatter/gather tile kernels,
+    including the gather+sum back onto owning visibilities."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.pallas_grid import (
+        assemble_tiles, degrid_tiles_mxu, degrid_tiles_pallas,
+        extract_tiles, grid_tiles_mxu, grid_tiles_pallas, plan_tiles,
+    )
+
+    w, beta = 6, 2.3 * 6
+    nu = nv = 64
+    nplanes = 5
+    n = 200
+    upos = rng.uniform(0, nu, n)
+    vpos = rng.uniform(0, nv, n)
+    iu0 = np.floor(upos).astype(np.int64) - (w // 2 - 1)
+    iv0 = np.floor(vpos).astype(np.int64) - (w // 2 - 1)
+    uf, vf = upos - iu0, vpos - iv0
+    scale = rng.uniform(0.2, 1.0, n)
+    plane = rng.integers(0, nplanes, n)
+    plan = plan_tiles(iu0, iv0, uf, vf, w, beta, nu, nv,
+                      sample_id=np.arange(n), scale=scale, plane=plane,
+                      nplanes=nplanes, group=64)
+
+    ncorr = 4
+    vre = jnp.asarray(rng.normal(size=(ncorr, n)).astype(np.float32))
+    vim = jnp.asarray(rng.normal(size=(ncorr, n)).astype(np.float32))
+    t_re, t_im = grid_tiles_pallas(plan, vre, vim, interpret=True)
+    ref_re, ref_im = assemble_tiles(t_re, t_im, plan)
+    m_re, m_im = grid_tiles_mxu(plan, vre, vim, interpret=True)
+    got_re, got_im = assemble_tiles(m_re, m_im, plan)
+    assert_allclose(np.asarray(got_re), np.asarray(ref_re), rtol=2e-5,
+                    atol=2e-5)
+    assert_allclose(np.asarray(got_im), np.asarray(ref_im), rtol=2e-5,
+                    atol=2e-5)
+
+    g = jnp.asarray(rng.normal(size=(nplanes, nu, nv)).astype(np.float32))
+    gi = jnp.asarray(rng.normal(size=(nplanes, nu, nv)).astype(np.float32))
+    tre, tim = extract_tiles(g, gi, plan)
+    o_re, o_im = degrid_tiles_pallas(plan, tre, tim, n, interpret=True)
+    x_re, x_im = degrid_tiles_mxu(plan, tre, tim, n, interpret=True)
+    assert_allclose(np.asarray(x_re), np.asarray(o_re), rtol=2e-4,
+                    atol=3e-5)
+    assert_allclose(np.asarray(x_im), np.asarray(o_im), rtol=2e-4,
+                    atol=3e-5)

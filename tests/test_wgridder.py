@@ -359,3 +359,43 @@ def test_double_accum_changes_f32_error_floor(grid_problem):
                      vis.imag.astype(np.float32)),
                 None, nx, ny, cell, cell, 1e-4, double_accum=True,
             )
+
+
+@pytest.mark.parametrize("use_tiles,wstack", [(False, True), (True, True),
+                                              (False, False)])
+def test_grid_degrid_adjoint_identity(use_tiles, wstack):
+    """grid_adjoint and degrid are exact adjoints: <dirty(v), I> =
+    <Re v·Re degrid(I) + Im v·Im degrid(I)> for ANY v, I. The whole
+    pipeline (spreading, FFT, w-correction, taper, crop) must satisfy
+    this — the hessian/normal-equation chain in api.hessian relies on
+    it (reference counterpart: ducc0's adjointness contract used by
+    africanus/gridding/wgridder/hessian.py:12)."""
+    import jax.numpy as jnp
+    from africanus_tpu.gridding.wgridder.core import (
+        degrid_ri, grid_adjoint, make_plan,
+    )
+    from africanus_tpu.ops.cplx import Cplx
+
+    C = 2.99792458e8
+    rng = np.random.default_rng(3)
+    nx = 64
+    nrow, nchan = 500, 2
+    cell = 1.0 * np.pi / 180 / nx
+    freq = 1e9 + np.arange(nchan) * (2e8 / nchan)
+    uvw = (rng.uniform(size=(nrow, 3)) - 0.5) / (cell * freq[-1] / C)
+    uvw[:, 2] *= 0.2
+    vre = rng.normal(size=(nrow, nchan))
+    vim = rng.normal(size=(nrow, nchan))
+    img = rng.normal(size=(nx, nx))
+
+    d = grid_adjoint(uvw, freq, Cplx(jnp.asarray(vre), jnp.asarray(vim)),
+                     None, nx, nx, cell, cell, 1e-6, wstack,
+                     use_tiles=use_tiles)
+    mv = degrid_ri(uvw, freq, jnp.asarray(img), None, cell, cell, 1e-6,
+                   wstack, use_tiles=use_tiles)
+    lhs = float(jnp.sum(jnp.asarray(d) * img))
+    rhs = float(jnp.sum(mv.re * vre + mv.im * vim))
+    # f64 XLA path is exact to roundoff; the Pallas tile path runs f32
+    # kernels (incl. the MXU matmul route) — f32-level agreement
+    tol = 1e-5 if use_tiles else 1e-12
+    assert abs(lhs - rhs) / abs(lhs) < tol
