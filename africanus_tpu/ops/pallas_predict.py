@@ -31,8 +31,15 @@ __all__ = ["predict_kb_pallas"]
 
 def _predict_kernel(dot_ref, dlo_ref, u1_ref, v1_ref, freq_ref, sfreq_ref,
                     bre_ref, bim_ref, out_re_ref, out_im_ref, *,
-                    src_block, have_env, compensated):
-    """One (row_tile, chan_tile) output tile; loop over source blocks."""
+                    src_block, have_env, compensated, blocked=False):
+    """One (row_tile, chan_tile) output tile; loop over source blocks.
+
+    With ``blocked`` the grid carries a third (innermost, sequential)
+    dimension over outer source tiles and this invocation accumulates
+    its partial sum into the revisited output block (the canonical
+    Pallas contraction-blocking pattern) — the source axis then no
+    longer needs to fit in VMEM whole.
+    """
     nsrc = dot_ref.shape[0]
     nblocks = nsrc // src_block
 
@@ -91,14 +98,29 @@ def _predict_kernel(dot_ref, dlo_ref, u1_ref, v1_ref, freq_ref, sfreq_ref,
     zeros = tuple(jnp.zeros((tr, tf), jnp.float32) for _ in range(ncorr))
     acc_re, acc_im = lax.fori_loop(0, nblocks, body, (zeros, zeros))
 
-    for c in range(ncorr):
-        out_re_ref[c] = acc_re[c]  # (C, TR, TF) corr-major layout
-        out_im_ref[c] = acc_im[c]
+    if blocked:
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _init():
+            for c in range(ncorr):
+                out_re_ref[c] = acc_re[c]
+                out_im_ref[c] = acc_im[c]
+
+        @pl.when(k != 0)
+        def _accum():
+            for c in range(ncorr):
+                out_re_ref[c] += acc_re[c]
+                out_im_ref[c] += acc_im[c]
+    else:
+        for c in range(ncorr):
+            out_re_ref[c] = acc_re[c]  # (C, TR, TF) corr-major layout
+            out_im_ref[c] = acc_im[c]
 
 
 def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
                       row_tile=128, chan_tile=128, src_block=8,
-                      interpret=False):
+                      src_tile=None, interpret=False):
     """Fused K[×env]×B predict.
 
     Parameters
@@ -113,6 +135,12 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
         (envelope = exp(−((u1·sf)² + (v1·sf)²))); pass None for points
     freq : (chan,) f32; scaled_freq : (chan,) f32 (gauss-scaled)
     b : Cplx (src, chan, corr) brightness
+    src_tile : outer contraction tile. Default (None) keeps the whole
+        source axis resident in VMEM per output tile (fastest, but caps
+        nsrc at a few thousand); an explicit tile adds a sequential
+        grid dimension over source tiles with output-block accumulation,
+        so the contraction axis can be arbitrarily deep (the adjoint
+        DFT contracts *rows* through this axis — see dft/kernels.py).
 
     Returns
     -------
@@ -137,15 +165,25 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
             f"divisible by (src_block={src_block}, row_tile={row_tile}, "
             f"chan_tile={chan_tile})"
         )
+    blocked = src_tile is not None and src_tile < nsrc
+    if blocked and (nsrc % src_tile or src_tile % src_block):
+        raise ValueError(
+            f"src_tile={src_tile} must divide nsrc={nsrc} and be a "
+            f"multiple of src_block={src_block}"
+        )
+    stile = src_tile if blocked else nsrc
 
     if not have_env:
         u1 = jnp.zeros_like(phase_dot)
         v1 = jnp.zeros_like(phase_dot)
 
     grid = (nrow // row_tile, nchan // chan_tile)
+    if blocked:
+        grid = grid + (nsrc // stile,)
 
     kernel = partial(_predict_kernel, src_block=src_block,
-                     have_env=have_env, compensated=compensated)
+                     have_env=have_env, compensated=compensated,
+                     blocked=blocked)
 
     # corr-major device layouts: a trailing corr dim of 4 would be padded
     # to the 128-lane tile, inflating VMEM 32x
@@ -154,28 +192,39 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
         jax.ShapeDtypeStruct((ncorr, nrow, nchan), jnp.float32),
     ]
 
+    if blocked:
+        src_row = lambda i, j, k: (k, i)      # noqa: E731
+        chan_vec = lambda i, j, k: (0, j)     # noqa: E731
+        bidx = lambda i, j, k: (0, k, j)      # noqa: E731
+        oidx = lambda i, j, k: (0, i, j)      # noqa: E731
+    else:
+        src_row = lambda i, j: (0, i)         # noqa: E731
+        chan_vec = lambda i, j: (0, j)        # noqa: E731
+        bidx = lambda i, j: (0, 0, j)         # noqa: E731
+        oidx = lambda i, j: (0, i, j)         # noqa: E731
+
     in_specs = [
-        pl.BlockSpec((nsrc, row_tile), lambda i, j: (0, i),
+        pl.BlockSpec((stile, row_tile), src_row,
                      memory_space=pltpu.VMEM),  # phase_dot (hi)
-        pl.BlockSpec((nsrc, row_tile), lambda i, j: (0, i),
+        pl.BlockSpec((stile, row_tile), src_row,
                      memory_space=pltpu.VMEM),  # phase_dot (lo)
-        pl.BlockSpec((nsrc, row_tile), lambda i, j: (0, i),
+        pl.BlockSpec((stile, row_tile), src_row,
                      memory_space=pltpu.VMEM),  # u1
-        pl.BlockSpec((nsrc, row_tile), lambda i, j: (0, i),
+        pl.BlockSpec((stile, row_tile), src_row,
                      memory_space=pltpu.VMEM),  # v1
-        pl.BlockSpec((1, chan_tile), lambda i, j: (0, j),
+        pl.BlockSpec((1, chan_tile), chan_vec,
                      memory_space=pltpu.VMEM),  # freq
-        pl.BlockSpec((1, chan_tile), lambda i, j: (0, j),
+        pl.BlockSpec((1, chan_tile), chan_vec,
                      memory_space=pltpu.VMEM),  # scaled_freq
-        pl.BlockSpec((ncorr, nsrc, chan_tile), lambda i, j: (0, 0, j),
+        pl.BlockSpec((ncorr, stile, chan_tile), bidx,
                      memory_space=pltpu.VMEM),  # b.re (corr-major)
-        pl.BlockSpec((ncorr, nsrc, chan_tile), lambda i, j: (0, 0, j),
+        pl.BlockSpec((ncorr, stile, chan_tile), bidx,
                      memory_space=pltpu.VMEM),  # b.im
     ]
     out_specs = [
-        pl.BlockSpec((ncorr, row_tile, chan_tile), lambda i, j: (0, i, j),
+        pl.BlockSpec((ncorr, row_tile, chan_tile), oidx,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ncorr, row_tile, chan_tile), lambda i, j: (0, i, j),
+        pl.BlockSpec((ncorr, row_tile, chan_tile), oidx,
                      memory_space=pltpu.VMEM),
     ]
 

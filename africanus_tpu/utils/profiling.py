@@ -31,36 +31,79 @@ def trace(log_dir):
         jax.profiler.stop_trace()
 
 
-def measure(fn, *args, reps=10, warmup=True):
+_DISPATCH_OVERHEAD = {}
+
+
+def dispatch_overhead():
+    """Fixed cost of one dispatch+fetch round trip (seconds, cached).
+
+    On the tunneled backend this is ~30 ms — larger than many kernels —
+    so per-call times must subtract it and amortise over enough
+    repetitions that the remainder is the kernel. Distinct inputs per
+    probe (the terminal reuses results for identical dispatches)."""
+    key = jax.default_backend()
+    if key not in _DISPATCH_OVERHEAD:
+        f = jax.jit(lambda x: x + 1.0)
+        float(np.asarray(f(jnp.float32(0.0))))  # compile warm-up
+        ts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            float(np.asarray(f(jnp.float32(i + 1.0))))
+            ts.append(time.perf_counter() - t0)
+        _DISPATCH_OVERHEAD[key] = min(ts)
+    return _DISPATCH_OVERHEAD[key]
+
+
+def measure(fn, *args, reps=10, warmup=True, adaptive=True,
+            target_seconds=1.5, max_reps=3000):
     """Wall-clock seconds per call of ``fn(*args)`` on-device.
 
     ``fn`` must return an array; its [0-index] element is folded into a
     scalar carry so XLA cannot elide iterations, and each iteration's
     input is perturbed so the runtime cannot reuse a cached result. The
     scalar is fetched (the only barrier that works through the tunnel).
+
+    The repetition loop is a ``fori_loop`` with a *runtime* trip count,
+    so rep counts can be rescaled without recompiling: with ``adaptive``
+    a first probe at ``reps`` estimates the per-call time, and if the
+    fixed dispatch+fetch round trip (~30 ms through the tunnel) is not
+    well amortised the loop is re-timed with enough repetitions to fill
+    ``target_seconds``. The round-trip cost is subtracted in all cases —
+    without this, sub-millisecond kernels read as tunnel latency.
     """
     args = tuple(jax.tree_util.tree_map(jnp.asarray, a) for a in args)
 
-    def loop(*a):
-        def body(c, i):
+    def loop(n, *a):
+        def body(i, c):
             eps = i.astype(jnp.float32) * 1e-9
-            first = jax.tree_util.tree_leaves(a[0])[0]
             perturbed = jax.tree_util.tree_map(
                 lambda x: x + eps.astype(x.dtype), a[0]
             )
             out = fn(perturbed, *a[1:])
             leaf = jax.tree_util.tree_leaves(out)[0]
-            return c + leaf.reshape(-1)[0].astype(jnp.float32), None
+            return c + leaf.reshape(-1)[0].astype(jnp.float32)
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
-        return c
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     g = jax.jit(loop)
+    overhead = dispatch_overhead()
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(np.asarray(g(jnp.int32(n), *args)))
+        return time.perf_counter() - t0
+
     if warmup:
-        float(np.asarray(g(*args)))
-    t0 = time.perf_counter()
-    float(np.asarray(g(*args)))
-    return (time.perf_counter() - t0) / reps
+        float(np.asarray(g(jnp.int32(reps), *args)))
+    total = timed(reps)
+    per_call = max(total - overhead, 1e-9) / reps
+    if adaptive and overhead > 0.05 * total:
+        n2 = int(np.clip(np.ceil(target_seconds / max(per_call, 1e-9)),
+                         reps, max_reps))
+        if n2 > reps:
+            total2 = timed(n2)
+            per_call = max(total2 - overhead, 1e-9) / n2
+    return per_call
 
 
 @dataclass

@@ -94,6 +94,24 @@ def test_pallas_predict_compensated(rng):
     assert np.abs(got - ref).max() / scale < 2e-6
 
 
+def test_pallas_predict_blocked_source_axis(problem):
+    """src_tile contraction blocking (sequential third grid dim with
+    output-block accumulation) must agree with the all-resident path."""
+    dot, u1, v1, freq, sf, b = problem
+    full = pp.predict_kb_pallas(dot, u1, v1, freq, sf, b, interpret=True)
+    blk = pp.predict_kb_pallas(dot, u1, v1, freq, sf, b,
+                               src_tile=8, src_block=8, interpret=True)
+    scale = np.abs(np.asarray(full.re)).max()
+    assert_allclose(np.asarray(blk.re), np.asarray(full.re),
+                    atol=2e-6 * scale)
+    assert_allclose(np.asarray(blk.im), np.asarray(full.im),
+                    atol=2e-6 * scale)
+
+    with pytest.raises(ValueError, match="src_tile"):
+        pp.predict_kb_pallas(dot, u1, v1, freq, sf, b,
+                             src_tile=6, src_block=8, interpret=True)
+
+
 def test_pallas_predict_shape_validation(problem):
     dot, u1, v1, freq, sf, b = problem
     with pytest.raises(ValueError, match="divisible"):
