@@ -7,6 +7,12 @@ TPU-native equivalent of reference ``africanus/averaging/bda_avg.py``
 gather+sums (XLA scatter is ~1.4e8 elem/s on TPU — see
 time_and_channel_avg.py), and the "broadcast along the run" steps become
 gathers from host-computed run indices.
+
+The host gather tables are cached per plan object (the mapper's content
+LRU returns the same RowMapOutput for identical metadata, so selfcal
+loops replan nothing), and the whole averaging runs as ONE jitted
+dispatch — per-call tunnel latency (~30 ms) would otherwise dominate
+end-to-end throughput by ~50x.
 """
 
 from __future__ import annotations
@@ -41,45 +47,76 @@ AverageOutput = namedtuple(
     list(RowMapOutput._fields) + _row_output_fields + _rowchan_output_fields,
 )
 
+_BdaTables = namedtuple(
+    "_BdaTables",
+    ["row_sel", "row_valid", "out_run", "row0", "rc_sel", "rc_valid",
+     "meta_dev"],
+)
 
-def row_average(
-    meta,
+# plan-object → gather tables; values hold the meta strongly so ids stay
+# unique while cached (mirrors the mapper's 8-entry LRU)
+_TABLE_CACHE: dict = {}
+_TABLE_CACHE_MAX = 8
+
+
+def _tables(meta):
+    """Device gather tables for a RowMapOutput plan (cached per object)."""
+    key = id(meta)
+    hit = _TABLE_CACHE.pop(key, None)
+    if hit is not None and hit[0] is meta:
+        _TABLE_CACHE[key] = hit  # refresh LRU position
+        return hit[1]
+
+    offsets = np.asarray(meta.offsets).astype(np.int64)
+    rc_map = np.asarray(meta.map)
+    row0 = rc_map[:, 0]
+    run_starts = offsets[:-1]
+    nruns = run_starts.shape[0]
+    nchan_per_run = np.diff(offsets)
+    # run index of each input row, and of each flat output position
+    row_run = np.searchsorted(run_starts, row0, side="right") - 1
+    out_run = np.repeat(np.arange(nruns, dtype=np.int32), nchan_per_run)
+    row_sel, row_valid = _bin_gather_table(row_run, nruns)
+    rc_sel, rc_valid = _bin_gather_table(rc_map.ravel(), meta.time.shape[0])
+
+    meta_dev = RowMapOutput(
+        *(None if f is None else jnp.asarray(f) for f in meta)
+    )
+    tbl = _BdaTables(
+        row_sel=jnp.asarray(row_sel),
+        row_valid=jnp.asarray(row_valid),
+        out_run=jnp.asarray(out_run),
+        row0=jnp.asarray(row0.astype(np.int32)),
+        rc_sel=jnp.asarray(rc_sel),
+        rc_valid=jnp.asarray(rc_valid),
+        meta_dev=meta_dev,
+    )
+    _TABLE_CACHE[key] = (meta, tbl)
+    while len(_TABLE_CACHE) > _TABLE_CACHE_MAX:
+        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+    return tbl
+
+
+def _row_average_core(
+    tbl,
+    meta_flag_row,
     ant1,
     ant2,
-    flag_row=None,
-    time_centroid=None,
-    exposure=None,
-    uvw=None,
-    weight=None,
-    sigma=None,
+    flag_row,
+    time_centroid,
+    exposure,
+    uvw,
+    weight,
+    sigma,
 ):
-    """BDA row averaging (reference bda_avg.py:33-255): values accumulate
-    per output *run* (one bin per averaged row) then broadcast along the
-    run's flat output positions."""
-    out_row_chans = meta.time.shape[0]
-    offsets = np.asarray(meta.offsets)
-    row0_np = np.asarray(meta.map)[:, 0]
-    run_starts = offsets[:-1].astype(np.int64)
-    nruns = run_starts.shape[0]
-    nchan_per_run = np.diff(offsets.astype(np.int64))
-    # run index of each input row, and of each flat output position
-    row_run_np = np.searchsorted(run_starts, row0_np, side="right") - 1
-    out_run = jnp.asarray(
-        np.repeat(np.arange(nruns, dtype=np.int64), nchan_per_run)
-    )
+    """Pure device math of BDA row averaging (reference bda_avg.py:33-255):
+    values accumulate per output *run* (one bin per averaged row) then
+    broadcast along the run's flat output positions."""
+    row_sel, row_valid, out_run = tbl.row_sel, tbl.row_valid, tbl.out_run
+    nruns = row_sel.shape[0]
 
-    row_sel_np, row_valid_np = _bin_gather_table(row_run_np, nruns)
-    row_sel = jnp.asarray(row_sel_np)
-    row_valid = jnp.asarray(row_valid_np)
-
-    ant1 = jnp.asarray(ant1)
-    ant2 = jnp.asarray(ant2)
-
-    if flag_row is not None and meta.flag_row is not None:
-        row0 = jnp.asarray(row0_np.astype(np.int32))
-        match_in = (
-            jnp.asarray(flag_row) == jnp.asarray(meta.flag_row)[row0]
-        )
+    if flag_row is not None and meta_flag_row is not None:
+        match_in = jnp.asarray(flag_row) == meta_flag_row[tbl.row0]
         match = match_in[row_sel] & row_valid
     else:
         match = row_valid
@@ -87,11 +124,9 @@ def row_average(
     counts = match.sum(axis=1, dtype=jnp.uint32)
 
     # reference loop semantics: the last contributing row's antenna wins
-    last = row_sel[
-        jnp.arange(nruns), jnp.maximum(row_valid.sum(axis=1) - 1, 0)
-    ]
-    ant1_avg = ant1[last][out_run]
-    ant2_avg = ant2[last][out_run]
+    last = row_sel[jnp.arange(nruns), jnp.maximum(row_valid.sum(axis=1) - 1, 0)]
+    ant1_avg = jnp.asarray(ant1)[last][out_run]
+    ant2_avg = jnp.asarray(ant2)[last][out_run]
 
     def _masked(x):
         shape = (1,) * (x.ndim - 2)
@@ -133,20 +168,17 @@ def row_average(
     )
 
 
-def row_chan_average(
-    meta,
-    flag_row=None,
-    weight=None,
-    visibilities=None,
-    flag=None,
-    weight_spectrum=None,
-    sigma_spectrum=None,
+def _row_chan_average_core(
+    tbl,
+    flag_row,
+    weight,
+    visibilities,
+    flag,
+    weight_spectrum,
+    sigma_spectrum,
 ):
-    """BDA (row, chan) averaging into the flat ragged output (reference
-    bda_avg.py:397-640)."""
-    out_row_chans = meta.time.shape[0]
-    rc_map_np = np.asarray(meta.map)  # (row, chan) → flat output slot
-
+    """Pure device math of BDA (row, chan) averaging into the flat ragged
+    output (reference bda_avg.py:397-640)."""
     probe = None
     for cand in (visibilities, flag, weight_spectrum, sigma_spectrum):
         if cand is not None:
@@ -158,10 +190,8 @@ def row_chan_average(
     nrow, nchan, ncorr = leaf.shape
     in_shape = (nrow, nchan, ncorr)
 
-    # inverse table over the flat (row·chan) input space
-    sel_np, valid_np = _bin_gather_table(rc_map_np.ravel(), out_row_chans)
-    sel = jnp.asarray(sel_np)
-    validb = jnp.asarray(valid_np)[:, :, None]
+    sel = tbl.rc_sel
+    validb = tbl.rc_valid[:, :, None]
 
     def g(x):
         """(nrow, nchan, ncorr) → (out_row_chans, R, ncorr)."""
@@ -227,6 +257,80 @@ def row_chan_average(
     return RowChanAverageOutput(vis_avg, flag_avg, ws_avg, ss_avg)
 
 
+_row_average_jit = jax.jit(_row_average_core)
+_row_chan_average_jit = jax.jit(_row_chan_average_core)
+
+
+@jax.jit
+def _bda_core(
+    tbl,
+    meta_flag_row,
+    ant1,
+    ant2,
+    flag_row,
+    time_centroid,
+    exposure,
+    uvw,
+    weight,
+    sigma,
+    visibilities,
+    flag,
+    weight_spectrum,
+    sigma_spectrum,
+):
+    """Both averaging stages fused into one dispatch."""
+    row_out = _row_average_core(
+        tbl, meta_flag_row, ant1, ant2, flag_row,
+        time_centroid, exposure, uvw, weight, sigma,
+    )
+    rowchan_out = _row_chan_average_core(
+        tbl, flag_row, weight, visibilities, flag,
+        weight_spectrum, sigma_spectrum,
+    )
+    return row_out, rowchan_out
+
+
+def row_average(
+    meta,
+    ant1,
+    ant2,
+    flag_row=None,
+    time_centroid=None,
+    exposure=None,
+    uvw=None,
+    weight=None,
+    sigma=None,
+):
+    """BDA row averaging (reference bda_avg.py:33-255)."""
+    tbl = _tables(meta)
+    return _row_average_jit(
+        tbl, tbl.meta_dev.flag_row, ant1, ant2, flag_row,
+        time_centroid, exposure, uvw, weight, sigma,
+    )
+
+
+def row_chan_average(
+    meta,
+    flag_row=None,
+    weight=None,
+    visibilities=None,
+    flag=None,
+    weight_spectrum=None,
+    sigma_spectrum=None,
+):
+    """BDA (row, chan) averaging into the flat ragged output (reference
+    bda_avg.py:397-640)."""
+    if all(
+        x is None
+        for x in (visibilities, flag, weight_spectrum, sigma_spectrum)
+    ):
+        return RowChanAverageOutput(None, None, None, None)
+    return _row_chan_average_jit(
+        _tables(meta), flag_row, weight, visibilities, flag,
+        weight_spectrum, sigma_spectrum,
+    )
+
+
 def bda(
     time,
     interval,
@@ -254,8 +358,8 @@ def bda(
 ):
     """Full baseline-dependent averaging (reference bda_avg.py:655-733).
 
-    Mapping (ragged, serial) runs on the host; the averaging is jax
-    scatter-add code over the flat (row·chan) output.
+    Mapping (ragged, serial) runs on the host and is content-cached;
+    the averaging is a single jitted device dispatch.
     """
     if chan_width is None or chan_freq is None:
         raise ValueError("chan_freq and chan_width must be provided")
@@ -279,25 +383,22 @@ def bda(
         min_nchan=min_nchan,
     )
 
-    row_out = row_average(
-        meta, antenna1, antenna2, flag_row=flag_row,
-        time_centroid=time_centroid, exposure=exposure, uvw=uvw,
-        weight=weight, sigma=sigma,
-    )
-    rowchan_out = row_chan_average(
-        meta, flag_row=flag_row, weight=weight, visibilities=visibilities,
-        flag=flag, weight_spectrum=weight_spectrum,
-        sigma_spectrum=sigma_spectrum,
+    tbl = _tables(meta)
+    md = tbl.meta_dev
+    row_out, rowchan_out = _bda_core(
+        tbl, md.flag_row, antenna1, antenna2, flag_row,
+        time_centroid, exposure, uvw, weight, sigma,
+        visibilities, flag, weight_spectrum, sigma_spectrum,
     )
 
     return AverageOutput(
-        jnp.asarray(meta.map),
-        jnp.asarray(meta.offsets),
-        jnp.asarray(meta.decorr_chan_width),
-        jnp.asarray(meta.time),
-        jnp.asarray(meta.interval),
-        jnp.asarray(meta.chan_width),
-        None if flag_row is None else jnp.asarray(meta.flag_row),
+        md.map,
+        md.offsets,
+        md.decorr_chan_width,
+        md.time,
+        md.interval,
+        md.chan_width,
+        None if flag_row is None else md.flag_row,
         *row_out,
         *rowchan_out,
     )

@@ -218,8 +218,21 @@ def _plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking):
             dw = 1.0 / (2.0 * _SIGMA * nm1_absmax)
         nplanes = int(np.ceil((wmax - wmin) / dw)) + support + 2
         w0 = wmin - dw * (support // 2 + 1)
-        # w taper at the image's nonuniform coordinate nm1 (cos-symmetric)
-        w_taper = kernel_taper(nm1.ravel() * dw, support, beta).reshape(nm1.shape)
+        # w taper at the image's nonuniform coordinate nm1. The taper is
+        # an even, smooth 1D function of xi = nm1·dw, so evaluate the
+        # quadrature on an 8192-point table and linearly interpolate:
+        # interp error ≲ (Δxi)²·max|f''|/8 ≈ 1e-7·f(0) — far below the
+        # kernel epsilon — while direct evaluation at every image pixel
+        # dominated the whole plan build (nx·ny × quad_points cosines).
+        xi_abs = np.abs(nm1.ravel()) * dw
+        xi_max = float(xi_abs.max())
+        if xi_max == 0.0:
+            w_taper = np.full_like(nm1, kernel_taper(
+                np.zeros(1), support, beta)[0])
+        else:
+            tab_xi = np.linspace(0.0, xi_max, 8192)
+            tab = kernel_taper(tab_xi, support, beta)
+            w_taper = np.interp(xi_abs, tab_xi, tab).reshape(nm1.shape)
     else:
         nplanes, w0, dw = 1, 0.0, 1.0
         w_taper = np.ones_like(nm1)
@@ -268,21 +281,53 @@ def _spread_indices_weights(u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta):
     return iu0, iv0, iw0, ku, kv, kw
 
 
+_MAKE_PLAN_CACHE: dict = {}
+_MAKE_PLAN_CACHE_MAX = 4
+
+
+def _make_plan_key(uvw, freq, params):
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for a in (uvw, freq):
+        a = np.ascontiguousarray(a)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.view(np.uint8).data)
+    h.update(repr(params).encode())
+    return h.digest()
+
+
 def make_plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking=True,
               use_tiles=None):
     """Public wrapper building the host-side gridding plan from concrete
     uvw/freq, for use with traced gridding calls (shard_map etc.).
 
     ``use_tiles`` additionally builds the Pallas tile-binning sub-plan
-    (default: auto — on for TPU backends)."""
+    (default: auto — on for TPU backends).
+
+    Plans are cached by input content (4-entry LRU): selfcal major
+    cycles grid/degrid the same uvw/freq every iteration, and the plan
+    build is pure host work. Treat the returned dict as read-only."""
     uvw = np.asarray(uvw)
     freq = np.asarray(freq)
-    plan = _plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking)
     if use_tiles is None:
         use_tiles = _use_tiles_default()
+    key = _make_plan_key(
+        uvw, freq,
+        (nx, ny, cellx, celly, epsilon, do_wstacking, bool(use_tiles)),
+    )
+    hit = _MAKE_PLAN_CACHE.pop(key, None)
+    if hit is not None:
+        _MAKE_PLAN_CACHE[key] = hit  # refresh LRU position
+        return hit
+    plan = _plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking)
     if use_tiles:
         plan["tile_plan"] = _tile_plan(uvw, freq, plan, nx, ny, cellx,
                                        celly)
+    _MAKE_PLAN_CACHE[key] = plan
+    while len(_MAKE_PLAN_CACHE) > _MAKE_PLAN_CACHE_MAX:
+        _MAKE_PLAN_CACHE.pop(next(iter(_MAKE_PLAN_CACHE)))
     return plan
 
 
