@@ -1,0 +1,164 @@
+"""Host plan caching + taper-table accuracy (round-3 perf work).
+
+Covers: make_plan content LRU (wgridder), the BDA gather-table cache
+keyed per plan object, and the w-taper quadrature-table interpolation
+against direct quadrature (reference contract: ducc0 evaluates the
+kernel correction exactly; our table must be far below the kernel
+epsilon)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_array_equal, assert_allclose
+
+C_LIGHT = 299792458.0
+
+
+@pytest.fixture
+def uvw_freq(rng):
+    nrow, nchan = 500, 3
+    nx = 64
+    cell = (0.5 * np.pi / 180) / nx
+    freq = np.linspace(0.856e9, 1.2e9, nchan)
+    umax = 0.9 / (2 * cell * freq[-1] / C_LIGHT)
+    uvw = rng.uniform(-1, 1, (nrow, 3)) * np.array([umax, umax, umax / 15])
+    return uvw.astype(np.float32), freq.astype(np.float32), nx, cell
+
+
+def test_make_plan_content_cache(uvw_freq):
+    from africanus_tpu.gridding.wgridder.core import make_plan
+
+    uvw, freq, nx, cell = uvw_freq
+    p1 = make_plan(uvw, freq, nx, nx, cell, cell, 1e-4, True)
+    # identical content (fresh array objects) → same cached plan object
+    p2 = make_plan(uvw.copy(), freq.copy(), nx, nx, cell, cell, 1e-4, True)
+    assert p2 is p1
+    # any parameter change misses
+    p3 = make_plan(uvw, freq, nx, nx, cell, cell, 1e-3, True)
+    assert p3 is not p1
+    p4 = make_plan(uvw, freq, nx, nx, cell, cell, 1e-4, False)
+    assert p4 is not p1
+    # data change misses
+    uvw2 = uvw.copy()
+    uvw2[0, 0] += 1.0
+    p5 = make_plan(uvw2, freq, nx, nx, cell, cell, 1e-4, True)
+    assert p5 is not p1
+
+
+def test_w_taper_table_matches_direct_quadrature(uvw_freq):
+    from africanus_tpu.gridding.wgridder.core import _plan, kernel_taper
+
+    uvw, freq, nx, cell = uvw_freq
+    p = _plan(uvw, freq, nx, nx, cell, cell, 1e-4, True)
+    exact = kernel_taper(
+        p["nm1"].ravel() * p["dw"], p["support"], p["beta"]
+    ).reshape(p["nm1"].shape)
+    err = np.abs(p["w_taper"] - exact).max() / np.abs(exact).max()
+    # interp error must sit orders of magnitude below the 1e-4 kernel
+    # epsilon so it never moves the gridder accuracy floor
+    assert err < 1e-7
+
+
+def test_w_taper_no_wstacking_is_flat(uvw_freq):
+    from africanus_tpu.gridding.wgridder.core import _plan
+
+    uvw, freq, nx, cell = uvw_freq
+    p = _plan(uvw, freq, nx, nx, cell, cell, 1e-4, False)
+    assert p["nplanes"] == 1
+    assert np.all(p["w_taper"] == 1.0)
+
+
+def _synth_bda_inputs(rng, ntime=6, nant=5, nchan=4, ncorr=2):
+    from africanus_tpu.ops.cplx import Cplx
+
+    a1u, a2u = np.triu_indices(nant, 1)
+    nbl = a1u.size
+    time = np.repeat(5.03e9 + np.arange(ntime) * 8.0, nbl)
+    a1 = np.tile(a1u, ntime)
+    a2 = np.tile(a2u, ntime)
+    nrow = time.size
+    ant_pos = rng.uniform(-2000, 2000, (nant, 3))
+    uvw = ant_pos[a1] - ant_pos[a2]
+    interval = np.full(nrow, 8.0)
+    vis = Cplx(rng.normal(size=(nrow, nchan, ncorr)),
+               rng.normal(size=(nrow, nchan, ncorr)))
+    chan_freq = np.linspace(0.856e9, 1.712e9, nchan)
+    chan_width = np.full(nchan, 0.856e9 / nchan)
+    return time, interval, a1, a2, uvw, vis, chan_freq, chan_width
+
+
+def test_bda_table_cache_reuses_per_plan(rng):
+    from africanus_tpu.averaging import bda_mapping
+    from africanus_tpu.averaging.bda_avg import _tables
+
+    time, interval, a1, a2, uvw, vis, cf, cw = _synth_bda_inputs(rng)
+    mud = float(np.sqrt((uvw**2).sum(1)).max())
+    meta = bda_mapping.bda_mapper(time, interval, a1, a2, uvw, cw, cf, mud)
+    t1 = _tables(meta)
+    assert _tables(meta) is t1  # object-cache hit
+    # the mapper's content cache returns the same meta for same inputs,
+    # so a replanned call reuses the same tables transitively
+    meta2 = bda_mapping.bda_mapper(time, interval, a1, a2, uvw, cw, cf, mud)
+    assert meta2 is meta
+    assert _tables(meta2) is t1
+    # a different plan gets fresh tables
+    meta3 = bda_mapping.bda_mapper(
+        time, interval, a1, a2, uvw, cw, cf, mud, decorrelation=0.9
+    )
+    assert meta3 is not meta
+    assert _tables(meta3) is not t1
+
+
+def test_bda_single_dispatch_matches_staged_calls(rng):
+    """bda()'s fused core must equal calling row_average /
+    row_chan_average separately (they share the same plan tables)."""
+    from africanus_tpu.averaging import bda
+    from africanus_tpu.averaging.bda_avg import (
+        bda_mapper, row_average, row_chan_average,
+    )
+
+    time, interval, a1, a2, uvw, vis, cf, cw = _synth_bda_inputs(rng)
+    weight = rng.uniform(0.5, 2.0, (time.size, vis.re.shape[2]))
+    sigma = rng.uniform(0.1, 1.0, weight.shape)
+    flag_row = (rng.uniform(size=time.size) < 0.1).astype(np.uint8)
+    flag = rng.uniform(size=vis.re.shape) < 0.05
+
+    out = bda(time, interval, a1, a2, time_centroid=time,
+              exposure=interval, flag_row=flag_row, uvw=uvw,
+              weight=weight, sigma=sigma, chan_freq=cf, chan_width=cw,
+              visibilities=vis, flag=flag, decorrelation=0.95)
+
+    mud = float(np.sqrt((uvw**2).sum(1)).max())
+    meta = bda_mapper(time, interval, a1, a2, uvw, cw, cf, mud,
+                      flag_row=flag_row, decorrelation=0.95)
+    ro = row_average(meta, a1, a2, flag_row=flag_row, time_centroid=time,
+                     exposure=interval, uvw=uvw, weight=weight, sigma=sigma)
+    rc = row_chan_average(meta, flag_row=flag_row, weight=weight,
+                          visibilities=vis, flag=flag)
+
+    assert_allclose(np.asarray(out.uvw), np.asarray(ro.uvw), rtol=1e-12)
+    assert_allclose(np.asarray(out.sigma), np.asarray(ro.sigma), rtol=1e-12)
+    assert_array_equal(np.asarray(out.antenna1), np.asarray(ro.antenna1))
+    assert_allclose(np.asarray(out.visibilities.re),
+                    np.asarray(rc.visibilities.re), rtol=1e-12)
+    assert_allclose(np.asarray(out.visibilities.im),
+                    np.asarray(rc.visibilities.im), rtol=1e-12)
+    assert_array_equal(np.asarray(out.flag), np.asarray(rc.flag))
+
+
+def test_bda_handcrafted_meta_with_none_fields(rng):
+    """row_average must accept metas whose optional fields are None
+    (hand-built plans in tests and downstream tools)."""
+    from africanus_tpu.averaging.bda_avg import row_average
+    from africanus_tpu.averaging.bda_mapping import RowMapOutput
+
+    # two input rows averaged into one output run of two channels
+    bmap = np.array([[0, 1], [0, 1]])
+    offsets = np.array([0, 2])
+    meta = RowMapOutput(bmap, offsets, None, np.array([1.5, 1.5]),
+                        np.array([2.0, 2.0]), None, None)
+    out = row_average(
+        meta, np.array([0, 0]), np.array([1, 1]),
+        time_centroid=np.array([1.0, 2.0]), exposure=np.array([1.0, 1.0]),
+    )
+    assert_allclose(np.asarray(out.time_centroid), [1.5, 1.5])
+    assert_allclose(np.asarray(out.exposure), [2.0, 2.0])
