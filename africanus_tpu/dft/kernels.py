@@ -16,6 +16,7 @@ over the row-sharded axis.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -78,20 +79,16 @@ def im_to_vis_ri(
         )
 
     if use_pallas is None:
-        import jax
-
-        # the kernel keeps the whole contraction (source) axis resident
-        # in VMEM — fall back to the einsum path when it would not fit
+        # on-TPU f32 always has a fused route: the channel-lane predict
+        # kernel when channels fill the 128-lane axis and the source
+        # axis fits VMEM, the row-lane forward-DFT kernel (rotation
+        # recurrence over channel groups, streamed source axis)
+        # otherwise. CPU keeps the einsum (pallas interpret is slow).
         use_pallas = (
             jax.default_backend() == "tpu"
             and jnp.dtype(real_dtype) == jnp.float32
-            and lm.shape[0] <= _PALLAS_MAX_CONTRACT
-            # chan pads to 128-multiples: below 128 the pad waste costs
-            # more than the fused kernel saves (measured)
-            and frequency.shape[0] >= 128
         )
     if use_pallas:
-        from africanus_tpu.ops.pallas_predict import predict_kb_pallas
         from africanus_tpu.rime.phase import phase_dot_cycles
 
         nsrc = lm.shape[0]
@@ -100,19 +97,33 @@ def im_to_vis_ri(
         dot_hi, dot_lo = phase_dot_cycles(lm, uvw, convention)
         b = Cplx(img.re.astype(jnp.float32), img.im.astype(jnp.float32))
 
-        spad = (-nsrc) % 8
-        rpad = (-nrow) % 128
-        cpad = (-nchan) % 128
-        if spad or rpad:
-            dot_hi = jnp.pad(dot_hi, ((0, spad), (0, rpad)))
-            dot_lo = jnp.pad(dot_lo, ((0, spad), (0, rpad)))
-        if spad or cpad:
-            b = Cplx(jnp.pad(b.re, ((0, spad), (0, cpad), (0, 0))),
-                     jnp.pad(b.im, ((0, spad), (0, cpad), (0, 0))))
-        freq_p = jnp.pad(frequency.astype(jnp.float32), (0, cpad))
-        out = predict_kb_pallas((dot_hi, dot_lo), None, None, freq_p,
-                                freq_p * 0, b, interpret=interpret)
-        return Cplx(out.re[:nrow, :nchan], out.im[:nrow, :nchan])
+        if nchan >= 128 and nsrc <= _PALLAS_MAX_CONTRACT:
+            from africanus_tpu.ops.pallas_predict import predict_kb_pallas
+
+            spad = (-nsrc) % 8
+            rpad = (-nrow) % 128
+            cpad = (-nchan) % 128
+            if spad or rpad:
+                dot_hi = jnp.pad(dot_hi, ((0, spad), (0, rpad)))
+                dot_lo = jnp.pad(dot_lo, ((0, spad), (0, rpad)))
+            if spad or cpad:
+                b = Cplx(jnp.pad(b.re, ((0, spad), (0, cpad), (0, 0))),
+                         jnp.pad(b.im, ((0, spad), (0, cpad), (0, 0))))
+            freq_p = jnp.pad(frequency.astype(jnp.float32), (0, cpad))
+            out = predict_kb_pallas((dot_hi, dot_lo), None, None, freq_p,
+                                    freq_p * 0, b, interpret=interpret)
+            return Cplx(out.re[:nrow, :nchan], out.im[:nrow, :nchan])
+
+        from africanus_tpu.ops.pallas_dft import dft_forward_pallas
+
+        # real-sky detection must precede the cplx() coercion: under
+        # jit the coerced zero imaginary part is a tracer
+        real_sky = not isinstance(image, Cplx) and not jnp.issubdtype(
+            jnp.asarray(image).dtype, jnp.complexfloating
+        )
+        return dft_forward_pallas((dot_hi, dot_lo), frequency, b,
+                                  interpret=interpret,
+                                  imag_zero=real_sky or None)
 
     p = _dft_phase(uvw, lm, frequency, convention, real_dtype)
     cos_p = jnp.cos(p)
@@ -186,39 +197,29 @@ def vis_to_im_ri(
     # the adjoint conjugates the kernel: flip the phase convention
     flipped = "casa" if convention == "fourier" else "fourier"
 
+    nchan = frequency.shape[0]
     if use_pallas is None:
-        # default OFF: the adjoint's deep row contraction is MXU-shaped
-        # and the einsum path measured ~20% faster on-chip at fair
-        # shapes; opt in (memory-bound regimes where the (s,r,f) cos/sin
-        # grids would not fit) with use_pallas=True.
-        use_pallas = False
+        # the pixel-lane fused kernel (ops/pallas_dft.py) wins whenever
+        # the einsum would be bandwidth-bound on materialised cos/sin
+        # (pixel, row) matrices — i.e. real TPU backends at few-channel
+        # imaging shapes (the channel loop is fully unrolled, so gate
+        # the count). CPU keeps the einsum (pallas interpret is slow).
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and nchan <= 64
+            and jnp.dtype(real_dtype) == jnp.float32
+        )
     if use_pallas:
-        from africanus_tpu.ops.pallas_predict import predict_kb_pallas
+        from africanus_tpu.ops.pallas_dft import dft_adjoint_pallas
         from africanus_tpu.rime.phase import phase_dot_cycles
 
-        nsrc = lm.shape[0]
-        nrow = uvw.shape[0]
-        nchan = frequency.shape[0]
-        ncorr = vr.shape[2]
         dot_hi, dot_lo = phase_dot_cycles(lm, uvw, flipped)
-        # swap roles: contract over rows (the kernel's "source" axis)
-        dot_hi = dot_hi.T
-        dot_lo = dot_lo.T
-        b = Cplx(vr.astype(jnp.float32), vi.astype(jnp.float32))
-
-        rpad = (-nrow) % 8
-        spad = (-nsrc) % 128
-        cpad = (-nchan) % 128
-        if rpad or spad:
-            dot_hi = jnp.pad(dot_hi, ((0, rpad), (0, spad)))
-            dot_lo = jnp.pad(dot_lo, ((0, rpad), (0, spad)))
-        if rpad or cpad:
-            b = Cplx(jnp.pad(b.re, ((0, rpad), (0, cpad), (0, 0))),
-                     jnp.pad(b.im, ((0, rpad), (0, cpad), (0, 0))))
-        freq_p = jnp.pad(frequency.astype(jnp.float32), (0, cpad))
-        out = predict_kb_pallas((dot_hi, dot_lo), None, None, freq_p,
-                                freq_p * 0, b, interpret=interpret)
-        return out.re[:nsrc, :nchan]
+        out = dft_adjoint_pallas(
+            (dot_hi.T, dot_lo.T), frequency,
+            Cplx(vr.astype(jnp.float32), vi.astype(jnp.float32)),
+            interpret=interpret,
+        )
+        return out.astype(real_dtype)
 
     p = _dft_phase(uvw, lm, frequency, flipped, real_dtype)
 

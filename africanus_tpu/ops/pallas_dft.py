@@ -1,0 +1,559 @@
+"""Fused Pallas DFT kernels for imaging-shaped problems.
+
+The adjoint DFT I[s,f,c] = Σ_r Re(e^{iφ(s,r,f)}·V[r,f,c]) (reference
+``africanus/dft/kernels.py:73`` vis_to_im) is the residual-imaging step
+of every DFT-based selfcal loop. The XLA einsum formulation materialises
+the per-channel cos/sin (pixel, row) matrices in HBM (~80 GB of traffic
+at SKA-mid row counts: the matmul's N dimension is tiny, so the
+contraction is bandwidth-bound on kernel-matrix traffic); the existing
+fused predict kernel (ops/pallas_predict.py) puts *channels* on the
+128-lane axis, so few-channel residual images pay an 8x lane pad.
+
+This kernel is laid out for that regime instead:
+
+- pixels on the 128-lane axis, visibility rows on sublanes — both
+  naturally large for imaging problems;
+- channels in a static unrolled loop (no lane padding, any count);
+- the row contraction is an in-register multiply + sublane reduction
+  accumulated into a revisited output block across the row grid
+  dimension, so HBM sees the (row, pixel) delay pairs exactly once and
+  the visibilities once per pixel tile.
+
+Per-channel phase economics — three statically-selected modes, chosen
+on the host from the concrete frequency grid (``_chan_group_tables``):
+
+``direct``
+    one compensated two-float mod-1-cycle phase evaluation (2
+    transcendentals) per (row, pixel, chan). Always correct; the only
+    choice when frequencies are traced (unknown at compile time) or
+    genuinely non-uniform.
+``exact``
+    the channel grid is an exact arithmetic progression base + f·step
+    (f64 grids from ``np.linspace``; nchan == 1): evaluate the phasor
+    at ``base`` and at ``step`` once per (row, pixel) chunk per channel
+    group and advance by unit-phasor multiplication — 2 evaluations
+    amortised over the group instead of one per channel. base/step are
+    carried as two-float (hi, lo) pairs so the recurrence is faithful
+    to the *original f64* grid, not its f32 cast.
+``residual``
+    the grid deviates from the fitted progression by at most
+    ``_DELTA_MAX`` Hz per channel (the common case: a uniform-intent
+    grid stored in f32, where per-channel casts wobble by an ulp):
+    run the ``exact`` recurrence for the progression and apply the
+    remaining rotation e^{2πi·delay·δ_f} by a 6th-order small-angle
+    polynomial (~12 VPU flops, no transcendental). Valid while
+    |delay·δ| ≤ 0.05 cycles — with |δ| ≤ 512 Hz that is every delay
+    up to 1e-4 s (a 300 km baseline at |l| = 0.1; an order of
+    magnitude beyond SKA-mid geometry), where the polynomial truncation
+    is ≤ 3e-9.
+
+Accuracy: the rotation recurrence drifts ~1 ulp per channel within a
+group (groups are ≤ 8 channels), the same order as the compensated
+pipeline itself.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from africanus_tpu.ops.cplx import Cplx
+from africanus_tpu.ops.dfloat import _r, split as df_split
+
+__all__ = ["dft_adjoint_pallas", "dft_forward_pallas"]
+
+# residual-mode engagement bound (Hz); see module docstring
+_DELTA_MAX = 512.0
+_TWO_PI = 2.0 * np.pi
+
+
+def _phase_cs(dot, dlo, dhh, dhl, f, fhh, fhl, flo, use_flo):
+    """cos/sin of 2π·(dot·f) with the product carried in two-float
+    cycles and reduced mod 1 (see ops/dfloat.py and the identical
+    product in ops/pallas_predict._predict_kernel). ``flo`` extends the
+    frequency to a two-float (f + flo) pair — ``use_flo`` is static so
+    the extra product costs nothing when the grid is plain f32."""
+    p = _r(dot * f)
+    e = _r(_r(
+        _r(_r(dhh * fhh) - p) + _r(dhh * fhl) + _r(dhl * fhh)
+    ) + _r(dhl * fhl))
+    e = _r(e + _r(dlo * f))
+    if use_flo:
+        e = _r(e + _r(dot * flo))
+    ph = _TWO_PI * _r(_r(p - jnp.round(p)) + e)
+    return jnp.cos(ph), jnp.sin(ph)
+
+
+def _residual_rot(kre, kim, dot, d2p):
+    """Rotate the phasor (kre, kim) by x = d2p·dot radians via 6th-order
+    small-angle polynomials (d2p = 2π·δ_f is an SMEM scalar; |x| must
+    stay ≤ ~0.35 rad — guaranteed by the _DELTA_MAX engagement bound)."""
+    x = d2p * dot
+    x2 = x * x
+    c = 1.0 - x2 * (0.5 - x2 * ((1.0 / 24.0) - x2 * (1.0 / 720.0)))
+    s = x * (1.0 - x2 * ((1.0 / 6.0) - x2 * (1.0 / 120.0)))
+    return kre * c - kim * s, kim * c + kre * s
+
+
+def _chunk_phasors(usm_ref, dot, dlo, dhh, dhl, use_flo):
+    """Base and step phasors for the recurrence modes (usm rows are
+    [value, dekker_hh, dekker_hl, lo]; columns [base, step])."""
+    kre, kim = _phase_cs(dot, dlo, dhh, dhl, usm_ref[0, 0, 0],
+                         usm_ref[0, 1, 0], usm_ref[0, 2, 0],
+                         usm_ref[0, 3, 0], use_flo)
+    sre, sim = _phase_cs(dot, dlo, dhh, dhl, usm_ref[0, 0, 1],
+                         usm_ref[0, 1, 1], usm_ref[0, 2, 1],
+                         usm_ref[0, 3, 1], use_flo)
+    return kre, kim, sre, sim
+
+
+def _dft_adj_kernel(fsm_ref, usm_ref, dhi_ref, dlo_ref, vre_ref, vim_ref,
+                    out_ref, *, nchan, ncorr, mode, use_flo, row_tile):
+    """One (pixel_tile, chan_group, row_tile) step; out block revisited
+    over the row grid dimension.
+
+    Rows are consumed in 8-sublane register chunks: the chunk's kernel
+    matrix, its per-channel rotation, and the (ncorr·nchan_group)
+    partial accumulators all live in vector registers — a whole-block
+    formulation bounced every (row_tile, 128) temporary through VMEM,
+    and carrying all channels' accumulators spilled the loop carry; the
+    channel-group grid dimension keeps the carry register-resident."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def chunk(j, acc):
+        r0 = j * 8
+        dot = dhi_ref[pl.ds(r0, 8), :]  # (8, 128) delay seconds, hi
+        dlo = dlo_ref[pl.ds(r0, 8), :]
+        dhh, dhl = df_split(dot)
+
+        if mode != "direct":
+            bre, bim, sre, sim = _chunk_phasors(
+                usm_ref, dot, dlo, dhh, dhl, use_flo
+            )
+
+        new = list(acc)
+        for f in range(nchan):
+            if mode == "direct":
+                kre, kim = _phase_cs(dot, dlo, dhh, dhl, fsm_ref[0, 0, f],
+                                     fsm_ref[0, 1, f], fsm_ref[0, 2, f],
+                                     fsm_ref[0, 3, f], use_flo)
+            elif mode == "residual":
+                kre, kim = _residual_rot(bre, bim, dot, fsm_ref[0, 0, f])
+            else:
+                kre, kim = bre, bim
+            for c in range(ncorr):
+                vr = vre_ref[0, c, pl.ds(r0, 8), f][:, None]  # (8, 1)
+                vi = vim_ref[0, c, pl.ds(r0, 8), f][:, None]
+                i = f * ncorr + c
+                new[i] = new[i] + (kre * vr - kim * vi)
+            if mode != "direct" and f + 1 < nchan:
+                bre, bim = (
+                    _r(bre * sre - bim * sim),
+                    _r(bre * sim + bim * sre),
+                )
+        return tuple(new)
+
+    from jax import lax
+
+    zeros = tuple(
+        jnp.zeros((8, 128), jnp.float32) for _ in range(nchan * ncorr)
+    )
+    acc = lax.fori_loop(0, row_tile // 8, chunk, zeros)
+    for f in range(nchan):
+        for c in range(ncorr):
+            out_ref[0, c, f, :] += acc[f * ncorr + c].sum(axis=0)
+
+
+def _f32_dekker_split_np(f):
+    """Host Dekker split of f32 values (12-bit halves)."""
+    f = np.asarray(f, np.float32)
+    c = np.float32(4097.0) * f
+    hi = (c - (c - f)).astype(np.float32)
+    return hi, (f - hi).astype(np.float32)
+
+
+def _freq_rows_np(f64):
+    """(4, n) host table rows [f32, dekker_hh, dekker_hl, lo] carrying
+    the f64 values as two-float pairs."""
+    f32 = np.asarray(f64, np.float32)
+    hh, hl = _f32_dekker_split_np(f32)
+    lo = (np.asarray(f64, np.float64) - f32.astype(np.float64)).astype(
+        np.float32
+    )
+    return np.stack([f32, hh, hl, lo])
+
+
+def _chan_group_tables(freq, nchan, ncorr, cap):
+    """Channel-group split + per-group scalar tables.
+
+    The kernels carry one (8, 128) register accumulator per
+    (group-channel, corr[, re/im]) — ``cap`` bounds that carry so Mosaic
+    never spills (8 for the adjoint's single real output, 4 for the
+    forward's pair). Returns (cg, ngroups, mode, use_flo, fsm, usm):
+    mode selects the per-channel phase strategy (module docstring), fsm
+    is the (ngroups, 4, cg) per-channel table ([ν, ν_hh, ν_hl, ν_lo]
+    rows for ``direct``; [2π·δ_f, 0, 0, 0] for ``residual``), usm the
+    (ngroups, 4, 2) per-group [base, step] two-float table driving the
+    recurrence.
+    """
+    cg = 1
+    for d in range(1, nchan + 1):
+        if nchan % d == 0 and d * ncorr <= cap:
+            cg = d
+    ngroups = nchan // cg
+
+    if isinstance(freq, jax.core.Tracer):
+        # frequencies unknown at trace time: per-channel direct path,
+        # in-graph tables (flo only meaningful for f64 inputs, which
+        # only occur on CPU)
+        f32 = jnp.asarray(freq, jnp.float32)
+        fhh, fhl = df_split(f32)
+        flo = (
+            (freq - f32.astype(freq.dtype)).astype(jnp.float32)
+            if jnp.issubdtype(jnp.asarray(freq).dtype, jnp.float64)
+            else jnp.zeros_like(f32)
+        )
+        use_flo = jnp.issubdtype(jnp.asarray(freq).dtype, jnp.float64)
+        fsm = jnp.stack([f32, fhh, fhl, flo]).reshape(
+            4, ngroups, cg).transpose(1, 0, 2)
+        usm = jnp.zeros((ngroups, 4, 2), jnp.float32)
+        return cg, ngroups, "direct", bool(use_flo), fsm, usm
+
+    f64 = np.asarray(freq, np.float64)
+    if nchan >= 2:
+        step = (f64[-1] - f64[0]) / (nchan - 1)
+        delta = f64 - (f64[0] + np.arange(nchan) * step)
+    else:
+        step = 0.0
+        delta = np.zeros(1)
+    dmax = np.abs(delta).max()
+    # sub-mHz fit residuals (f64 linspace rounding) are ≤ 1e-6 rad of
+    # phase even at the 1e-4 s delay bound — treat as exactly uniform
+    if dmax <= 1e-3:
+        mode = "exact"
+    elif dmax <= _DELTA_MAX:
+        mode = "residual"
+    else:
+        mode = "direct"
+    if cg < 2:
+        # the recurrence amortises within a group: a single-channel
+        # group pays 2 phasor evaluations (base + step) for 1 channel —
+        # direct (1 evaluation) wins
+        mode = "direct"
+
+    if mode == "direct":
+        fsm = _freq_rows_np(f64)  # (4, nchan)
+    else:
+        fsm = np.zeros((4, nchan), np.float32)
+        if mode == "residual":
+            fsm[0] = (_TWO_PI * delta).astype(np.float32)
+    fsm = jnp.asarray(np.ascontiguousarray(
+        fsm.reshape(4, ngroups, cg).transpose(1, 0, 2)
+    ))  # (ngroups, 4, cg)
+
+    if mode == "direct":
+        usm = jnp.zeros((ngroups, 4, 2), jnp.float32)
+        use_flo = bool(np.any(np.asarray(_freq_rows_np(f64)[3])))
+    else:
+        bases = f64[0] + (np.arange(ngroups) * cg) * step
+        u = np.stack([bases, np.full(ngroups, step)], axis=1)  # (ng, 2)
+        rows = _freq_rows_np(u.reshape(-1)).reshape(4, ngroups, 2)
+        usm = jnp.asarray(np.ascontiguousarray(rows.transpose(1, 0, 2)))
+        use_flo = bool(np.any(rows[3]))
+    return cg, ngroups, mode, use_flo, fsm, usm
+
+
+def dft_adjoint_pallas(dot_pair, freq, vis, row_tile=1024,
+                       interpret=False):
+    """Adjoint DFT via the fused pixel-lane kernel.
+
+    Parameters
+    ----------
+    dot_pair : (hi, lo) two-float pair of (row, pixel) f32 delays in
+        signed seconds (from ``rime.phase.phase_dot_cycles`` with the
+        adjoint's flipped convention, transposed to row-major).
+    freq : (chan,) frequencies. When concrete, uniform (or nearly
+        uniform) grids engage the rotation-recurrence modes — 2
+        transcendental evaluations per (row, pixel) per channel group
+        instead of one pair per channel; phases are faithful to the
+        values *as given* (f64 grids are carried as two-float pairs).
+    vis : Cplx (row, chan, corr), already flag-masked.
+
+    Returns
+    -------
+    (pixel, chan, corr) f32 real image contributions.
+    """
+    dhi, dlo = dot_pair
+    dhi = jnp.asarray(dhi, jnp.float32)
+    dlo = jnp.asarray(dlo, jnp.float32)
+    nrow, npix = dhi.shape
+    nchan = vis.re.shape[1]
+    ncorr = vis.re.shape[2]
+
+    cg, ngroups, mode, use_flo, fsm, usm = _chan_group_tables(
+        freq, nchan, ncorr, cap=8
+    )
+
+    row_tile = min(row_tile, max(8, -(-nrow // 8) * 8))
+    rpad = (-nrow) % row_tile
+    ppad = (-npix) % 128
+    if rpad or ppad:
+        dhi = jnp.pad(dhi, ((0, rpad), (0, ppad)))
+        dlo = jnp.pad(dlo, ((0, rpad), (0, ppad)))
+    vre = vis.re.astype(jnp.float32).transpose(2, 0, 1)  # (corr, row, chan)
+    vim = vis.im.astype(jnp.float32).transpose(2, 0, 1)
+    if rpad:
+        vre = jnp.pad(vre, ((0, 0), (0, rpad), (0, 0)))
+        vim = jnp.pad(vim, ((0, 0), (0, rpad), (0, 0)))
+    nrow_p, npix_p = dhi.shape
+
+    # (ngroups, ncorr, row, cg) so per-group blocks keep full minors
+    vre = jnp.moveaxis(
+        vre.reshape(ncorr, nrow_p, ngroups, cg), 2, 0
+    )
+    vim = jnp.moveaxis(
+        vim.reshape(ncorr, nrow_p, ngroups, cg), 2, 0
+    )
+
+    grid = (npix_p // 128, ngroups, nrow_p // row_tile)
+    kernel = partial(_dft_adj_kernel, nchan=cg, ncorr=ncorr,
+                     mode=mode, use_flo=use_flo, row_tile=row_tile)
+
+    in_specs = [
+        pl.BlockSpec((1, 4, cg), lambda i, g, k: (g, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 4, 2), lambda i, g, k: (g, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((row_tile, 128), lambda i, g, k: (k, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((row_tile, 128), lambda i, g, k: (k, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ncorr, row_tile, cg), lambda i, g, k: (g, 0, k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ncorr, row_tile, cg), lambda i, g, k: (g, 0, k, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec(
+        (1, ncorr, cg, 128), lambda i, g, k: (g, 0, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+
+    ntransc = 2 * nrow_p * npix_p * (
+        2 * ngroups if mode != "direct" else nchan
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((ngroups, ncorr, cg, npix_p),
+                                       jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=nrow_p * npix_p * (30 * ngroups
+                                     + nchan * (6 + 4 * ncorr)),
+            bytes_accessed=4 * (2 * nrow_p * npix_p * ngroups
+                                + 2 * ncorr * nrow_p * nchan
+                                * (npix_p // 128)
+                                + ncorr * nchan * npix_p),
+            transcendentals=ntransc,
+        ),
+    )(fsm, usm, dhi, dlo, vre, vim)
+    # (ngroups, ncorr, cg, pix) → (pix, ngroups·cg = chan, corr)
+    out = out[..., :npix].transpose(3, 0, 2, 1).reshape(
+        npix, nchan, ncorr
+    )
+    return out
+
+
+def _dft_fwd_kernel(fsm_ref, usm_ref, dhi_ref, dlo_ref, ire_ref, iim_ref,
+                    ore_ref, oim_ref, *, nchan, ncorr, mode, use_flo,
+                    src_tile, imag_zero):
+    """Forward direction of the same layout: sources on sublanes
+    (contracted), visibility rows on the 128-lane axis, channels in
+    register groups. Two output blocks (re, im) revisited over the
+    source grid dimension; ``imag_zero`` drops the imaginary-image
+    half of the complex product (the common real-sky case)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        ore_ref[...] = jnp.zeros_like(ore_ref)
+        oim_ref[...] = jnp.zeros_like(oim_ref)
+
+    def chunk(j, acc):
+        s0 = j * 8
+        dot = dhi_ref[pl.ds(s0, 8), :]  # (8, 128) delay seconds, hi
+        dlo = dlo_ref[pl.ds(s0, 8), :]
+        dhh, dhl = df_split(dot)
+
+        if mode != "direct":
+            bre, bim, sre, sim = _chunk_phasors(
+                usm_ref, dot, dlo, dhh, dhl, use_flo
+            )
+
+        new = list(acc)
+        for f in range(nchan):
+            if mode == "direct":
+                kre, kim = _phase_cs(dot, dlo, dhh, dhl, fsm_ref[0, 0, f],
+                                     fsm_ref[0, 1, f], fsm_ref[0, 2, f],
+                                     fsm_ref[0, 3, f], use_flo)
+            elif mode == "residual":
+                kre, kim = _residual_rot(bre, bim, dot, fsm_ref[0, 0, f])
+            else:
+                kre, kim = bre, bim
+            for c in range(ncorr):
+                ir = ire_ref[0, c, pl.ds(s0, 8), f][:, None]  # (8, 1)
+                i = 2 * (f * ncorr + c)
+                if imag_zero:
+                    new[i] = new[i] + kre * ir
+                    new[i + 1] = new[i + 1] + kim * ir
+                else:
+                    ii = iim_ref[0, c, pl.ds(s0, 8), f][:, None]
+                    new[i] = new[i] + (kre * ir - kim * ii)
+                    new[i + 1] = new[i + 1] + (kim * ir + kre * ii)
+            if mode != "direct" and f + 1 < nchan:
+                bre, bim = (
+                    _r(bre * sre - bim * sim),
+                    _r(bre * sim + bim * sre),
+                )
+        return tuple(new)
+
+    from jax import lax
+
+    zeros = tuple(
+        jnp.zeros((8, 128), jnp.float32) for _ in range(2 * nchan * ncorr)
+    )
+    acc = lax.fori_loop(0, src_tile // 8, chunk, zeros)
+    for f in range(nchan):
+        for c in range(ncorr):
+            i = 2 * (f * ncorr + c)
+            ore_ref[0, c, f, :] += acc[i].sum(axis=0)
+            oim_ref[0, c, f, :] += acc[i + 1].sum(axis=0)
+
+
+def dft_forward_pallas(dot_pair, freq, image, src_tile=1024,
+                       interpret=False, imag_zero=None):
+    """Forward DFT predict via the fused row-lane kernel.
+
+    V[r,f,c] = Σ_s e^{iφ(s,r,f)} · I[s,f,c] with the same fused
+    transcendental economics as :func:`dft_adjoint_pallas` (uniform or
+    nearly-uniform frequency grids pay two cos/sin evaluations per
+    (source, row) per channel group instead of one pair per channel).
+
+    Parameters
+    ----------
+    dot_pair : (hi, lo) two-float pair of (source, row) f32 delays in
+        signed seconds (``rime.phase.phase_dot_cycles(lm, uvw, conv)``).
+    freq : (chan,) frequencies (concrete ~uniform grids engage the
+        recurrence; see :func:`dft_adjoint_pallas`).
+    image : Cplx (source, chan, corr). A zero imaginary part (detected
+        when it is a concrete all-zero array) skips half the products.
+
+    Returns
+    -------
+    Cplx of (row, chan, corr) visibilities, f32.
+    """
+    dhi, dlo = dot_pair
+    dhi = jnp.asarray(dhi, jnp.float32)
+    dlo = jnp.asarray(dlo, jnp.float32)
+    nsrc, nrow = dhi.shape
+    nchan = image.re.shape[1]
+    ncorr = image.re.shape[2]
+
+    if imag_zero is None:
+        # only decidable for concrete arrays; under jit the caller must
+        # assert real-sky statically (im_to_vis_ri does, from the
+        # pre-coercion input type)
+        imag_zero = (
+            not isinstance(image.im, jax.core.Tracer)
+            and not np.any(np.asarray(image.im))
+        )
+
+    # the pair accumulators halve the per-group register budget
+    cg, ngroups, mode, use_flo, fsm, usm = _chan_group_tables(
+        freq, nchan, ncorr, cap=4
+    )
+
+    src_tile = min(src_tile, max(8, -(-nsrc // 8) * 8))
+    spad = (-nsrc) % src_tile
+    rpad = (-nrow) % 128
+    if spad or rpad:
+        dhi = jnp.pad(dhi, ((0, spad), (0, rpad)))
+        dlo = jnp.pad(dlo, ((0, spad), (0, rpad)))
+    ire = image.re.astype(jnp.float32).transpose(2, 0, 1)  # (corr, src, chan)
+    iim = image.im.astype(jnp.float32).transpose(2, 0, 1)
+    if spad:
+        ire = jnp.pad(ire, ((0, 0), (0, spad), (0, 0)))
+        iim = jnp.pad(iim, ((0, 0), (0, spad), (0, 0)))
+    nsrc_p, nrow_p = dhi.shape
+
+    # (ngroups, ncorr, src, cg) so per-group blocks keep full minors
+    ire = jnp.moveaxis(ire.reshape(ncorr, nsrc_p, ngroups, cg), 2, 0)
+    iim = jnp.moveaxis(iim.reshape(ncorr, nsrc_p, ngroups, cg), 2, 0)
+
+    grid = (nrow_p // 128, ngroups, nsrc_p // src_tile)
+    kernel = partial(_dft_fwd_kernel, nchan=cg, ncorr=ncorr,
+                     mode=mode, use_flo=use_flo, src_tile=src_tile,
+                     imag_zero=imag_zero)
+
+    in_specs = [
+        pl.BlockSpec((1, 4, cg), lambda i, g, k: (g, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 4, 2), lambda i, g, k: (g, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((src_tile, 128), lambda i, g, k: (k, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((src_tile, 128), lambda i, g, k: (k, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ncorr, src_tile, cg), lambda i, g, k: (g, 0, k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ncorr, src_tile, cg), lambda i, g, k: (g, 0, k, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, ncorr, cg, 128), lambda i, g, k: (g, 0, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+
+    prods = 2 if imag_zero else 4
+    ntransc = 2 * nsrc_p * nrow_p * (
+        2 * ngroups if mode != "direct" else nchan
+    )
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((ngroups, ncorr, cg, nrow_p), jnp.float32),
+            jax.ShapeDtypeStruct((ngroups, ncorr, cg, nrow_p), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=nsrc_p * nrow_p * (30 * ngroups
+                                     + nchan * (6 + 2 * prods * ncorr)),
+            bytes_accessed=4 * (2 * nsrc_p * nrow_p * ngroups
+                                + 2 * ncorr * nsrc_p * nchan
+                                * (nrow_p // 128)
+                                + 2 * ncorr * nchan * nrow_p),
+            transcendentals=ntransc,
+        ),
+    )(fsm, usm, dhi, dlo, ire, iim)
+
+    def unpack(o):
+        # (ngroups, ncorr, cg, row) → (row, chan, corr)
+        return o[..., :nrow].transpose(3, 0, 2, 1).reshape(
+            nrow, nchan, ncorr
+        )
+
+    return Cplx(unpack(out_re), unpack(out_im))

@@ -120,14 +120,18 @@ def config1_dft():
     cpu_dt, want = _time_host(np_dft)
     cpu_rate = nrow * nchan * ncorr / cpu_dt / 1e6
 
-    args32 = (image.astype(f32), uvw.astype(f32), lm.astype(f32),
-              freq.astype(f32))
+    # frequency stays a trace-time constant (the f64 grid): the fused
+    # DFT kernel's exact rotation-recurrence mode needs concrete values
+    # (ops/pallas_dft._chan_group_tables), and production channel grids
+    # are static
+    args32 = (image.astype(f32), uvw.astype(f32), lm.astype(f32))
     dargs = jax.device_put(args32)
-    out = jax.jit(im_to_vis_ri)(*dargs)
+    out = jax.jit(lambda img, u, lmx: im_to_vis_ri(img, u, lmx, freq))(
+        *dargs)
     got = np.asarray(out.re) + 1j * np.asarray(out.im)
     err = float(np.abs(got - want).max() / np.abs(want).max())
 
-    dt = _time_jit(lambda img, u, lmx, f: im_to_vis_ri(img, u, lmx, f).re,
+    dt = _time_jit(lambda img, u, lmx: im_to_vis_ri(img, u, lmx, freq).re,
                    *args32)
     rate = nrow * nchan * ncorr / dt / 1e6
     # per (s,r,f): ~25 df-phase flops, 2 transcendentals, 8 MAC/corr

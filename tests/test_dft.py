@@ -266,3 +266,125 @@ def test_symmetric_covariance():
             vis_to_im(Ki, uvw, lm, freq, flags)
         ).squeeze()
     assert_allclose(psf, psf.T, rtol=0, atol=1e-9 * np.abs(psf).max())
+
+
+
+def _mode_freq(grid, nchan, rng):
+    """A frequency grid engaging the requested pallas_dft mode."""
+    if grid == "exact":
+        # f64 progression: carried as two-float pairs, recurrence exact
+        return np.linspace(0.856e9, 1.2e9, nchan)
+    if grid == "residual":
+        # uniform-intent grid stored in f32: per-channel ulp wobble
+        # (≤ ~128 Hz) vs the fitted progression
+        return np.linspace(0.856e9, 1.2e9, nchan).astype(np.float32)
+    # genuinely non-uniform
+    return (0.8e9 + np.sort(rng.uniform(0, 1e9, nchan))).astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "nrow,nchan,ncorr,grid",
+    [(300, 4, 2, "exact"), (300, 16, 2, "residual"),
+     (257, 3, 1, "direct"), (64, 1, 4, "exact"),
+     (120, 12, 2, "residual"), (120, 12, 2, "direct")],
+)
+def test_vis_to_im_pallas_chan_groups(rng, nrow, nchan, ncorr, grid):
+    """The pixel-lane adjoint kernel (ops/pallas_dft.py) across its
+    channel-group split and all three phase modes (exact/residual
+    rotation recurrence, per-channel direct), vs the f64 einsum
+    formulation on identical frequency values."""
+    import jax.numpy as jnp
+    from africanus_tpu.dft import vis_to_im_ri
+    from africanus_tpu.ops.cplx import Cplx
+    from africanus_tpu.ops.pallas_dft import _chan_group_tables
+
+    f32 = np.float32
+    uvw = rng.uniform(-2000, 2000, (nrow, 3)).astype(f32)
+    freq = _mode_freq(grid, nchan, rng)
+    if nchan >= 2:  # the intended mode must actually engage
+        assert _chan_group_tables(freq, nchan, ncorr, cap=8)[2] == grid
+    npx = 9
+    lm = rng.uniform(-0.01, 0.01, (npx * npx, 2)).astype(f32)
+    vis = Cplx(rng.normal(size=(nrow, nchan, ncorr)).astype(f32),
+               rng.normal(size=(nrow, nchan, ncorr)).astype(f32))
+    flags = rng.uniform(size=(nrow, nchan, ncorr)) < 0.1
+
+    # f64 oracle on the same (exactly upcast) frequency values
+    ref = np.asarray(vis_to_im_ri(
+        Cplx(vis.re.astype(np.float64), vis.im.astype(np.float64)),
+        uvw.astype(np.float64), lm.astype(np.float64),
+        np.asarray(freq, np.float64), flags,
+        use_pallas=False, real_dtype=jnp.float64))
+    got = np.asarray(vis_to_im_ri(vis, uvw, lm, freq, flags,
+                                  use_pallas=True, interpret=True,
+                                  real_dtype=jnp.float32))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 3e-6 * scale
+
+
+@pytest.mark.parametrize(
+    "nrow,nchan,ncorr,grid,complex_image",
+    [(130, 4, 2, "exact", False), (257, 3, 1, "direct", True),
+     (64, 1, 4, "exact", False), (140, 16, 2, "residual", True),
+     (120, 12, 1, "residual", False), (120, 12, 1, "direct", False)],
+)
+def test_im_to_vis_pallas_forward(rng, nrow, nchan, ncorr, grid,
+                                  complex_image):
+    """The row-lane forward kernel (ops/pallas_dft.dft_forward_pallas)
+    across channel groups, the three phase modes and the real-image
+    fast path, vs the f64 einsum formulation."""
+    import jax.numpy as jnp
+    from africanus_tpu.dft import im_to_vis_ri
+    from africanus_tpu.ops.cplx import Cplx
+    from africanus_tpu.ops.pallas_dft import _chan_group_tables
+
+    f32 = np.float32
+    nsrc = 37
+    uvw = rng.uniform(-2000, 2000, (nrow, 3)).astype(f32)
+    freq = _mode_freq(grid, nchan, rng)
+    if nchan >= 2:
+        assert _chan_group_tables(freq, nchan, ncorr, cap=4)[2] == grid
+    lm = rng.uniform(-0.01, 0.01, (nsrc, 2)).astype(f32)
+    im_im = (rng.normal(size=(nsrc, nchan, ncorr)).astype(f32)
+             if complex_image else np.zeros((nsrc, nchan, ncorr), f32))
+    img = Cplx(rng.normal(size=(nsrc, nchan, ncorr)).astype(f32), im_im)
+
+    ref = im_to_vis_ri(
+        Cplx(img.re.astype(np.float64), img.im.astype(np.float64)),
+        uvw.astype(np.float64), lm.astype(np.float64),
+        np.asarray(freq, np.float64),
+        use_pallas=False, real_dtype=jnp.float64)
+    got = im_to_vis_ri(img, uvw, lm, freq, use_pallas=True,
+                       interpret=True, real_dtype=jnp.float32)
+    scale = max(np.abs(np.asarray(ref.re)).max(),
+                np.abs(np.asarray(ref.im)).max())
+    err = max(np.abs(np.asarray(got.re) - np.asarray(ref.re)).max(),
+              np.abs(np.asarray(got.im) - np.asarray(ref.im)).max())
+    assert err < 3e-6 * scale
+
+
+def test_im_to_vis_pallas_traced_freq(rng):
+    """Traced (jit-argument) frequencies must fall back to the direct
+    mode and stay correct — the recurrence needs concrete values."""
+    import jax
+    import jax.numpy as jnp
+    from africanus_tpu.dft import im_to_vis_ri
+    from africanus_tpu.ops.cplx import Cplx
+
+    f32 = np.float32
+    nsrc, nrow, nchan, ncorr = 21, 90, 4, 1
+    uvw = rng.uniform(-2000, 2000, (nrow, 3)).astype(f32)
+    freq = np.linspace(0.856e9, 1.2e9, nchan).astype(f32)
+    lm = rng.uniform(-0.01, 0.01, (nsrc, 2)).astype(f32)
+    img = Cplx(rng.normal(size=(nsrc, nchan, ncorr)).astype(f32),
+               np.zeros((nsrc, nchan, ncorr), f32))
+
+    ref = im_to_vis_ri(img, uvw, lm, freq, use_pallas=False,
+                       real_dtype=jnp.float32)
+    got = jax.jit(lambda i, u, l, f: im_to_vis_ri(
+        i, u, l, f, use_pallas=True, interpret=True,
+        real_dtype=jnp.float32))(img, uvw, lm, freq)
+    scale = np.abs(np.asarray(ref.re)).max()
+    err = max(np.abs(np.asarray(got.re) - np.asarray(ref.re)).max(),
+              np.abs(np.asarray(got.im) - np.asarray(ref.im)).max())
+    assert err < 3e-6 * scale
