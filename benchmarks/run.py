@@ -102,6 +102,27 @@ def bench_dft(quick):
     _emit("dft_im_to_vis", nrow * nchan / dt / 1e6, "Mvis/s",
           shape=[nsrc, nrow, nchan])
 
+    # adjoint at an imaging shape (many pixels, few channels): the
+    # pixel-lane fused kernel's home regime (ops/pallas_dft.py)
+    from africanus_tpu.dft import vis_to_im_ri
+    from africanus_tpu.ops.cplx import Cplx
+
+    npix, nrow2, nchan2 = (256, 2048, 4) if quick else (4096, 20000, 8)
+    lm2 = (rng.uniform(-1, 1, (npix, 2)) * 1e-2).astype(f32)
+    uvw2 = rng.uniform(-3000, 3000, (nrow2, 3)).astype(f32)
+    freq2 = np.linspace(0.856e9, 1.712e9, nchan2)
+    vis = Cplx(rng.normal(size=(nrow2, nchan2, 1)).astype(f32),
+               rng.normal(size=(nrow2, nchan2, 1)).astype(f32))
+    flags = np.zeros((nrow2, nchan2, 1), bool)
+
+    dt = measure(
+        lambda v, u, l, fl: vis_to_im_ri(v, u, l, freq2, fl),
+        vis, jnp.asarray(uvw2), jnp.asarray(lm2), jnp.asarray(flags),
+        reps=10,
+    )
+    _emit("dft_vis_to_im", nrow2 * nchan2 * npix / dt / 1e9,
+          "Gvis-pix/s", shape=[npix, nrow2, nchan2])
+
 
 def _grid_problem(quick):
     rng = np.random.default_rng(0)
