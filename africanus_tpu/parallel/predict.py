@@ -23,44 +23,71 @@ from africanus_tpu.ops.cplx import Cplx
 __all__ = ["sharded_im_to_vis", "sharded_vis_to_im", "sharded_rime_predict"]
 
 
+def _concrete_freq(frequency):
+    """Host copy of ``frequency`` when it is concrete, else None.
+
+    Concrete grids are closed over (not passed as shard_map operands) so
+    the fused DFT kernels' rotation-recurrence modes can engage per
+    shard (ops/pallas_dft._chan_group_tables needs trace-time values).
+    """
+    if isinstance(frequency, jax.core.Tracer):
+        return None
+    import numpy as np
+
+    return np.asarray(frequency)
+
+
 def sharded_im_to_vis(mesh, image, uvw, lm, frequency, convention="fourier"):
     """im_to_vis with rows sharded over the mesh "row" axis.
 
     The source contraction is local to each shard — zero communication.
     """
+    freq_c = _concrete_freq(frequency)
+
+    def local(img, uvw_s, lm_r, *freq_op):
+        freq = freq_c if freq_c is not None else freq_op[0]
+        return im_to_vis_ri(img, uvw_s, lm_r, freq, convention)
+
+    extra_in = () if freq_c is not None else (P(),)
     fn = shard_map(
-        lambda img, uvw_s, lm_r, freq: im_to_vis_ri(
-            img, uvw_s, lm_r, freq, convention
-        ),
+        local,
         mesh=mesh,
-        in_specs=(P(), P("row"), P(), P()),
+        in_specs=(P(), P("row"), P()) + extra_in,
         out_specs=Cplx(P("row"), P("row")),
         # the TPU route runs the Pallas kernel per shard; pallas outputs
         # carry no varying-mesh-axes annotation
         check_vma=False,
     )
-    return fn(jnp.asarray(image), jnp.asarray(uvw), jnp.asarray(lm),
-              jnp.asarray(frequency))
+    args = (jnp.asarray(image), jnp.asarray(uvw), jnp.asarray(lm))
+    if freq_c is None:
+        args += (jnp.asarray(frequency),)
+    return fn(*args)
 
 
 def sharded_vis_to_im(mesh, vis, uvw, lm, frequency, flags, convention="fourier"):
     """vis_to_im with rows sharded: per-shard partial images + one psum —
     the TPU analogue of the reference's dask ``ims.sum(axis=0)``
     row-chunk reduction (dft/dask.py:90)."""
+    freq_c = _concrete_freq(frequency)
 
-    def local(vis_s, uvw_s, lm_r, freq, flags_s):
+    def local(vis_s, uvw_s, lm_r, flags_s, *freq_op):
+        freq = freq_c if freq_c is not None else freq_op[0]
         im = vis_to_im_ri(vis_s, uvw_s, lm_r, freq, flags_s, convention)
         return jax.lax.psum(im, "row")
 
     v = vis if isinstance(vis, Cplx) else Cplx(jnp.real(vis), jnp.imag(vis))
+    extra_in = () if freq_c is not None else (P(),)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(Cplx(P("row"), P("row")), P("row"), P(), P(), P("row")),
+        in_specs=(Cplx(P("row"), P("row")), P("row"), P(), P("row"))
+        + extra_in,
         out_specs=P(),
     )
-    return fn(v, jnp.asarray(uvw), jnp.asarray(lm), jnp.asarray(frequency),
-              jnp.asarray(flags))
+    args = (v, jnp.asarray(uvw), jnp.asarray(lm), jnp.asarray(flags))
+    if freq_c is None:
+        args += (jnp.asarray(frequency),)
+    return fn(*args)
 
 
 def sharded_rime_predict(mesh, lm, uvw, frequency, brightness, gauss_shape=None,
