@@ -130,7 +130,9 @@ def _dft_adj_kernel(fsm_ref, usm_ref, dhi_ref, dlo_ref, vre_ref, vim_ref,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     def chunk(j, acc):
-        r0 = j * 8
+        # fori_loop index: assert the 8-alignment Mosaic needs for
+        # dynamic sublane slicing (CLAUDE.md / pallas_grid.py precedent)
+        r0 = pl.multiple_of(j * 8, 8)
         dot = dhi_ref[pl.ds(r0, 8), :]  # (8, 128) delay seconds, hi
         dlo = dlo_ref[pl.ds(r0, 8), :]
         dhh, dhl = df_split(dot)
@@ -391,7 +393,7 @@ def _dft_fwd_kernel(fsm_ref, usm_ref, dhi_ref, dlo_ref, ire_ref, iim_ref,
         oim_ref[...] = jnp.zeros_like(oim_ref)
 
     def chunk(j, acc):
-        s0 = j * 8
+        s0 = pl.multiple_of(j * 8, 8)  # Mosaic sublane-alignment hint
         dot = dhi_ref[pl.ds(s0, 8), :]  # (8, 128) delay seconds, hi
         dlo = dlo_ref[pl.ds(s0, 8), :]
         dhh, dhl = df_split(dot)
