@@ -134,9 +134,22 @@ def config1_dft():
     dt = _time_jit(lambda img, u, lmx: im_to_vis_ri(img, u, lmx, freq).re,
                    *args32)
     rate = nrow * nchan * ncorr / dt / 1e6
-    # per (s,r,f): ~25 df-phase flops, 2 transcendentals, 8 MAC/corr
-    flops = nsrc * nrow * nchan * (25 + 8 * ncorr)
-    transc = nsrc * nrow * nchan * 2
+    # mode-aware work model: the fused DFT kernel's recurrence modes
+    # replace per-channel transcendentals with per-group base/step
+    # evaluations + a 6-flop phasor advance (ops/pallas_dft.py)
+    from africanus_tpu.ops.pallas_dft import _chan_group_tables
+
+    cg, ngroups, phase_mode, _, _, _ = _chan_group_tables(
+        freq, nchan, ncorr, cap=4
+    )
+    if phase_mode == "direct":
+        # per (s,r,f): ~25 df-phase flops, 2 transcendentals, 8 MAC/corr
+        flops = nsrc * nrow * nchan * (25 + 8 * ncorr)
+        transc = nsrc * nrow * nchan * 2
+    else:
+        per_chan = 6 + 4 * ncorr + (12 if phase_mode == "residual" else 0)
+        flops = nsrc * nrow * ngroups * (50 + cg * per_chan)
+        transc = nsrc * nrow * ngroups * 4
     bytes_ = 4 * (nsrc * (2 + nchan * ncorr) + nrow * 3
                   + 2 * nrow * nchan * ncorr)
     return dict(
@@ -145,6 +158,7 @@ def config1_dft():
         roofline_frac=_roofline_frac(dt, flops, bytes_, peak=_VPU_PEAK,
                                      transc=transc),
         bound="vpu",
+        phase_mode=phase_mode,
         max_rel_err=err,
         shape=dict(nsrc=nsrc, nrow=nrow, nchan=nchan, ncorr=ncorr),
     )
