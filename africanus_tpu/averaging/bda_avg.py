@@ -53,18 +53,18 @@ _BdaTables = namedtuple(
      "meta_dev"],
 )
 
+from africanus_tpu.utils.plancache import LRUCache
+
 # plan-object → gather tables; values hold the meta strongly so ids stay
 # unique while cached (mirrors the mapper's 8-entry LRU)
-_TABLE_CACHE: dict = {}
-_TABLE_CACHE_MAX = 8
+_TABLE_CACHE = LRUCache(8)
 
 
 def _tables(meta):
     """Device gather tables for a RowMapOutput plan (cached per object)."""
     key = id(meta)
-    hit = _TABLE_CACHE.pop(key, None)
+    hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is meta:
-        _TABLE_CACHE[key] = hit  # refresh LRU position
         return hit[1]
 
     offsets = np.asarray(meta.offsets).astype(np.int64)
@@ -91,9 +91,7 @@ def _tables(meta):
         rc_valid=jnp.asarray(rc_valid),
         meta_dev=meta_dev,
     )
-    _TABLE_CACHE[key] = (meta, tbl)
-    while len(_TABLE_CACHE) > _TABLE_CACHE_MAX:
-        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+    _TABLE_CACHE.put(key, (meta, tbl))
     return tbl
 
 

@@ -143,26 +143,9 @@ class _Binner:
         return out
 
 
-_PLAN_CACHE: dict = {}
-_PLAN_CACHE_MAX = 8
+from africanus_tpu.utils.plancache import LRUCache, content_key
 
-
-def _plan_key(arrays, params):
-    """Content hash of the mapping inputs (metadata is a few MB even at
-    100k rows; hashing is ~ms vs the ~100 ms plan build)."""
-    import hashlib
-
-    h = hashlib.blake2b(digest_size=16)
-    for a in arrays:
-        if a is None:
-            h.update(b"\x00none")
-        else:
-            a = np.ascontiguousarray(a)
-            h.update(str(a.dtype).encode())
-            h.update(str(a.shape).encode())
-            h.update(a.view(np.uint8).data)
-    h.update(repr(params).encode())
-    return h.digest()
+_PLAN_CACHE = LRUCache(8)
 
 
 def bda_mapper(
@@ -191,13 +174,12 @@ def bda_mapper(
     plan build is pure host work. Treat the returned arrays as
     read-only.
     """
-    key = _plan_key(
+    key = content_key(
         (time, interval, ant1, ant2, uvw, chan_width, chan_freq, flag_row),
         (max_uvw_dist, max_fov, decorrelation, time_bin_secs, min_nchan),
     )
-    hit = _PLAN_CACHE.pop(key, None)
+    hit = _PLAN_CACHE.get(key)
     if hit is not None:
-        _PLAN_CACHE[key] = hit  # refresh LRU position
         return hit
     out = _bda_mapper_impl(
         time, interval, ant1, ant2, uvw, chan_width, chan_freq,
@@ -205,10 +187,7 @@ def bda_mapper(
         decorrelation=decorrelation, time_bin_secs=time_bin_secs,
         min_nchan=min_nchan,
     )
-    _PLAN_CACHE[key] = out
-    while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
-        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-    return out
+    return _PLAN_CACHE.put(key, out)
 
 
 def _bda_mapper_impl(

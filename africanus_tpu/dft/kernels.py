@@ -45,6 +45,21 @@ def _dft_phase(uvw, lm, frequency, convention, real_dtype):
                          real_dtype=real_dtype)
 
 
+
+def _measured_delay_max(dot_hi):
+    """max |geometric delay| measured from a concrete delay array, or
+    None when traced (the kernel then uses its documented default bound
+    for the residual-mode engagement; see ops/pallas_dft.py)."""
+    import jax
+
+    if isinstance(dot_hi, jax.core.Tracer):
+        return None
+    import numpy as np
+
+    m = float(np.abs(np.asarray(dot_hi)).max()) if dot_hi.size else 0.0
+    return max(m, 1e-12)
+
+
 def im_to_vis_ri(
     image, uvw, lm, frequency, convention: str = "fourier",
     real_dtype=None, use_pallas: bool | None = None,
@@ -121,9 +136,11 @@ def im_to_vis_ri(
         real_sky = not isinstance(image, Cplx) and not jnp.issubdtype(
             jnp.asarray(image).dtype, jnp.complexfloating
         )
+        dmax = _measured_delay_max(dot_hi)
+        kw = {} if dmax is None else dict(delay_max=dmax)
         return dft_forward_pallas((dot_hi, dot_lo), frequency, b,
                                   interpret=interpret,
-                                  imag_zero=real_sky or None)
+                                  imag_zero=real_sky or None, **kw)
 
     p = _dft_phase(uvw, lm, frequency, convention, real_dtype)
     cos_p = jnp.cos(p)
@@ -165,12 +182,13 @@ def vis_to_im_ri(
     ``dft/kernels.py:124-139`` drops the whole row-chan to avoid mixing
     Stokes terms).
 
-    ``use_pallas`` runs the same fused Pallas kernel as the forward DFT
-    with the source/row roles swapped (the phase dot is symmetric in
-    (s, r)): sources become the kernel's output rows, visibilities its
-    "brightness", and only the real output is kept. Default off — the
-    deep row contraction is MXU-shaped and the einsum path measured
-    faster on-chip; opt in when the (src, row, chan) grids exceed HBM.
+    ``use_pallas`` selects the fused pixel-lane adjoint kernel
+    (``ops/pallas_dft.dft_adjoint_pallas``): pixels on lanes, the row
+    contraction in registers, per-channel-group phase recurrence for
+    ~uniform frequency grids. Default (None): on for TPU backends at
+    f32 with ≤ 64 channels — the regime where the einsum path is
+    bandwidth-bound on its materialised per-channel cos/sin
+    (pixel, row) matrices; the einsum elsewhere.
 
     Returns
     -------
@@ -214,10 +232,12 @@ def vis_to_im_ri(
         from africanus_tpu.rime.phase import phase_dot_cycles
 
         dot_hi, dot_lo = phase_dot_cycles(lm, uvw, flipped)
+        dmax = _measured_delay_max(dot_hi)
+        kw = {} if dmax is None else dict(delay_max=dmax)
         out = dft_adjoint_pallas(
             (dot_hi.T, dot_lo.T), frequency,
             Cplx(vr.astype(jnp.float32), vi.astype(jnp.float32)),
-            interpret=interpret,
+            interpret=interpret, **kw,
         )
         return out.astype(real_dtype)
 

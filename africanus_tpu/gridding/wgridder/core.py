@@ -281,21 +281,9 @@ def _spread_indices_weights(u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta):
     return iu0, iv0, iw0, ku, kv, kw
 
 
-_MAKE_PLAN_CACHE: dict = {}
-_MAKE_PLAN_CACHE_MAX = 4
+from africanus_tpu.utils.plancache import LRUCache, content_key
 
-
-def _make_plan_key(uvw, freq, params):
-    import hashlib
-
-    h = hashlib.blake2b(digest_size=16)
-    for a in (uvw, freq):
-        a = np.ascontiguousarray(a)
-        h.update(str(a.dtype).encode())
-        h.update(str(a.shape).encode())
-        h.update(a.view(np.uint8).data)
-    h.update(repr(params).encode())
-    return h.digest()
+_MAKE_PLAN_CACHE = LRUCache(4)
 
 
 def make_plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking=True,
@@ -313,22 +301,18 @@ def make_plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking=True,
     freq = np.asarray(freq)
     if use_tiles is None:
         use_tiles = _use_tiles_default()
-    key = _make_plan_key(
-        uvw, freq,
+    key = content_key(
+        (uvw, freq),
         (nx, ny, cellx, celly, epsilon, do_wstacking, bool(use_tiles)),
     )
-    hit = _MAKE_PLAN_CACHE.pop(key, None)
+    hit = _MAKE_PLAN_CACHE.get(key)
     if hit is not None:
-        _MAKE_PLAN_CACHE[key] = hit  # refresh LRU position
         return hit
     plan = _plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking)
     if use_tiles:
         plan["tile_plan"] = _tile_plan(uvw, freq, plan, nx, ny, cellx,
                                        celly)
-    _MAKE_PLAN_CACHE[key] = plan
-    while len(_MAKE_PLAN_CACHE) > _MAKE_PLAN_CACHE_MAX:
-        _MAKE_PLAN_CACHE.pop(next(iter(_MAKE_PLAN_CACHE)))
-    return plan
+    return _MAKE_PLAN_CACHE.put(key, plan)
 
 
 def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,

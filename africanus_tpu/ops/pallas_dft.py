@@ -36,16 +36,18 @@ on the host from the concrete frequency grid (``_chan_group_tables``):
     carried as two-float (hi, lo) pairs so the recurrence is faithful
     to the *original f64* grid, not its f32 cast.
 ``residual``
-    the grid deviates from the fitted progression by at most
-    ``_DELTA_MAX`` Hz per channel (the common case: a uniform-intent
-    grid stored in f32, where per-channel casts wobble by an ulp):
-    run the ``exact`` recurrence for the progression and apply the
-    remaining rotation e^{2πi·delay·δ_f} by a 6th-order small-angle
-    polynomial (~12 VPU flops, no transcendental). Valid while
-    |delay·δ| ≤ 0.05 cycles — with |δ| ≤ 512 Hz that is every delay
-    up to 1e-4 s (a 300 km baseline at |l| = 0.1; an order of
-    magnitude beyond SKA-mid geometry), where the polynomial truncation
-    is ≤ 3e-9.
+    the grid deviates from the fitted progression by δ_f per channel
+    (the common case: a uniform-intent grid stored in f32, where
+    per-channel casts wobble by an ulp, ~1e2 Hz at GHz): run the
+    ``exact`` recurrence for the progression and apply the remaining
+    rotation e^{2πi·delay·δ_f} by a 6th-order small-angle polynomial
+    (~12 VPU flops, no transcendental). Engaged only while
+    |2π·delay_max·max δ| ≤ 0.35 rad, where ``delay_max`` bounds the
+    geometric delays: the default 1e-4 s covers a 300 km baseline at
+    |l| = 0.1 (an order of magnitude beyond SKA-mid geometry); pass the
+    true bound for VLBI-scale uvw, or the mode falls back to direct.
+    The wrappers in dft/kernels.py measure it from concrete inputs
+    when they can.
 
 Accuracy: the rotation recurrence drifts ~1 ulp per channel within a
 group (groups are ≤ 8 channels), the same order as the compensated
@@ -67,8 +69,14 @@ from africanus_tpu.ops.dfloat import _r, split as df_split
 
 __all__ = ["dft_adjoint_pallas", "dft_forward_pallas"]
 
-# residual-mode engagement bound (Hz); see module docstring
-_DELTA_MAX = 512.0
+# residual-mode engagement: the small-angle polynomial is valid while
+# |2π·delay·δ_f| ≤ _X_MAX rad; engagement checks the grid's deviation
+# dmax against _X_MAX / (2π·delay_max), where delay_max is the caller's
+# bound on |geometric delay| (default _DELAY_MAX = 1e-4 s ≈ a 300 km
+# baseline at |l| = 0.1 — an order of magnitude beyond SKA-mid; VLBI
+# callers must pass their own). At the bound the truncation is ≤ 5e-9.
+_X_MAX = 0.35
+_DELAY_MAX = 1e-4
 _TWO_PI = 2.0 * np.pi
 
 
@@ -92,7 +100,8 @@ def _phase_cs(dot, dlo, dhh, dhl, f, fhh, fhl, flo, use_flo):
 def _residual_rot(kre, kim, dot, d2p):
     """Rotate the phasor (kre, kim) by x = d2p·dot radians via 6th-order
     small-angle polynomials (d2p = 2π·δ_f is an SMEM scalar; |x| must
-    stay ≤ ~0.35 rad — guaranteed by the _DELTA_MAX engagement bound)."""
+    stay ≤ _X_MAX rad — guaranteed by the engagement bound in
+    _chan_group_tables)."""
     x = d2p * dot
     x2 = x * x
     c = 1.0 - x2 * (0.5 - x2 * ((1.0 / 24.0) - x2 * (1.0 / 720.0)))
@@ -194,7 +203,7 @@ def _freq_rows_np(f64):
     return np.stack([f32, hh, hl, lo])
 
 
-def _chan_group_tables(freq, nchan, ncorr, cap):
+def _chan_group_tables(freq, nchan, ncorr, cap, delay_max=_DELAY_MAX):
     """Channel-group split + per-group scalar tables.
 
     The kernels carry one (8, 128) register accumulator per
@@ -242,7 +251,7 @@ def _chan_group_tables(freq, nchan, ncorr, cap):
     # phase even at the 1e-4 s delay bound — treat as exactly uniform
     if dmax <= 1e-3:
         mode = "exact"
-    elif dmax <= _DELTA_MAX:
+    elif _TWO_PI * dmax * float(delay_max) <= _X_MAX:
         mode = "residual"
     else:
         mode = "direct"
@@ -275,7 +284,7 @@ def _chan_group_tables(freq, nchan, ncorr, cap):
 
 
 def dft_adjoint_pallas(dot_pair, freq, vis, row_tile=1024,
-                       interpret=False):
+                       interpret=False, delay_max=_DELAY_MAX):
     """Adjoint DFT via the fused pixel-lane kernel.
 
     Parameters
@@ -302,9 +311,11 @@ def dft_adjoint_pallas(dot_pair, freq, vis, row_tile=1024,
     ncorr = vis.re.shape[2]
 
     cg, ngroups, mode, use_flo, fsm, usm = _chan_group_tables(
-        freq, nchan, ncorr, cap=8
+        freq, nchan, ncorr, cap=8, delay_max=delay_max
     )
 
+    # the kernel consumes rows in 8-sublane chunks: round the tile up
+    row_tile = max(8, -(-int(row_tile) // 8) * 8)
     row_tile = min(row_tile, max(8, -(-nrow // 8) * 8))
     rpad = (-nrow) % row_tile
     ppad = (-npix) % 128
@@ -444,7 +455,8 @@ def _dft_fwd_kernel(fsm_ref, usm_ref, dhi_ref, dlo_ref, ire_ref, iim_ref,
 
 
 def dft_forward_pallas(dot_pair, freq, image, src_tile=1024,
-                       interpret=False, imag_zero=None):
+                       interpret=False, imag_zero=None,
+                       delay_max=_DELAY_MAX):
     """Forward DFT predict via the fused row-lane kernel.
 
     V[r,f,c] = Σ_s e^{iφ(s,r,f)} · I[s,f,c] with the same fused
@@ -483,9 +495,11 @@ def dft_forward_pallas(dot_pair, freq, image, src_tile=1024,
 
     # the pair accumulators halve the per-group register budget
     cg, ngroups, mode, use_flo, fsm, usm = _chan_group_tables(
-        freq, nchan, ncorr, cap=4
+        freq, nchan, ncorr, cap=4, delay_max=delay_max
     )
 
+    # the kernel consumes sources in 8-sublane chunks: round up
+    src_tile = max(8, -(-int(src_tile) // 8) * 8)
     src_tile = min(src_tile, max(8, -(-nsrc // 8) * 8))
     spad = (-nsrc) % src_tile
     rpad = (-nrow) % 128

@@ -61,7 +61,7 @@ __all__ = ["plan_tiles", "plan_tiles_table", "plan_tiles_wstack",
            "degrid_tiles_table_pallas", "degrid_tiles_wstack_pallas",
            "grid_tiles_wstack_mxu", "degrid_tiles_wstack_mxu",
            "grid_tiles_mxu", "degrid_tiles_mxu", "wstack_use_mxu",
-           "tiles_use_mxu",
+           "tiles_use_mxu", "TILES_USE_MXU",
            "choose_tile", "pack_shard_plans", "PLAN_ARRAY_KEYS",
            "WSTACK_PLAN_ARRAY_KEYS"]
 
@@ -74,6 +74,10 @@ log = logging.getLogger(__name__)
 # w-stack, so the advantage shrinks as nplanes grows past the ~support
 # planes a sample actually touches — wstack_use_mxu caps the route.
 WSTACK_USE_MXU = True
+
+# Independent toggle for the plain plan_tiles MXU route (2D tile
+# kernels) so disabling one route never silently changes the other.
+TILES_USE_MXU = True
 
 
 def wstack_use_mxu(plan):
@@ -92,7 +96,7 @@ def tiles_use_mxu(plan):
     16.8 Msamples/s), while at the old 256-target tiles (272, 384) the
     ~8x dense-area cost would lose; plan_tiles defaults to MXU-friendly
     tiles accordingly."""
-    return (WSTACK_USE_MXU
+    return (TILES_USE_MXU
             and not plan.get("wstack_fused", False)
             and plan["tpad_r"] * plan["tpad_c"] <= 144 * 128)
 

@@ -69,6 +69,10 @@ def sharded_dirty(mesh, uvw, freq, vis, nx, ny, cell, epsilon=1e-4,
             for s in range(nshard)
         ]
         if all(p is not None for p in shard_plans):
+            # make_plan returns shared LRU-cached dicts (read-only by
+            # contract, gridding/wgridder/core.py) — copy before
+            # attaching the shard-packed tile plan
+            plan = dict(plan)
             plan["tile_plan"], tile_arrays = pack_shard_plans(shard_plans)
         else:
             use_tiles = False
@@ -160,6 +164,10 @@ def sharded_degrid(mesh, uvw, freq, image, *, cell, epsilon=1e-4,
             for s in range(nshard)
         ]
         if all(p is not None for p in shard_plans):
+            # make_plan returns shared LRU-cached dicts (read-only by
+            # contract, gridding/wgridder/core.py) — copy before
+            # attaching the shard-packed tile plan
+            plan = dict(plan)
             plan["tile_plan"], tile_arrays = pack_shard_plans(shard_plans)
         else:
             use_tiles = False

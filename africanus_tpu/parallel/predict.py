@@ -83,6 +83,9 @@ def sharded_vis_to_im(mesh, vis, uvw, lm, frequency, flags, convention="fourier"
         in_specs=(Cplx(P("row"), P("row")), P("row"), P(), P("row"))
         + extra_in,
         out_specs=P(),
+        # the TPU route runs the Pallas adjoint kernel per shard; pallas
+        # outputs carry no varying-mesh-axes annotation
+        check_vma=False,
     )
     args = (v, jnp.asarray(uvw), jnp.asarray(lm), jnp.asarray(flags))
     if freq_c is None:

@@ -388,3 +388,54 @@ def test_im_to_vis_pallas_traced_freq(rng):
     err = max(np.abs(np.asarray(got.re) - np.asarray(ref.re)).max(),
               np.abs(np.asarray(got.im) - np.asarray(ref.im)).max())
     assert err < 3e-6 * scale
+
+
+def test_pallas_dft_tile_rounding(rng):
+    """Non-multiple-of-8 row/src tiles are rounded up, not silently
+    truncated (regression: row_tile=12 dropped 4 of every 12 rows)."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.cplx import Cplx
+    from africanus_tpu.ops.pallas_dft import (
+        dft_adjoint_pallas, dft_forward_pallas)
+    from africanus_tpu.rime.phase import phase_dot_cycles
+
+    f32 = np.float32
+    nrow, nchan, ncorr, npx = 48, 2, 1, 9
+    uvw = rng.uniform(-2000, 2000, (nrow, 3)).astype(f32)
+    freq = np.linspace(0.9e9, 1.0e9, nchan)
+    lm = rng.uniform(-0.01, 0.01, (npx, 2)).astype(f32)
+    vis = Cplx(rng.normal(size=(nrow, nchan, ncorr)).astype(f32),
+               rng.normal(size=(nrow, nchan, ncorr)).astype(f32))
+
+    dhi, dlo = phase_dot_cycles(lm, uvw, "casa")
+    ref = np.asarray(dft_adjoint_pallas((dhi.T, dlo.T), freq, vis,
+                                        interpret=True))
+    got = np.asarray(dft_adjoint_pallas((dhi.T, dlo.T), freq, vis,
+                                        row_tile=12, interpret=True))
+    assert np.abs(got - ref).max() < 1e-6 * np.abs(ref).max()
+
+    img = Cplx(rng.normal(size=(npx, nchan, ncorr)).astype(f32),
+               np.zeros((npx, nchan, ncorr), f32))
+    fr = dft_forward_pallas((dhi, dlo), freq, img, interpret=True)
+    fg = dft_forward_pallas((dhi, dlo), freq, img, src_tile=12,
+                            interpret=True)
+    assert np.abs(np.asarray(fg.re) - np.asarray(fr.re)).max() \
+        < 1e-6 * np.abs(np.asarray(fr.re)).max()
+
+
+def test_residual_mode_delay_bound():
+    """Residual-mode engagement respects the delay bound: a grid with
+    ~f32-ulp wobble engages at SKA-scale delays but falls back to the
+    always-correct direct mode when the caller's delays would push the
+    small-angle polynomial out of its validity envelope."""
+    from africanus_tpu.ops.pallas_dft import _chan_group_tables
+
+    freq = np.linspace(0.856e9, 1.2e9, 16).astype(np.float32)
+    assert _chan_group_tables(freq, 16, 2, cap=8)[2] == "residual"
+    # VLBI-scale delays (~4e-2 s): 2π·δ·delay ≫ 0.35 rad → direct
+    assert _chan_group_tables(freq, 16, 2, cap=8,
+                              delay_max=4e-2)[2] == "direct"
+    # exact f64 progressions stay exact regardless of delays
+    assert _chan_group_tables(freq.astype(np.float64) * 0 +
+                              np.linspace(1e9, 2e9, 16), 16, 2, cap=8,
+                              delay_max=4e-2)[2] == "exact"

@@ -162,3 +162,58 @@ def test_bda_handcrafted_meta_with_none_fields(rng):
     )
     assert_allclose(np.asarray(out.time_centroid), [1.5, 1.5])
     assert_allclose(np.asarray(out.exposure), [2.0, 2.0])
+
+
+def test_sharded_imaging_does_not_mutate_cached_plan(rng):
+    """sharded_dirty attaches shard-packed tile plans to a COPY of the
+    make_plan LRU entry: a later make_plan hit must return the original
+    single-device tile plan, arrays intact (regression: the shared
+    cached dict was mutated in place, poisoning grid_adjoint calls with
+    an arrays-less plan_static)."""
+    import jax.numpy as jnp
+    from africanus_tpu.gridding.wgridder.core import make_plan
+    from africanus_tpu.ops.cplx import Cplx
+    from africanus_tpu.parallel import make_mesh
+    from africanus_tpu.parallel.imaging import sharded_dirty
+
+    nrow, nchan, nx = 64, 2, 64
+    cell = 2.0 * np.pi / 180 / nx
+    freq = 1e9 + np.arange(nchan) * 1e8
+    uvw = (rng.uniform(size=(nrow, 3)) - 0.5) / (cell * freq[-1] / 2.99792458e8)
+    uvw[:, 2] *= 0.1
+    vis = Cplx(jnp.asarray(rng.normal(size=(nrow, nchan)).astype(np.float32)),
+               jnp.asarray(rng.normal(size=(nrow, nchan)).astype(np.float32)))
+
+    plan_before = make_plan(uvw, freq, nx, nx, cell, cell, 1e-4,
+                            do_wstacking=False, use_tiles=True)
+    keys_before = set(plan_before)
+    tp_keys_before = set(plan_before["tile_plan"]) \
+        if plan_before.get("tile_plan") is not None else None
+
+    mesh = make_mesh((2,), ("row",), strict=False)
+    sharded_dirty(mesh, uvw, freq, vis, nx, nx, cell, epsilon=1e-4,
+                  do_wstacking=False, use_tiles=True)
+
+    plan_after = make_plan(uvw, freq, nx, nx, cell, cell, 1e-4,
+                           do_wstacking=False, use_tiles=True)
+    assert plan_after is plan_before  # still the cached object...
+    assert set(plan_after) == keys_before  # ...and untouched
+    if tp_keys_before is not None:
+        assert set(plan_after["tile_plan"]) == tp_keys_before
+
+
+def test_plancache_lru_eviction_and_refresh():
+    from africanus_tpu.utils.plancache import LRUCache, content_key
+
+    c = LRUCache(2)
+    c.put("a", 1)
+    c.put("b", 2)
+    assert c.get("a") == 1  # refresh: "b" is now oldest
+    c.put("c", 3)
+    assert c.get("b") is None and c.get("a") == 1 and c.get("c") == 3
+
+    k1 = content_key((np.arange(4), None), ("p", 1))
+    k2 = content_key((np.arange(4), None), ("p", 2))
+    k3 = content_key((np.arange(4.0), None), ("p", 1))  # dtype differs
+    assert k1 != k2 and k1 != k3
+    assert k1 == content_key((np.arange(4), None), ("p", 1))
