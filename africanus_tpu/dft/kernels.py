@@ -54,10 +54,11 @@ def _measured_delay_max(dot_hi):
 
     if isinstance(dot_hi, jax.core.Tracer):
         return None
-    import numpy as np
-
-    m = float(np.abs(np.asarray(dot_hi)).max()) if dot_hi.size else 0.0
-    return max(m, 1e-12)
+    if dot_hi.size == 0:
+        return 1e-12
+    # reduce on device, fetch one scalar (a full-array fetch through the
+    # TPU tunnel would dwarf the planning cost on the eager path)
+    return max(float(jnp.max(jnp.abs(dot_hi))), 1e-12)
 
 
 def im_to_vis_ri(
