@@ -64,7 +64,7 @@ def _measured_delay_max(dot_hi):
 def im_to_vis_ri(
     image, uvw, lm, frequency, convention: str = "fourier",
     real_dtype=None, use_pallas: bool | None = None,
-    interpret: bool = False,
+    interpret: bool = False, delay_max=None,
 ) -> Cplx:
     """Pair-native DFT predict: V[r,ν,c] = Σ_s e^{iφ(s,r,ν)} · I[s,ν,c].
 
@@ -76,6 +76,11 @@ def im_to_vis_ri(
         exactly on TPU at f32) — the DFT is the envelope-free K×B chain,
         and the kernel avoids materialising the (src, row, chan) cos/sin
         grids in HBM. Inputs are zero-padded to the kernel tiles.
+    delay_max : bound on |geometric delay| (s) governing the fused
+        kernel's nearly-uniform-grid fast path. Measured from the
+        inputs when they are concrete; under jit it defaults to 1e-4 s
+        (≈300 km baselines at |l| = 0.1) — VLBI-scale callers should
+        pass their true bound (see ops/pallas_dft.py).
 
     Returns
     -------
@@ -83,6 +88,10 @@ def im_to_vis_ri(
     """
     uvw = jnp.asarray(uvw)
     lm = jnp.asarray(lm)
+    # keep the caller's frequency object: jnp.asarray under jit turns a
+    # closed-over numpy grid into a (constant) tracer, which would lock
+    # the fused kernels out of their trace-time recurrence modes
+    freq_raw = frequency
     frequency = jnp.asarray(frequency)
 
     if convention not in ("fourier", "casa"):
@@ -137,9 +146,10 @@ def im_to_vis_ri(
         real_sky = not isinstance(image, Cplx) and not jnp.issubdtype(
             jnp.asarray(image).dtype, jnp.complexfloating
         )
-        dmax = _measured_delay_max(dot_hi)
+        dmax = (delay_max if delay_max is not None
+                else _measured_delay_max(dot_hi))
         kw = {} if dmax is None else dict(delay_max=dmax)
-        return dft_forward_pallas((dot_hi, dot_lo), frequency, b,
+        return dft_forward_pallas((dot_hi, dot_lo), freq_raw, b,
                                   interpret=interpret,
                                   imag_zero=real_sky or None, **kw)
 
@@ -174,7 +184,7 @@ def im_to_vis(image, uvw, lm, frequency, convention: str = "fourier", dtype=None
 def vis_to_im_ri(
     vis, uvw, lm, frequency, flags, convention: str = "fourier",
     real_dtype=None, use_pallas: bool | None = None,
-    interpret: bool = False,
+    interpret: bool = False, delay_max=None,
 ):
     """Pair-native adjoint DFT.
 
@@ -189,7 +199,8 @@ def vis_to_im_ri(
     ~uniform frequency grids. Default (None): on for TPU backends at
     f32 with ≤ 64 channels — the regime where the einsum path is
     bandwidth-bound on its materialised per-channel cos/sin
-    (pixel, row) matrices; the einsum elsewhere.
+    (pixel, row) matrices; the einsum elsewhere. ``delay_max`` as in
+    :func:`im_to_vis_ri`.
 
     Returns
     -------
@@ -197,6 +208,7 @@ def vis_to_im_ri(
     """
     uvw = jnp.asarray(uvw)
     lm = jnp.asarray(lm)
+    freq_raw = frequency  # pre-coercion (see im_to_vis_ri)
     frequency = jnp.asarray(frequency)
     flags = jnp.asarray(flags)
 
@@ -233,10 +245,11 @@ def vis_to_im_ri(
         from africanus_tpu.rime.phase import phase_dot_cycles
 
         dot_hi, dot_lo = phase_dot_cycles(lm, uvw, flipped)
-        dmax = _measured_delay_max(dot_hi)
+        dmax = (delay_max if delay_max is not None
+                else _measured_delay_max(dot_hi))
         kw = {} if dmax is None else dict(delay_max=dmax)
         out = dft_adjoint_pallas(
-            (dot_hi.T, dot_lo.T), frequency,
+            (dot_hi.T, dot_lo.T), freq_raw,
             Cplx(vr.astype(jnp.float32), vi.astype(jnp.float32)),
             interpret=interpret, **kw,
         )

@@ -262,7 +262,8 @@ def _chan_group_tables(freq, nchan, ncorr, cap, delay_max=_DELAY_MAX):
         mode = "direct"
 
     if mode == "direct":
-        fsm = _freq_rows_np(f64)  # (4, nchan)
+        fsm = _freq_rows_np(f64)  # (4, nchan): [f32, hh, hl, lo]
+        use_flo = bool(np.any(fsm[3]))
     else:
         fsm = np.zeros((4, nchan), np.float32)
         if mode == "residual":
@@ -273,7 +274,6 @@ def _chan_group_tables(freq, nchan, ncorr, cap, delay_max=_DELAY_MAX):
 
     if mode == "direct":
         usm = jnp.zeros((ngroups, 4, 2), jnp.float32)
-        use_flo = bool(np.any(np.asarray(_freq_rows_np(f64)[3])))
     else:
         bases = f64[0] + (np.arange(ngroups) * cg) * step
         u = np.stack([bases, np.full(ngroups, step)], axis=1)  # (ng, 2)
@@ -309,6 +309,10 @@ def dft_adjoint_pallas(dot_pair, freq, vis, row_tile=1024,
     nrow, npix = dhi.shape
     nchan = vis.re.shape[1]
     ncorr = vis.re.shape[2]
+
+    if nrow == 0 or npix == 0:
+        # the einsum path's semantics for empty selections
+        return jnp.zeros((npix, nchan, ncorr), jnp.float32)
 
     cg, ngroups, mode, use_flo, fsm, usm = _chan_group_tables(
         freq, nchan, ncorr, cap=8, delay_max=delay_max
@@ -484,13 +488,17 @@ def dft_forward_pallas(dot_pair, freq, image, src_tile=1024,
     nchan = image.re.shape[1]
     ncorr = image.re.shape[2]
 
+    if nsrc == 0 or nrow == 0:
+        z = jnp.zeros((nrow, nchan, ncorr), jnp.float32)
+        return Cplx(z, z)
+
     if imag_zero is None:
-        # only decidable for concrete arrays; under jit the caller must
-        # assert real-sky statically (im_to_vis_ri does, from the
-        # pre-coercion input type)
+        # only decidable cheaply for host-resident arrays (a device
+        # array would force a full fetch through the TPU tunnel); under
+        # jit the caller asserts real-sky statically (im_to_vis_ri
+        # does, from the pre-coercion input type)
         imag_zero = (
-            not isinstance(image.im, jax.core.Tracer)
-            and not np.any(np.asarray(image.im))
+            isinstance(image.im, np.ndarray) and not np.any(image.im)
         )
 
     # the pair accumulators halve the per-group register budget

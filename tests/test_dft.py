@@ -439,3 +439,119 @@ def test_residual_mode_delay_bound():
     assert _chan_group_tables(freq.astype(np.float64) * 0 +
                               np.linspace(1e9, 2e9, 16), 16, 2, cap=8,
                               delay_max=4e-2)[2] == "exact"
+
+
+def test_pallas_dft_vs_literal_numpy_oracle(rng):
+    """Independent literal-loop oracle (reference dft/kernels.py:24-148
+    semantics, written from the formula — shares no code with the
+    library's phase pipeline) for both fused kernels."""
+    import jax.numpy as jnp
+    from africanus_tpu.dft import im_to_vis_ri, vis_to_im_ri
+    from africanus_tpu.ops.cplx import Cplx
+
+    C = 2.99792458e8
+    f32 = np.float32
+    nsrc, nrow, nchan, ncorr = 5, 40, 4, 2
+    uvw = rng.uniform(-2000, 2000, (nrow, 3)).astype(f32)
+    freq = np.linspace(0.856e9, 1.2e9, nchan)  # f64 → exact mode
+    lm = rng.uniform(-0.01, 0.01, (nsrc, 2)).astype(f32)
+    img = rng.normal(size=(nsrc, nchan, ncorr)).astype(f32)
+    vis = Cplx(rng.normal(size=(nrow, nchan, ncorr)).astype(f32),
+               rng.normal(size=(nrow, nchan, ncorr)).astype(f32))
+    flags = np.zeros((nrow, nchan, ncorr), bool)
+
+    # literal triple loops, f64 ("fourier" convention: e^{-2πi...})
+    want_v = np.zeros((nrow, nchan, ncorr), complex)
+    want_i = np.zeros((nsrc, nchan, ncorr))
+    for s in range(nsrc):
+        l, m = np.float64(lm[s, 0]), np.float64(lm[s, 1])
+        n = np.sqrt(1.0 - l * l - m * m)
+        for r in range(nrow):
+            u, v_, w = uvw[r].astype(np.float64)
+            dot = u * l + v_ * m + w * (n - 1.0)
+            for f in range(nchan):
+                p = -2.0 * np.pi * dot * freq[f] / C
+                K = np.cos(p) + 1j * np.sin(p)
+                for c in range(ncorr):
+                    want_v[r, f, c] += K * img[s, f, c]
+                    vv = vis.re[r, f, c] + 1j * vis.im[r, f, c]
+                    want_i[s, f, c] += np.real(np.conj(K) * vv)
+
+    got_v = im_to_vis_ri(img, uvw, lm, freq, use_pallas=True,
+                         interpret=True, real_dtype=jnp.float32)
+    err_v = max(
+        np.abs(np.asarray(got_v.re) - want_v.real).max(),
+        np.abs(np.asarray(got_v.im) - want_v.imag).max(),
+    ) / np.abs(want_v).max()
+    assert err_v < 3e-6
+
+    got_i = np.asarray(vis_to_im_ri(vis, uvw, lm, freq, flags,
+                                    use_pallas=True, interpret=True,
+                                    real_dtype=jnp.float32))
+    assert np.abs(got_i - want_i).max() < 3e-6 * np.abs(want_i).max()
+
+
+def test_pallas_dft_empty_inputs(rng):
+    """Empty row/source selections return zeros like the einsum path
+    (regression: the tile BlockSpec crashed at trace time)."""
+    import jax.numpy as jnp
+    from africanus_tpu.dft import im_to_vis_ri, vis_to_im_ri
+    from africanus_tpu.ops.cplx import Cplx
+
+    f32 = np.float32
+    freq = np.linspace(0.9e9, 1.0e9, 3)
+    lm = rng.uniform(-0.01, 0.01, (7, 2)).astype(f32)
+
+    # zero rows, adjoint
+    out = vis_to_im_ri(
+        Cplx(np.zeros((0, 3, 2), f32), np.zeros((0, 3, 2), f32)),
+        np.zeros((0, 3), f32), lm, freq, np.zeros((0, 3, 2), bool),
+        use_pallas=True, interpret=True, real_dtype=jnp.float32)
+    assert out.shape == (7, 3, 2) and not np.any(np.asarray(out))
+
+    # zero sources, forward
+    out = im_to_vis_ri(
+        np.zeros((0, 3, 1), f32), rng.uniform(-10, 10, (9, 3)).astype(f32),
+        np.zeros((0, 2), f32), freq, use_pallas=True, interpret=True,
+        real_dtype=jnp.float32)
+    assert out.re.shape == (9, 3, 1) and not np.any(np.asarray(out.re))
+
+
+def test_recurrence_engages_under_jit(rng, monkeypatch):
+    """Closed-over concrete frequency grids must reach the kernels
+    un-coerced so the recurrence modes engage inside jit (regression:
+    the wrappers' jnp.asarray turned them into constant tracers and
+    every jitted call fell back to the direct mode)."""
+    import jax
+    import jax.numpy as jnp
+    from africanus_tpu import dft
+    from africanus_tpu.ops import pallas_dft
+
+    modes = []
+    orig = pallas_dft._chan_group_tables
+
+    def spy(freq, nchan, ncorr, cap, **kw):
+        out = orig(freq, nchan, ncorr, cap, **kw)
+        modes.append(out[2])
+        return out
+
+    monkeypatch.setattr(pallas_dft, "_chan_group_tables", spy)
+
+    f32 = np.float32
+    freq = np.linspace(0.856e9, 1.2e9, 8)  # f64 numpy → exact
+    uvw = rng.uniform(-2000, 2000, (24, 3)).astype(f32)
+    lm = rng.uniform(-0.01, 0.01, (5, 2)).astype(f32)
+    img = rng.normal(size=(5, 8, 1)).astype(f32)
+
+    jax.jit(lambda i, u, l: dft.im_to_vis_ri(
+        i, u, l, freq, use_pallas=True, interpret=True,
+        real_dtype=jnp.float32))(img, uvw, lm)
+    assert modes[-1] == "exact"
+
+    vis = pallas_dft.Cplx(rng.normal(size=(24, 8, 1)).astype(f32),
+                          rng.normal(size=(24, 8, 1)).astype(f32))
+    flags = np.zeros((24, 8, 1), bool)
+    jax.jit(lambda v, u, l, fl: dft.vis_to_im_ri(
+        v, u, l, freq, fl, use_pallas=True, interpret=True,
+        real_dtype=jnp.float32))(vis, uvw, lm, flags)
+    assert modes[-1] == "exact"
