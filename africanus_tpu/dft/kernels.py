@@ -46,6 +46,18 @@ def _dft_phase(uvw, lm, frequency, convention, real_dtype):
 
 
 
+
+def _pallas_dft_disabled():
+    """Operational escape hatch: AFRICANUS_TPU_DISABLE_PALLAS_DFT=1
+    reverts the default routing to the einsum formulation (explicit
+    ``use_pallas=True`` still wins)."""
+    import os
+
+    return os.environ.get("AFRICANUS_TPU_DISABLE_PALLAS_DFT", "") not in (
+        "", "0"
+    )
+
+
 def _measured_delay_max(dot_hi):
     """max |geometric delay| measured from a concrete delay array, or
     None when traced (the kernel then uses its documented default bound
@@ -112,6 +124,7 @@ def im_to_vis_ri(
         use_pallas = (
             jax.default_backend() == "tpu"
             and jnp.dtype(real_dtype) == jnp.float32
+            and not _pallas_dft_disabled()
         )
     if use_pallas:
         from africanus_tpu.rime.phase import phase_dot_cycles
@@ -239,6 +252,7 @@ def vis_to_im_ri(
             jax.default_backend() == "tpu"
             and nchan <= 64
             and jnp.dtype(real_dtype) == jnp.float32
+            and not _pallas_dft_disabled()
         )
     if use_pallas:
         from africanus_tpu.ops.pallas_dft import dft_adjoint_pallas
