@@ -58,10 +58,12 @@ def _kernel_params(epsilon):
 
 
 def es_kernel(z, beta):
-    """Exponential-of-semicircle kernel on z ∈ [-1, 1]."""
-    inside = jnp.abs(z) < 1.0
-    zc = jnp.where(inside, z, 0.0)
-    return jnp.where(inside, jnp.exp(beta * (jnp.sqrt(1.0 - zc * zc) - 1.0)), 0.0)
+    """Exponential-of-semicircle kernel on z ∈ (−1, 1) (shared
+    implementation: ops/es.py — the in-kernel taps, host w-taps and
+    taper must agree)."""
+    from africanus_tpu.ops.es import es_jnp
+
+    return es_jnp(z, beta)
 
 
 def kernel_taper(xi, support, beta, quad_points=64):
@@ -110,8 +112,11 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
 
     support, beta = plan["support"], plan["beta"]
     nu, nv, nplanes = plan["nu"], plan["nv"], plan["nplanes"]
-    if support > min(pg.choose_tile(nu), pg.choose_tile(nv)):
-        return None  # grid too awkward to tile; scatter fallback
+    if support > min(pg.default_tiles(nu, nv, support)):
+        # the tiles plan_tiles would actually pick cannot hold the
+        # window (awkward grid factorisation) — scatter fallback rather
+        # than a ValueError deep in the plan build
+        return None
 
     u_l, v_l, w_l = _wavelength_coords(uvw, freq)
     u_pix = np.mod(u_l * (nu * cellx), nu)
@@ -126,12 +131,9 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
         offs = np.arange(support)
         w_pix = (w_l - plan["w0"]) / plan["dw"]
         iw0 = np.floor(w_pix).astype(np.int64) - (support // 2 - 1)
-        z = (w_pix[:, None] - (iw0[:, None] + offs)) / half
-        inside = np.abs(z) < 1.0
-        zc = np.where(inside, z, 0.0)
-        kw = np.where(
-            inside, np.exp(beta * (np.sqrt(1.0 - zc * zc) - 1.0)), 0.0
-        )
+        from africanus_tpu.ops.es import es_np
+
+        kw = es_np((w_pix[:, None] - (iw0[:, None] + offs)) / half, beta)
         n = iu0.shape[0]
         if fused_wstack:
             # one entry per sample: the kernel spreads each window into
@@ -144,7 +146,6 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
             # measured no slower narrow). The output block holds EVERY
             # plane of one tile in VMEM: shrink the tile until the
             # budget fits, else fall back to the virtual-sample plan.
-            blk = -(-(support + 7) // 8) * 8
             tc = pg.choose_tile(nv, 128 - 2 * support)
             # tile_r 128 measured best for the degridder (256-row tiles
             # double-buffer 2x the VMEM and lost ~30%); the gridder is
@@ -153,11 +154,7 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
                 tr = pg.choose_tile(nu, target_r)
                 if support > min(tr, tc):
                     continue
-                tpad_r = max(
-                    -(-(tr + 2 * support) // 8) * 8,
-                    ((tr + support - 1) // 8) * 8 + blk,
-                )
-                tpad_c = -(-(tc + 2 * support) // 128) * 128
+                _, tpad_r, tpad_c = pg.tile_pad_geometry(tr, tc, support)
                 # re+im f32 blocks. The gridder's revisited OUTPUT blocks
                 # are not double-buffered, but the degridder reads the
                 # same plan and its tile blocks are INPUTS — the pipeline
@@ -257,6 +254,20 @@ def _spread_indices_weights(u_l, v_l, w_l, plan, nx, ny, cellx, celly, beta):
     support = plan["support"]
     nu, nv = plan["nu"], plan["nv"]
 
+    if max(nu, nv) >= 8192 and u_l.dtype != jnp.float64:
+        # the tile path computes these coordinates in host f64 exactly
+        # to avoid this: at u_pix ~ 1e4 the f32 ulp is ~1e-3 cells, so
+        # the ES tap arguments (and the delivered epsilon) degrade
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "wgridder scatter path computing %dx%d grid coordinates in "
+            "%s: the f32 pixel-coordinate rounding (~1e-3 cells at this "
+            "size) caps the delivered accuracy regardless of epsilon; "
+            "use the tile path (use_tiles=True with concrete uvw) or a "
+            "float64 backend for large grids", nu, nv, u_l.dtype,
+        )
+
     u_pix = u_l * (nu * cellx)  # cycles -> grid cells (Δu = 1/(nu·Δl))
     v_pix = v_l * (nv * celly)
     u_pix = jnp.mod(u_pix, nu)
@@ -351,9 +362,15 @@ def grid_adjoint(uvw, freq, vis, wgt, nx, ny, cellx, celly, epsilon,
     if use_tiles is None:
         use_tiles = _use_tiles_default()
     if plan is None:
-        plan = _plan(np.asarray(uvw), np.asarray(freq), nx, ny, cellx,
-                     celly, epsilon, do_wstacking)
+        # the LRU-cached builder: selfcal major cycles regrid the same
+        # uvw/freq every iteration
+        plan = make_plan(np.asarray(uvw), np.asarray(freq), nx, ny,
+                         cellx, celly, epsilon, do_wstacking,
+                         use_tiles=use_tiles)
     if use_tiles and "tile_plan" not in plan:
+        # caller-supplied plan without a tile plan: attach to a copy
+        # (cached plans are shared, read-only objects)
+        plan = dict(plan)
         plan["tile_plan"] = _tile_plan(
             np.asarray(uvw), np.asarray(freq), plan, nx, ny, cellx, celly
         )
@@ -496,18 +513,21 @@ def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
     if use_tiles is None:
         use_tiles = _use_tiles_default()
     if plan is None:
-        plan = _plan(np.asarray(uvw), np.asarray(freq), nx, ny, cellx,
-                     celly, epsilon, do_wstacking)
+        plan = make_plan(np.asarray(uvw), np.asarray(freq), nx, ny,
+                         cellx, celly, epsilon, do_wstacking,
+                         use_tiles=use_tiles)
     # fused w-stack plans (one entry per sample, all-planes VMEM block)
-    # serve the degridder directly; only when the cached plan predates
-    # the fused format is one built here
+    # serve the degridder directly; only when the caller's plan lacks
+    # the key is one built here (membership, not None: a stored-None
+    # tile plan means the scatter fallback was already chosen)
     if use_tiles:
-        tile_plan = plan.get("tile_plan")
-        if tile_plan is None:
-            plan["tile_plan"] = tile_plan = _tile_plan(
+        if "tile_plan" not in plan:
+            plan = dict(plan)  # cached plans are shared, read-only
+            plan["tile_plan"] = _tile_plan(
                 np.asarray(uvw), np.asarray(freq), plan, nx, ny,
                 cellx, celly,
             )
+        tile_plan = plan.get("tile_plan")
     else:
         tile_plan = None
     support, beta = plan["support"], plan["beta"]

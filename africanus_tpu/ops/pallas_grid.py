@@ -62,6 +62,7 @@ __all__ = ["plan_tiles", "plan_tiles_table", "plan_tiles_wstack",
            "grid_tiles_wstack_mxu", "degrid_tiles_wstack_mxu",
            "grid_tiles_mxu", "degrid_tiles_mxu", "wstack_use_mxu",
            "tiles_use_mxu", "TILES_USE_MXU",
+           "tile_pad_geometry", "default_tiles",
            "choose_tile", "pack_shard_plans", "PLAN_ARRAY_KEYS",
            "WSTACK_PLAN_ARRAY_KEYS"]
 
@@ -123,6 +124,31 @@ def choose_tile(n, target=256):
     return n
 
 
+def tile_pad_geometry(tile_r, tile_c, support):
+    """Padded-tile geometry shared by every plan format and the VMEM
+    budget gate in gridding/wgridder/core.py: returns (blk, tpad_r,
+    tpad_c). blk is the 8-aligned row-window covering the worst sub-8
+    shift (7) plus the support (16 for W ≤ 9, 24 for W ≤ 17); rows pad
+    to 8 (with room for the aligned blk-row RMW at the last start
+    offset), cols to 128 — a W halo on each side throughout."""
+    w = support
+    blk = _round_up(w + 7, 8)
+    max_r0a = ((tile_r + w - 1) // 8) * 8
+    tpad_r = max(_round_up(tile_r + 2 * w, 8), max_r0a + blk)
+    tpad_c = _round_up(tile_c + 2 * w, 128)
+    return blk, tpad_r, tpad_c
+
+
+def default_tiles(nu, nv, support):
+    """The tile edges :func:`plan_tiles` / :func:`plan_tiles_table` pick
+    when none are given (MXU-friendly: 128-row tiles, one padded
+    128-lane column block). Exposed so callers can pre-check
+    ``support <= min(tiles)`` and fall back to scatter instead of
+    crashing (gridding/wgridder/core.py)."""
+    return (choose_tile(nu, 128),
+            choose_tile(nv, max(support, 128 - 2 * support)))
+
+
 def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
                tile_c=None, group=1024, sample_id=None, scale=None,
                plane=None, nplanes=1):
@@ -158,12 +184,12 @@ def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
     n = iu0.shape[0]
     w = support
 
-    if tile_r is None:
+    if tile_r is None or tile_c is None:
         # MXU-friendly default (see tiles_use_mxu): 128-row tiles and a
         # column tile whose padded width stays at one 128-lane block
-        tile_r = choose_tile(nu, 128)
-    if tile_c is None:
-        tile_c = choose_tile(nv, max(w, 128 - 2 * w))
+        dr, dc = default_tiles(nu, nv, w)
+        tile_r = dr if tile_r is None else tile_r
+        tile_c = dc if tile_c is None else tile_c
     if nu % tile_r or nv % tile_c:
         raise ValueError(f"tiles ({tile_r},{tile_c}) must divide ({nu},{nv})")
     if w > min(tile_r, tile_c):
@@ -214,14 +240,7 @@ def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
         uf=uf_abs, vf=vf_abs, scale=scale,
     )
 
-    # padded tile: W halo each side; rows 8-aligned (with room for the
-    # aligned blk-row window RMW at the last start offset), cols
-    # 128-aligned. blk must cover the worst-case sub-8 shift (7) plus the
-    # support: blk = round_up(W + 7, 8) — 16 for W ≤ 9, 24 for W ≤ 17.
-    blk = _round_up(w + 7, 8)
-    max_r0a = ((tile_r + w - 1) // 8) * 8
-    tpad_r = max(_round_up(tile_r + 2 * w, 8), max_r0a + blk)
-    tpad_c = _round_up(tile_c + 2 * w, 128)
+    blk, tpad_r, tpad_c = tile_pad_geometry(tile_r, tile_c, w)
 
     return dict(
         tile_r=tile_r, tile_c=tile_c, support=w, beta=float(beta),
@@ -316,12 +335,7 @@ def _pack_entries(tile_ids, ntiles, group, pad_f32, sample_id, ir, ic,
     return ngroups, group_tile, group_base, first, pads
 
 
-def _es(z, beta):
-    inside = jnp.abs(z) < 1.0
-    zc = jnp.where(inside, z, 0.0)
-    return jnp.where(
-        inside, jnp.exp(beta * (jnp.sqrt(1.0 - zc * zc) - 1.0)), 0.0
-    )
+from africanus_tpu.ops.es import es_jnp as _es  # noqa: E402 (shared ES kernel)
 
 
 def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
@@ -789,12 +803,12 @@ def plan_tiles_table(ir0, ic0, fr, fc, support, oversample, nu, nv,
     n = ir0.shape[0]
     w = support
 
-    if tile_r is None:
+    if tile_r is None or tile_c is None:
         # MXU-friendly default (see tiles_use_mxu): 128-row tiles and a
         # column tile whose padded width stays at one 128-lane block
-        tile_r = choose_tile(nu, 128)
-    if tile_c is None:
-        tile_c = choose_tile(nv, max(w, 128 - 2 * w))
+        dr, dc = default_tiles(nu, nv, w)
+        tile_r = dr if tile_r is None else tile_r
+        tile_c = dc if tile_c is None else tile_c
     if nu % tile_r or nv % tile_c:
         raise ValueError(f"tiles ({tile_r},{tile_c}) must divide ({nu},{nv})")
     if w > min(tile_r, tile_c):
@@ -833,10 +847,7 @@ def plan_tiles_table(ir0, ic0, fr, fc, support, oversample, nu, nv,
         fr=fr, fc=fc, scale=scale,
     )
 
-    blk = _round_up(w + 7, 8)
-    max_r0a = ((tile_r + w - 1) // 8) * 8
-    tpad_r = max(_round_up(tile_r + 2 * w, 8), max_r0a + blk)
-    tpad_c = _round_up(tile_c + 2 * w, 128)
+    blk, tpad_r, tpad_c = tile_pad_geometry(tile_r, tile_c, w)
 
     ir_loc = pads["ir"]
     ir_al = (ir_loc // 8) * 8
@@ -1176,10 +1187,7 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
     for t in range(w):
         wflat[(g_of * w + t) * group + s_of] = wscales[t]
 
-    blk = _round_up(w + 7, 8)
-    max_r0a = ((tile_r + w - 1) // 8) * 8
-    tpad_r = max(_round_up(tile_r + 2 * w, 8), max_r0a + blk)
-    tpad_c = _round_up(tile_c + 2 * w, 128)
+    blk, tpad_r, tpad_c = tile_pad_geometry(tile_r, tile_c, w)
 
     return dict(
         tile_r=tile_r, tile_c=tile_c, support=w, beta=float(beta),

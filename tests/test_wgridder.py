@@ -399,3 +399,30 @@ def test_grid_degrid_adjoint_identity(use_tiles, wstack):
     # kernels (incl. the MXU matmul route) — f32-level agreement
     tol = 1e-5 if use_tiles else 1e-12
     assert abs(lhs - rhs) / abs(lhs) < tol
+
+
+def test_awkward_grid_size_falls_back_to_scatter(rng):
+    """Grid sizes whose factorisation defeats the default tile choice
+    must take the scatter fallback, not crash in plan_tiles (regression:
+    nx=131 → nu=262 → default tile (2,2) < support raised ValueError)."""
+    import jax.numpy as jnp
+    from africanus_tpu.gridding.wgridder.core import (
+        _tile_plan, make_plan, grid_adjoint)
+    from africanus_tpu.ops.cplx import Cplx
+
+    nx = 131  # prime-ish: nu = 262 = 2·131 → largest tile ≤ 128 is 2
+    nrow, nchan = 24, 2
+    cell = 2.0 * np.pi / 180 / nx
+    freq = 1e9 + np.arange(nchan) * 1e8
+    uvw = (rng.uniform(size=(nrow, 3)) - 0.5) / (cell * freq[-1] / 2.99792458e8)
+
+    plan = make_plan(uvw, freq, nx, nx, cell, cell, 1e-7,
+                     do_wstacking=True, use_tiles=True)
+    assert plan["tile_plan"] is None  # declined, not crashed
+
+    # the full call runs the scatter fallback end-to-end
+    vis = Cplx(jnp.asarray(rng.normal(size=(nrow, nchan)).astype(np.float32)),
+               jnp.asarray(rng.normal(size=(nrow, nchan)).astype(np.float32)))
+    d = grid_adjoint(uvw, freq, vis, None, nx, nx, cell, cell, 1e-7,
+                     True, plan=plan, use_tiles=True)
+    assert np.asarray(d).shape == (nx, nx)
