@@ -361,9 +361,18 @@ def bda(
     """
     if chan_width is None or chan_freq is None:
         raise ValueError("chan_freq and chan_width must be provided")
+    if uvw is None:
+        raise TypeError("uvw must be provided")  # ref bda_avg.py:768
 
-    if max_uvw_dist is None and uvw is not None:
-        max_uvw_dist = float(np.sqrt((np.asarray(uvw) ** 2).sum(axis=1)).max())
+    # derive/validate row flags against per-visibility flags (reference
+    # bda_avg.py:820): a fully-flagged row drives the binner's
+    # bin_flag_count, meta.flag_row and the row-average flag masks
+    from africanus_tpu.averaging.shared import merge_flags
+
+    flag_row = merge_flags(
+        None if flag_row is None else np.asarray(flag_row),
+        None if flag is None else np.asarray(flag),
+    )
 
     meta = bda_mapper(
         np.asarray(time),
@@ -374,7 +383,7 @@ def bda(
         np.asarray(chan_width),
         np.asarray(chan_freq),
         max_uvw_dist,
-        flag_row=None if flag_row is None else np.asarray(flag_row),
+        flag_row=flag_row,
         max_fov=max_fov,
         decorrelation=decorrelation,
         time_bin_secs=time_bin_secs,

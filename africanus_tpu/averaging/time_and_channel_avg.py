@@ -76,10 +76,27 @@ AverageOutput = namedtuple(
 )
 
 
+from africanus_tpu.utils.plancache import LRUCache, content_key
+
+_GATHER_TABLE_CACHE = LRUCache(8)
+
+
 def _bin_gather_table(row_map, out_rows):
     """Host-side inverse of a row map: (out_rows, R) input-row indices +
-    validity mask, R = largest bin."""
+    validity mask, R = largest bin. Content-cached: selfcal loops call
+    the averager every iteration with identical maps, and both the row
+    and row-chan stages need the same table."""
     row_map = np.asarray(row_map)
+    key = content_key((row_map,), int(out_rows))
+    hit = _GATHER_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    return _GATHER_TABLE_CACHE.put(
+        key, _bin_gather_table_impl(row_map, out_rows)
+    )
+
+
+def _bin_gather_table_impl(row_map, out_rows):
     nrow = row_map.shape[0]
     order = np.argsort(row_map, kind="stable")
     counts = np.bincount(row_map, minlength=out_rows)
@@ -135,19 +152,24 @@ def row_average(
     row_average:76-258). ``meta`` is a RowMapOutput."""
     row_map_np = np.asarray(meta.map)
     out_rows = meta.time.shape[0]
+    row_sel_np, row_valid_np = _bin_gather_table(row_map_np, out_rows)
+    return _row_average_core(
+        jnp.asarray(row_sel_np), jnp.asarray(row_valid_np),
+        jnp.asarray(row_map_np.astype(np.int32)),
+        None if meta.flag_row is None else jnp.asarray(meta.flag_row),
+        ant1, ant2, flag_row, time_centroid, exposure, uvw, weight, sigma,
+    )
+
+
+def _row_average_core(row_sel, row_valid, map32, meta_flag_row,
+                      ant1, ant2, flag_row, time_centroid, exposure,
+                      uvw, weight, sigma):
+    out_rows = row_sel.shape[0]
     ant1 = jnp.asarray(ant1)
     ant2 = jnp.asarray(ant2)
 
-    row_sel_np, row_valid_np = _bin_gather_table(row_map_np, out_rows)
-    row_sel = jnp.asarray(row_sel_np)
-    row_valid = jnp.asarray(row_valid_np)
-
-    if flag_row is not None and meta.flag_row is not None:
-        match_in = (
-            jnp.asarray(flag_row) == jnp.asarray(meta.flag_row)[
-                jnp.asarray(row_map_np.astype(np.int32))
-            ]
-        )
+    if flag_row is not None and meta_flag_row is not None:
+        match_in = jnp.asarray(flag_row) == meta_flag_row[map32]
         match = match_in[row_sel] & row_valid
     else:
         match = row_valid
@@ -272,14 +294,28 @@ def _row_chan_average_gather(row_meta, out_chans, ucb, flag_row, weight,
                              visibilities, flag, weight_spectrum,
                              sigma_spectrum, nrow, nchan, ncorr):
     out_rows = row_meta.time.shape[0]
-    bsize, chan_valid_np = ucb
-    npad = out_chans * bsize - nchan
-
+    _, chan_valid_np = ucb
     row_sel_np, row_valid_np = _bin_gather_table(row_meta.map, out_rows)
-    row_sel = jnp.asarray(row_sel_np)
-    r = row_sel_np.shape[1]
-    row_valid = jnp.asarray(row_valid_np)
-    chan_valid = jnp.asarray(chan_valid_np)  # (out_chans, B)
+    return _row_chan_gather_core(
+        jnp.asarray(row_sel_np), jnp.asarray(row_valid_np),
+        jnp.asarray(chan_valid_np), flag_row, weight, visibilities,
+        flag, weight_spectrum, sigma_spectrum,
+    )
+
+
+def _row_chan_gather_core(row_sel, row_valid, chan_valid, flag_row,
+                          weight, visibilities, flag, weight_spectrum,
+                          sigma_spectrum):
+    # infer shapes from the arrays (jit-safe statics)
+    probe = None
+    for cand in (visibilities, flag, weight_spectrum, sigma_spectrum):
+        if cand is not None:
+            probe = cand
+            break
+    nrow, nchan, ncorr = jax.tree_util.tree_leaves(probe)[0].shape
+    out_rows, r = row_sel.shape
+    out_chans, bsize = chan_valid.shape
+    npad = out_chans * bsize - nchan
     in_shape = (nrow, nchan, ncorr)
 
     def g(x):
@@ -448,6 +484,53 @@ def chan_average(
     )
 
 
+@jax.jit
+def _tc_core(row_sel, row_valid, map32, meta_flag_row, chan_map32,
+             chan_valid, ant1, ant2, flag_row, time_centroid, exposure,
+             uvw, weight, sigma, chan_freq, chan_width, effective_bw,
+             resolution, visibilities, flag, weight_spectrum,
+             sigma_spectrum):
+    """All three averaging stages fused into ONE device dispatch (the
+    per-call tunnel cost is ~30 ms — see CLAUDE.md; bda() does the
+    same via _bda_core). Requires the uniform channel-bin layout
+    (always true for channel_mapper output)."""
+    row_out = _row_average_core(
+        row_sel, row_valid, map32, meta_flag_row, ant1, ant2, flag_row,
+        time_centroid, exposure, uvw, weight, sigma,
+    )
+
+    out_chans = chan_valid.shape[0]
+    counts = jnp.zeros(out_chans, jnp.uint32).at[chan_map32].add(1)
+
+    def mean(x):
+        if x is None:
+            return None
+        x = jnp.asarray(x)
+        acc = jnp.zeros(out_chans, x.dtype).at[chan_map32].add(x)
+        return acc / counts.astype(x.dtype)
+
+    def total(x):
+        if x is None:
+            return None
+        x = jnp.asarray(x)
+        return jnp.zeros(out_chans, x.dtype).at[chan_map32].add(x)
+
+    chan_out = ChannelAverageOutput(
+        mean(chan_freq), total(chan_width), total(effective_bw),
+        total(resolution),
+    )
+
+    if any(c is not None for c in (visibilities, flag, weight_spectrum,
+                                   sigma_spectrum)):
+        rowchan_out = _row_chan_gather_core(
+            row_sel, row_valid, chan_valid, flag_row, weight,
+            visibilities, flag, weight_spectrum, sigma_spectrum,
+        )
+    else:
+        rowchan_out = RowChanAverageOutput(None, None, None, None)
+    return row_out, chan_out, rowchan_out
+
+
 def time_and_channel(
     time,
     interval,
@@ -477,12 +560,24 @@ def time_and_channel(
     Returns an AverageOutput namedtuple of averaged columns (None where the
     corresponding input was None).
     """
+    # derive row flags from per-visibility flags (and validate their
+    # consistency when both are given) — reference semantics
+    # (time_and_channel_avg.py:902): a fully-flagged row must be
+    # excluded from uvw/centroid/exposure/weight/sigma bin averages
+    # even when the caller only supplies FLAG
+    from africanus_tpu.averaging.shared import merge_flags
+
+    flag_row = merge_flags(
+        None if flag_row is None else np.asarray(flag_row),
+        None if flag is None else np.asarray(flag),
+    )
+
     row_meta = row_mapper(
         np.asarray(time),
         np.asarray(interval),
         np.asarray(antenna1),
         np.asarray(antenna2),
-        flag_row=None if flag_row is None else np.asarray(flag_row),
+        flag_row=flag_row,
         time_bin_secs=time_bin_secs,
     )
 
@@ -501,20 +596,45 @@ def time_and_channel(
         nchan = 0
     chan_meta = channel_mapper(nchan, chan_bin_size)
 
-    row_out = row_average(
-        row_meta, antenna1, antenna2, flag_row=flag_row,
-        time_centroid=time_centroid, exposure=exposure, uvw=uvw,
-        weight=weight, sigma=sigma,
-    )
-    chan_out = chan_average(
-        chan_meta, chan_freq=chan_freq, chan_width=chan_width,
-        effective_bw=effective_bw, resolution=resolution,
-    )
-    rowchan_out = row_chan_average(
-        row_meta, chan_meta, flag_row=flag_row, weight=weight,
-        visibilities=visibilities, flag=flag,
-        weight_spectrum=weight_spectrum, sigma_spectrum=sigma_spectrum,
-    )
+    chan_map_np, out_chans = chan_meta
+    ucb = _uniform_chan_bins(chan_map_np, out_chans)
+    if ucb is None and nchan:
+        # non-uniform channel maps never come from channel_mapper; keep
+        # the eager three-stage path for that (public-API) case
+        row_out = row_average(
+            row_meta, antenna1, antenna2, flag_row=flag_row,
+            time_centroid=time_centroid, exposure=exposure, uvw=uvw,
+            weight=weight, sigma=sigma,
+        )
+        chan_out = chan_average(
+            chan_meta, chan_freq=chan_freq, chan_width=chan_width,
+            effective_bw=effective_bw, resolution=resolution,
+        )
+        rowchan_out = row_chan_average(
+            row_meta, chan_meta, flag_row=flag_row, weight=weight,
+            visibilities=visibilities, flag=flag,
+            weight_spectrum=weight_spectrum, sigma_spectrum=sigma_spectrum,
+        )
+    else:
+        row_map_np = np.asarray(row_meta.map)
+        out_rows = row_meta.time.shape[0]
+        row_sel_np, row_valid_np = _bin_gather_table(row_map_np, out_rows)
+        if ucb is None:  # nchan == 0: inert single-bin table
+            chan_valid_np = np.zeros((max(out_chans, 1), 1), bool)
+        else:
+            chan_valid_np = ucb[1]
+        row_out, chan_out, rowchan_out = _tc_core(
+            jnp.asarray(row_sel_np), jnp.asarray(row_valid_np),
+            jnp.asarray(row_map_np.astype(np.int32)),
+            None if row_meta.flag_row is None
+            else jnp.asarray(row_meta.flag_row),
+            jnp.asarray(np.asarray(chan_map_np).astype(np.int32)),
+            jnp.asarray(chan_valid_np),
+            antenna1, antenna2, flag_row, time_centroid, exposure, uvw,
+            weight, sigma, chan_freq, chan_width, effective_bw,
+            resolution, visibilities, flag, weight_spectrum,
+            sigma_spectrum,
+        )
 
     return AverageOutput(
         jnp.asarray(row_meta.time),

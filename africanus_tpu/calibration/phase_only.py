@@ -55,6 +55,12 @@ def _ant_gather_table(time_bin_indices, time_bin_counts, antenna1,
     )
 
     nrow = a1.shape[0]
+    # chunked callers pass absolute row offsets — rebaseline like the
+    # reference (phase_only.py:137 'time_bin_indices -= ...min()');
+    # without this the slices fall out of bounds and numpy silently
+    # yields empty assignments (everything lands in time bin 0)
+    if tbi.size:
+        tbi = tbi - tbi.min()
     t_row = np.zeros(nrow, np.int64)
     for ti, (s, c) in enumerate(zip(tbi, tbc)):
         t_row[int(s) : int(s) + int(c)] = ti

@@ -289,7 +289,6 @@ def compute_and_corrupt_vis_ri(
     kim = jnp.sin(p) / n[:, None, :]
 
     mrow = m[t]  # (row, chan, dir, corr…)
-    K = Cplx(kre, kim)
     corr_dims = mrow.re.ndim - 3
     K = Cplx(
         kre.reshape(kre.shape + (1,) * corr_dims),

@@ -211,6 +211,12 @@ def test_time_and_channel_end_to_end(rng, synth_obs):
         size=(nrow, nchan, ncorr)
     )
     flag = rng.uniform(size=vis.shape) < 0.2
+    # the reference validates flag_row against flag (merge_flags,
+    # shared.py:19): a row is row-flagged iff every flag is set
+    fr_bool = np.asarray(flag_row).astype(bool)
+    flag[fr_bool] = True
+    full = flag.reshape(nrow, -1).all(axis=1) & ~fr_bool
+    flag[full, 0, 0] = False
     freq = np.linspace(1e9, 2e9, nchan)
 
     out = time_and_channel(
@@ -462,3 +468,58 @@ def test_row_average_field_semantics(rng, synth_obs):
                         tc[eff].mean(), rtol=1e-12)
         assert_allclose(np.asarray(out.exposure)[ro], exp[eff].sum(),
                         rtol=1e-12)
+
+
+def test_time_and_channel_derives_flag_row_from_flag(rng):
+    """FLAG without FLAG_ROW (the common MS case): fully-flagged rows
+    must be excluded from row averages and the output flag_row derived
+    (reference time_and_channel_avg.py:902 merge_flags)."""
+    time = np.array([1.0, 2.0])  # same baseline, one 2 s bin
+    interval = np.ones(2)
+    a1 = np.zeros(2, np.int32)
+    a2 = np.ones(2, np.int32)
+    uvw = np.array([[10.0, 0, 0], [20.0, 0, 0]])
+    vis = np.ones((2, 1, 1), np.complex128)
+    flag = np.array([[[0]], [[1]]], np.uint8)  # row 1 fully flagged
+
+    out = time_and_channel(
+        time, interval, a1, a2, uvw=uvw, visibilities=vis, flag=flag,
+        time_bin_secs=2.0,
+    )
+    assert out.flag_row is not None
+    assert out.time.shape[0] == 1
+    # only the unflagged row contributes to the uvw bin average
+    assert_allclose(np.asarray(out.uvw)[0], [10.0, 0, 0])
+
+
+def test_bda_derives_flag_row_from_flag(rng):
+    """Same contract for BDA (reference bda_avg.py:820)."""
+    from africanus_tpu.averaging import bda
+
+    nrow, nchan = 6, 4
+    time = np.repeat([1.0, 2.0, 3.0], 2)
+    interval = np.ones(nrow)
+    a1 = np.tile([0, 0], 3).astype(np.int32)
+    a2 = np.tile([1, 2], 3).astype(np.int32)
+    uvw = rng.normal(size=(nrow, 3)) * 10
+    freq = np.linspace(1e9, 1.1e9, nchan)
+    width = np.full(nchan, 0.1e9 / nchan)
+    vis = rng.normal(size=(nrow, nchan, 1)) + 0j
+    flag = np.zeros((nrow, nchan, 1), np.uint8)
+    flag[1] = 1  # one row fully flagged
+
+    out = bda(time, interval, a1, a2, uvw=uvw, chan_freq=freq,
+              chan_width=width, visibilities=vis, flag=flag,
+              decorrelation=0.95)
+    assert out.flag_row is not None
+    arr = np.asarray(out.flag_row)
+    assert arr.any() and not arr.all()
+
+
+def test_bda_requires_uvw():
+    from africanus_tpu.averaging import bda
+
+    with pytest.raises(TypeError, match="uvw"):
+        bda(np.array([1.0]), np.ones(1), np.zeros(1, np.int32),
+            np.ones(1, np.int32), chan_freq=np.array([1e9]),
+            chan_width=np.array([1e6]))

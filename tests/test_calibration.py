@@ -391,3 +391,30 @@ def test_residual_vis_subtracts_per_direction(rng, corr_shape,
         corrupt_vis(tbi, tbc, ant1, ant2, jones, model)
     )
     assert_allclose(res, vis - corrupted, rtol=1e-10, atol=1e-12)
+
+
+def test_jhj_jhr_offset_time_bin_indices(rng):
+    """Chunked callers pass absolute row offsets in time_bin_indices —
+    the gather table must rebaseline them like the reference
+    (phase_only.py:137); previously everything summed into time bin 0."""
+    from africanus_tpu.calibration.phase_only import compute_jhj
+
+    ntime, nant, nchan, ndir, ncorr = 2, 3, 2, 1, 1
+    nbl = nant * (nant - 1) // 2
+    a1, a2 = np.triu_indices(nant, 1)
+    a1 = np.tile(a1, ntime).astype(np.int32)
+    a2 = np.tile(a2, ntime).astype(np.int32)
+    tbc = np.full(ntime, nbl, np.int32)
+
+    shape = (ntime, nant, nchan, ndir, ncorr)
+    jones = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    mshape = (ntime * nbl, nchan, ndir, ncorr)
+    model = rng.normal(size=mshape) + 1j * rng.normal(size=mshape)
+    flag = np.zeros(mshape[:2] + (ncorr,), np.uint8)
+
+    tbi0 = (np.arange(ntime) * nbl).astype(np.int32)
+    ref = np.asarray(compute_jhj(tbi0, tbc, a1, a2, jones, model, flag))
+    off = np.asarray(compute_jhj(tbi0 + 1000, tbc, a1, a2, jones, model,
+                                 flag))
+    assert ref[1].max() > 0  # time bin 1 actually populated
+    assert_allclose(off, ref, rtol=1e-12)

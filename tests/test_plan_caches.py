@@ -121,6 +121,11 @@ def test_bda_single_dispatch_matches_staged_calls(rng):
     sigma = rng.uniform(0.1, 1.0, weight.shape)
     flag_row = (rng.uniform(size=time.size) < 0.1).astype(np.uint8)
     flag = rng.uniform(size=vis.re.shape) < 0.05
+    # keep flag_row/flag consistent: bda validates them (merge_flags)
+    fr_bool = flag_row.astype(bool)
+    flag[fr_bool] = True
+    full = flag.reshape(time.size, -1).all(axis=1) & ~fr_bool
+    flag[full, 0, 0] = False
 
     out = bda(time, interval, a1, a2, time_centroid=time,
               exposure=interval, flag_row=flag_row, uvw=uvw,
