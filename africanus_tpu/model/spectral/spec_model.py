@@ -11,6 +11,7 @@ XLA expression with no runtime branching.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = ["spectral_model"]
 
@@ -80,11 +81,15 @@ def spectral_model(stokes, spi, ref_freq, frequency, base=0):
             pols.append(estokes[:, p, None] * ratio ** total_alpha[:, None])
         elif b == _LOG:
             lr = jnp.log(ratio)  # (source, chan)
-            poly = jnp.einsum("si,sfi->sf", espi[:, :, p], lr[:, :, None] ** exps)
+            poly = jnp.einsum("si,sfi->sf", espi[:, :, p],
+                              lr[:, :, None] ** exps,
+                              precision=lax.Precision.HIGHEST)
             pols.append(estokes[:, p, None] * jnp.exp(poly))
         else:  # _LOG10
             lr = jnp.log10(ratio)
-            poly = jnp.einsum("si,sfi->sf", espi[:, :, p], lr[:, :, None] ** exps)
+            poly = jnp.einsum("si,sfi->sf", espi[:, :, p],
+                              lr[:, :, None] ** exps,
+                              precision=lax.Precision.HIGHEST)
             pols.append(estokes[:, p, None] * 10.0**poly)
 
     out = jnp.stack(pols, axis=-1)  # (source, chan, pol)

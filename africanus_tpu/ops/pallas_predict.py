@@ -29,9 +29,8 @@ from africanus_tpu.ops.cplx import Cplx
 __all__ = ["predict_kb_pallas"]
 
 
-def _predict_kernel(dot_ref, dlo_ref, u1_ref, v1_ref, freq_ref, sfreq_ref,
-                    bre_ref, bim_ref, out_re_ref, out_im_ref, *,
-                    src_block, have_env, compensated, blocked=False):
+def _predict_kernel(*refs, src_block, have_env, compensated,
+                    blocked=False):
     """One (row_tile, chan_tile) output tile; loop over source blocks.
 
     With ``blocked`` the grid carries a third (innermost, sequential)
@@ -40,6 +39,14 @@ def _predict_kernel(dot_ref, dlo_ref, u1_ref, v1_ref, freq_ref, sfreq_ref,
     Pallas contraction-blocking pattern) — the source axis then no
     longer needs to fit in VMEM whole.
     """
+    it = iter(refs)
+    dot_ref = next(it)
+    dlo_ref = next(it) if compensated else None
+    u1_ref = next(it) if have_env else None
+    v1_ref = next(it) if have_env else None
+    freq_ref, sfreq_ref, bre_ref, bim_ref = (next(it) for _ in range(4))
+    out_re_ref, out_im_ref = next(it), next(it)
+
     nsrc = dot_ref.shape[0]
     nblocks = nsrc // src_block
 
@@ -153,7 +160,7 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
     if compensated:
         phase_dot, phase_dot_lo = phase_dot
     else:
-        phase_dot_lo = jnp.zeros_like(phase_dot)
+        phase_dot_lo = None
     nsrc, nrow = phase_dot.shape
     nchan = freq.shape[0]
     ncorr = b.re.shape[2]
@@ -172,10 +179,6 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
             f"multiple of src_block={src_block}"
         )
     stile = src_tile if blocked else nsrc
-
-    if not have_env:
-        u1 = jnp.zeros_like(phase_dot)
-        v1 = jnp.zeros_like(phase_dot)
 
     grid = (nrow // row_tile, nchan // chan_tile)
     if blocked:
@@ -203,15 +206,18 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
         bidx = lambda i, j: (0, 0, j)         # noqa: E731
         oidx = lambda i, j: (0, i, j)         # noqa: E731
 
-    in_specs = [
-        pl.BlockSpec((stile, row_tile), src_row,
-                     memory_space=pltpu.VMEM),  # phase_dot (hi)
-        pl.BlockSpec((stile, row_tile), src_row,
-                     memory_space=pltpu.VMEM),  # phase_dot (lo)
-        pl.BlockSpec((stile, row_tile), src_row,
-                     memory_space=pltpu.VMEM),  # u1
-        pl.BlockSpec((stile, row_tile), src_row,
-                     memory_space=pltpu.VMEM),  # v1
+    # declare only the (src, row) planes the kernel's static flags will
+    # read: zero-filled dlo/u1/v1 stand-ins were DMA'd per grid step (4x
+    # the (src, row) HBM traffic and VMEM footprint on the legacy
+    # point-source path)
+    sr_spec = pl.BlockSpec((stile, row_tile), src_row,
+                           memory_space=pltpu.VMEM)
+    in_specs = [sr_spec]  # phase_dot (hi)
+    if compensated:
+        in_specs.append(sr_spec)  # phase_dot (lo)
+    if have_env:
+        in_specs += [sr_spec, sr_spec]  # u1, v1
+    in_specs += [
         pl.BlockSpec((1, chan_tile), chan_vec,
                      memory_space=pltpu.VMEM),  # freq
         pl.BlockSpec((1, chan_tile), chan_vec,
@@ -245,9 +251,9 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
         ),
     )(
         phase_dot.astype(jnp.float32),
-        phase_dot_lo.astype(jnp.float32),
-        u1.astype(jnp.float32),
-        v1.astype(jnp.float32),
+        *((phase_dot_lo.astype(jnp.float32),) if compensated else ()),
+        *((u1.astype(jnp.float32), v1.astype(jnp.float32))
+          if have_env else ()),
         freq.astype(jnp.float32).reshape(1, -1),
         scaled_freq.astype(jnp.float32).reshape(1, -1),
         b.re.astype(jnp.float32).transpose(2, 0, 1),

@@ -84,15 +84,19 @@ class RimeFactory:
             state["uantenna"] = jnp.asarray(uant)
             state[f"{name}_inverse"] = jnp.asarray(lookup[ant])
 
-        for name in ("feed1", "feed2"):
-            if name in kwargs:
-                feed = np.asarray(kwargs[name])
-            else:
-                feed = np.zeros(time.shape, np.int32)
-            ufeed = np.unique(feed)
-            lookup = np.full(int(ufeed.max()) + 1, -1, np.int32)
-            lookup[ufeed] = np.arange(ufeed.shape[0], dtype=np.int32)
-            state["ufeed"] = jnp.asarray(ufeed)
+        # one shared feed table over BOTH columns (like antennas): a
+        # per-column unique would leave ufeed holding only feed2's set
+        # while feed1_inverse indexed feed1's own — inconsistent tables
+        feeds = {
+            name: (np.asarray(kwargs[name]) if name in kwargs
+                   else np.zeros(time.shape, np.int32))
+            for name in ("feed1", "feed2")
+        }
+        ufeed = np.unique(np.concatenate(list(feeds.values())))
+        lookup = np.full(int(ufeed.max()) + 1, -1, np.int32)
+        lookup[ufeed] = np.arange(ufeed.shape[0], dtype=np.int32)
+        state["ufeed"] = jnp.asarray(ufeed)
+        for name, feed in feeds.items():
             state[f"{name}_inverse"] = jnp.asarray(lookup[feed])
 
         # antenna_position may drive the parallactic transformer: the beam/
@@ -105,6 +109,10 @@ class RimeFactory:
         needed = set()
         for term in self.rime_spec.terms:
             needed.update(term.ARGS)
+            # optional inputs trigger transformers too: BeamCubeDDE's
+            # beam_parangle & co live in KWARGS, and without this the
+            # parallactic transformer only ran when an L term was present
+            needed.update(getattr(term, "KWARGS", ()))
         for tf in TRANSFORMERS:
             produces = set(tf.OUTPUTS)
             if produces & needed and not produces.issubset(state):

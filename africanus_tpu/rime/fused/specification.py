@@ -143,6 +143,8 @@ class RimeSpecification:
                         f"Can't find a type for {v!r}"
                     )
 
+        import inspect
+
         self.terms = []
         for term_str in equation:
             char, cfg = _decompose_term_str(term_str)
@@ -151,9 +153,6 @@ class RimeSpecification:
                 cls = term_map[char]
             except KeyError as e:
                 raise RimeSpecificationError(f"Unknown term {e}")
-
-            kwargs = {"configuration": cfg}
-            import inspect
 
             sig = inspect.signature(cls.__init__)
             available = {

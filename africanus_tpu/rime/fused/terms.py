@@ -17,8 +17,6 @@ from dataclasses import dataclass
 
 import numpy as np
 import jax.numpy as jnp
-
-from africanus_tpu.constants import c as lightspeed
 from africanus_tpu.ops.cplx import Cplx
 
 __all__ = [
@@ -186,25 +184,15 @@ class Brightness(Term):
         nsrc = stokes.shape[0]
         nchan = freq.shape[0]
 
-        # per-stokes spectral model (source, chan, nstokes)
+        # per-stokes spectral model (source, chan, nstokes) — the
+        # shared three-base implementation (model/spectral/spec_model.py)
         if spi is not None and ref_freq is not None:
-            spi = jnp.asarray(spi)
-            ratio = freq[None, :] / jnp.asarray(ref_freq)[:, None]
-            if base in ("standard", "std", 0):
-                alpha = spi.sum(axis=1)  # (source, nstokes)
-                spec = stokes[:, None, :] * ratio[:, :, None] ** alpha[:, None, :]
-            elif base in ("log", 1):
-                exps = jnp.arange(1, spi.shape[1] + 1)
-                lr = jnp.log(ratio)
-                poly = jnp.einsum("sip,sfi->sfp", spi, lr[:, :, None] ** exps)
-                spec = stokes[:, None, :] * jnp.exp(poly)
-            elif base in ("log10", 2):
-                exps = jnp.arange(1, spi.shape[1] + 1)
-                lr = jnp.log10(ratio)
-                poly = jnp.einsum("sip,sfi->sfp", spi, lr[:, :, None] ** exps)
-                spec = stokes[:, None, :] * 10.0**poly
-            else:
-                raise ValueError(f"Invalid spi_base {base}")
+            from africanus_tpu.model.spectral import spectral_model
+
+            spec = spectral_model(
+                stokes, jnp.asarray(spi), jnp.asarray(ref_freq), freq,
+                base={"standard": "std"}.get(base, base),
+            )
         else:
             spec = jnp.broadcast_to(
                 stokes[:, None, :], (nsrc, nchan, stokes.shape[1])
@@ -241,22 +229,10 @@ class Gaussian(Term):
     SOURCE_ARGS = ("gauss_shape",)
 
     def sample(self, state) -> TermValue:
-        uvw = state["uvw"]
-        freq = state["chan_freq"]
-        gs = state["gauss_shape"]
+        from africanus_tpu.model.shape.gaussian_shape import gaussian
 
-        fwhm = 2.0 * np.sqrt(2.0 * np.log(2.0))
-        gauss_scale = np.sqrt(2.0) * np.pi / (fwhm * lightspeed)
-
-        emaj, emin, ang = gs[:, 0], gs[:, 1], gs[:, 2]
-        el = emaj * jnp.sin(ang)
-        em = emaj * jnp.cos(ang)
-        er = emin / jnp.where(emaj == 0.0, 1.0, emaj)
-        u, v = uvw[:, 0], uvw[:, 1]
-        u1 = (u[None, :] * em[:, None] - v[None, :] * el[:, None]) * er[:, None]
-        v1 = u[None, :] * el[:, None] + v[None, :] * em[:, None]
-        sf = freq * gauss_scale
-        env = jnp.exp(-((u1[:, :, None] * sf) ** 2 + (v1[:, :, None] * sf) ** 2))
+        env = gaussian(state["uvw"], state["chan_freq"],
+                       state["gauss_shape"])
         return TermValue("scalar", (Cplx(env, jnp.zeros_like(env)),))
 
 

@@ -31,7 +31,8 @@ __all__ = ["parallactic_angles"]
 _STANDARD_BACKENDS = {"jax", "numpy", "test"}
 
 
-def parallactic_angles(times, antenna_positions, field_centre, backend="jax"):
+def parallactic_angles(times, antenna_positions, field_centre,
+                       backend="numpy"):
     """Compute parallactic angles for each timestep and antenna.
 
     Parameters
@@ -39,10 +40,13 @@ def parallactic_angles(times, antenna_positions, field_centre, backend="jax"):
     times : (time,) array — UTC Mean Julian Date times in *seconds*.
     antenna_positions : (ant, 3) array — ITRF positions in metres.
     field_centre : (2,) array — J2000 (ra, dec) in radians.
-    backend : {"jax", "numpy", "test"}
-        "jax" is jittable; "numpy" computes on the host in exact float64 —
-        use it on float32-only devices, where MJD *seconds* (~5e9) lose
-        ~512 s (~2° of Earth rotation) to f32 rounding.
+    backend : {"numpy", "jax", "test"}
+        "numpy" (the default) computes on the host in exact float64 —
+        MJD *seconds* (~5e9) lose ~512 s (~2° of Earth rotation) to f32
+        rounding, so this is the only safe choice on float32-only
+        devices (and matches the reference's host casacore path,
+        parangles.py:21). "jax" is jittable; it warns when the working
+        dtype cannot hold MJD seconds.
 
     Returns
     -------
@@ -58,7 +62,20 @@ def parallactic_angles(times, antenna_positions, field_centre, backend="jax"):
 
     xp = _np if backend == "numpy" else jnp
 
-    times = xp.asarray(times, dtype=_np.float64) if xp is _np else jnp.asarray(times)
+    if xp is _np:
+        times = _np.asarray(times, dtype=_np.float64)
+    else:
+        times = jnp.asarray(times)
+        if times.dtype != jnp.float64:
+            import warnings
+
+            warnings.warn(
+                "parallactic_angles(backend='jax') at "
+                f"{times.dtype}: MJD seconds (~5e9) lose ~512 s to f32 "
+                "rounding (~2 deg of Earth rotation); use the default "
+                "backend='numpy' host float64 path on f32-only devices",
+                stacklevel=2,
+            )
     antenna_positions = xp.asarray(antenna_positions)
     field_centre = xp.asarray(field_centre)
 

@@ -16,8 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from africanus_tpu.constants import two_pi_over_c, c as lightspeed
-from africanus_tpu.coordinates.transforms import n_minus_one
+from africanus_tpu.constants import c as lightspeed
 from africanus_tpu.model.wsclean.spec_model import spectra
 from africanus_tpu.ops.cplx import Cplx
 
@@ -61,17 +60,14 @@ def wsclean_predict_ri(
 
     spectrum = spectra(flux, coeffs, log_poly, ref_freq, frequency)  # (src, chan)
 
-    l = lm[:, 0]  # noqa: E741
-    m = lm[:, 1]
-    n = n_minus_one(l, m)
+    u, v = uvw[:, 0], uvw[:, 1]
 
-    u, v, w = uvw[:, 0], uvw[:, 1], uvw[:, 2]
+    # (source, row, chan) phase through the shared compensated pipeline
+    # (two-float mod-2π at f32 — a plain product rounds ~1e4-rad phases
+    # to ~6e-4 rad, capping accuracy near 1e-3; see ops/dfloat.py)
+    from africanus_tpu.rime.phase import reduced_phase
 
-    # (source, row) real phase dot, elementwise for f32 exactness
-    phase = two_pi_over_c * (
-        l[:, None] * u[None, :] + m[:, None] * v[None, :] + n[:, None] * w[None, :]
-    )
-    p = phase[:, :, None] * frequency  # (source, row, chan)
+    p = reduced_phase(lm, uvw, frequency, convention="casa")
 
     # Gaussian envelope; points get envelope 1 via the mask
     emaj, emin, angle = gauss_shape[:, 0], gauss_shape[:, 1], gauss_shape[:, 2]

@@ -137,8 +137,11 @@ def zernike_dde_ri(
     )  # (src,time,ant,chan,corr*poly)
     picked = picked.reshape(nsrc, ntime, nant, nchan, ncorr, npoly)
 
-    out_re = jnp.einsum("acop,stacop->staco", cre, picked)
-    out_im = jnp.einsum("acop,stacop->staco", cim, picked)
+    # geometry contraction: TPU matmuls default to bf16 operands
+    out_re = jnp.einsum("acop,stacop->staco", cre, picked,
+                        precision=lax.Precision.HIGHEST)
+    out_im = jnp.einsum("acop,stacop->staco", cim, picked,
+                        precision=lax.Precision.HIGHEST)
     out = Cplx(out_re, out_im)
     return out.reshape((nsrc, ntime, nant, nchan) + corr_shape)
 

@@ -453,3 +453,48 @@ def test_fused_rime_chunk_sweep(rng, wsrt_ants, nsrc, blocks):
     )
     got = to_numpy(fac.evaluate(sharded, source_block=blocks))
     assert_allclose(got, want, rtol=1e-10, atol=1e-11)
+
+
+def test_fused_ufeed_shared_over_both_columns(obs):
+    """feed1/feed2 with differing id sets must share ONE ufeed table
+    (regression: per-column uniques left ufeed holding only feed2's set
+    while feed1_inverse indexed feed1's own — inconsistent tables)."""
+    nrow = obs["time"].shape[0]
+    obs = dict(obs)
+    obs["feed1"] = np.ones(nrow, np.int32)   # ids {1}
+    obs["feed2"] = np.zeros(nrow, np.int32)  # ids {0}
+
+    factory = RimeFactory(
+        RimeSpecification("(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]")
+    )
+    state = factory._build_state(dict(obs))
+    ufeed = np.asarray(state["ufeed"])
+    f1 = np.asarray(state["feed1_inverse"])
+    f2 = np.asarray(state["feed2_inverse"])
+    assert_allclose(ufeed, [0, 1])
+    assert (ufeed[f1] == 1).all() and (ufeed[f2] == 0).all()
+
+
+def test_fused_beam_term_triggers_parallactic_transformer(tmp_path, rng,
+                                                          obs, wsrt_ants):
+    """BeamCubeDDE's parallactic inputs live in KWARGS: the transformer
+    must run for a beam-only spec (regression: only ARGS were collected,
+    so beam_parangle stayed absent — zero rotation — unless an L term
+    happened to be present)."""
+    from africanus_tpu.rime.fused.core import RimeFactory
+
+    factory = RimeFactory(
+        RimeSpecification("(Ep, Kpq, Bpq, Eq): [I,Q,U,V] -> [XX,XY,YX,YY]")
+    )
+    blw = bmh = 15
+    beam = (rng.normal(size=(blw, bmh, 3, 2, 2))
+            + 1j * rng.normal(size=(blw, bmh, 3, 2, 2)))
+    state = factory._build_state(dict(
+        beam=beam,
+        beam_lm_extent=np.array([[-1e-2, 1e-2], [-1e-2, 1e-2]]),
+        beam_freq_map=np.linspace(0.8e9, 1.8e9, 3),
+        **obs,
+    ))
+    assert "beam_parangle" in state
+    pa = np.asarray(state["beam_parangle"])
+    assert np.abs(pa).max() > 1e-3  # real rotation, not zeros
