@@ -70,16 +70,19 @@ def hogbom_clean(dirty, psf, gamma=0.1, threshold="default", niter="default"):
     frac = 0.2 if threshold == "default" else float(threshold)
     thresh = frac * jnp.abs(intensity0)
 
+    # carry (flat_idx, intensity) so the full-image argmax runs once
+    # per iteration instead of once in cond and again in body
+    def peak_of(residual):
+        flat_idx = jnp.argmax(residual)
+        return flat_idx, residual.reshape(-1)[flat_idx]
+
     def cond(state):
-        residual, clean, i = state
-        peak = residual.reshape(-1)[jnp.argmax(residual)]
-        return (jnp.abs(peak) > thresh) & (i <= niter)
+        _, _, i, _, intensity = state
+        return (jnp.abs(intensity) > thresh) & (i <= niter)
 
     def body(state):
-        residual, clean, i = state
-        flat_idx = jnp.argmax(residual)
+        residual, clean, i, flat_idx, intensity = state
         p, q = flat_idx // npix, flat_idx % npix
-        intensity = residual.reshape(-1)[flat_idx]
 
         clean = clean.at[p, q].add(intensity * gamma)
         # psf window [npix-1-p : 2npix-1-p, npix-1-q : 2npix-1-q]
@@ -87,10 +90,10 @@ def hogbom_clean(dirty, psf, gamma=0.1, threshold="default", niter="default"):
             psf, (npix - 1 - p, npix - 1 - q), (npix, npix)
         )
         residual = residual - gamma * intensity * window
-        return residual, clean, i + 1
+        return (residual, clean, i + 1) + peak_of(residual)
 
-    state = (dirty, jnp.zeros_like(dirty), jnp.asarray(0))
-    residual, clean, i = lax.while_loop(cond, body, state)
+    state = (dirty, jnp.zeros_like(dirty), jnp.asarray(0)) + peak_of(dirty)
+    residual, clean, i, _, _ = lax.while_loop(cond, body, state)
     return clean, residual
 
 

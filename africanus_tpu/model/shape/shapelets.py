@@ -20,7 +20,8 @@ from math import factorial as _math_factorial
 from africanus_tpu.constants import c as lightspeed, minus_two_pi_over_c
 from africanus_tpu.ops.cplx import Cplx
 
-__all__ = ["shapelet", "shapelet_with_w_term", "hermite"]
+__all__ = ["shapelet", "shapelet_ri", "shapelet_with_w_term",
+           "shapelet_with_w_term_ri", "hermite"]
 
 
 def hermite(n, x):
@@ -143,6 +144,12 @@ def shapelet_1d(u, coeffs, fourier, delta_x=1, beta=1.0):
     return out
 
 
+def shapelet_ri(coords, frequency, coeffs, beta, delta_lm):
+    """Pair-native shapelet visibilities (row, chan, src) — the TPU
+    entry point (no complex dtypes on device; see CLAUDE.md)."""
+    return _shapelet_core(coords, frequency, coeffs, beta, delta_lm)
+
+
 def shapelet(coords, frequency, coeffs, beta, delta_lm, dtype=jnp.complex128):
     """Shapelet visibilities of shape (row, chan, src) (reference parity)."""
     out = _shapelet_core(coords, frequency, coeffs, beta, delta_lm)
@@ -150,14 +157,13 @@ def shapelet(coords, frequency, coeffs, beta, delta_lm, dtype=jnp.complex128):
     return lax.complex(out.re.astype(real), out.im.astype(real))
 
 
-def shapelet_with_w_term(
-    coords, frequency, coeffs, beta, delta_lm, lm, dtype=jnp.complex128
-):
-    """Shapelet visibilities including the w-term phase steer
+def shapelet_with_w_term_ri(coords, frequency, coeffs, beta, delta_lm, lm):
+    """Pair-native shapelet + w-term phase steer
     (reference shapelets.py:103-148)."""
     coords = jnp.asarray(coords)
     frequency = jnp.asarray(frequency)
     lm = jnp.asarray(lm)
+    beta = jnp.asarray(beta)
 
     base = _shapelet_core(coords, frequency, coeffs, beta, delta_lm)
 
@@ -174,7 +180,21 @@ def shapelet_with_w_term(
     p = minus_two_pi_over_c * dot[:, None, :] * frequency[None, :, None]
     wre, wim = jnp.cos(p), jnp.sin(p)
 
-    re = base.re * wre - base.im * wim
-    im = base.re * wim + base.im * wre
+    # reference skips the w-term for degenerate (beta == 0) sources,
+    # which the core already returned as exactly 1 (shapelets.py:134-136)
+    degenerate = (beta[:, 0] == 0.0) | (beta[:, 1] == 0.0)
+    wre = jnp.where(degenerate[None, None, :], 1.0, wre)
+    wim = jnp.where(degenerate[None, None, :], 0.0, wim)
+
+    return Cplx(base.re * wre - base.im * wim,
+                base.re * wim + base.im * wre)
+
+
+def shapelet_with_w_term(
+    coords, frequency, coeffs, beta, delta_lm, lm, dtype=jnp.complex128
+):
+    """Complex-dtype wrapper of :func:`shapelet_with_w_term_ri`."""
+    out = shapelet_with_w_term_ri(coords, frequency, coeffs, beta,
+                                  delta_lm, lm)
     real = jnp.finfo(jnp.dtype(dtype)).dtype
-    return lax.complex(re.astype(real), im.astype(real))
+    return lax.complex(out.re.astype(real), out.im.astype(real))

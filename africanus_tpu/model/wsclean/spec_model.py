@@ -14,6 +14,7 @@ branches share the coefficient contraction structure, so XLA fuses them).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = ["spectra"]
 
@@ -48,11 +49,13 @@ def spectra(I, coeffs, log_poly, ref_freq, frequency):  # noqa: E741
 
     # ordinary polynomial in (ratio - 1)
     ord_term = (ratio - 1.0)[:, :, None] ** exps
-    ordinary = I[:, None] + jnp.einsum("sc,sfc->sf", coeffs, ord_term)
+    ordinary = I[:, None] + jnp.einsum("sc,sfc->sf", coeffs, ord_term,
+                          precision=lax.Precision.HIGHEST)
 
     # logarithmic polynomial in ln(ratio)
     log_term = jnp.log(ratio)[:, :, None] ** exps
-    logarithmic = I[:, None] * jnp.exp(jnp.einsum("sc,sfc->sf", coeffs, log_term))
+    logarithmic = I[:, None] * jnp.exp(jnp.einsum("sc,sfc->sf", coeffs, log_term,
+                          precision=lax.Precision.HIGHEST))
 
     if isinstance(log_poly, bool):
         return logarithmic if log_poly else ordinary

@@ -118,18 +118,25 @@ def sharded_gauss_newton(mesh, time_bin_indices, time_bin_counts,
     parts = []
     for dev, (bins, row0, row1) in zip(devices, groups):
         rows = slice(row0, row1)
+        # flag/weight are pure data: ship them as device operands, not
+        # closed-over jaxpr constants (a vis-sized constant inflates
+        # every per-group executable and its upload through the tunnel).
+        # Only tbi/tbc/a1/a2 stay concrete — the solver's host gather
+        # planning needs their values at trace time.
         args = jax.device_put(
             (
                 Cplx(g.re[bins], g.im[bins]),
                 Cplx(v.re[rows], v.im[rows]),
                 Cplx(m.re[rows], m.im[rows]),
+                flag[rows],
+                weight[rows],
             ),
             dev,
         )
         solve = jax.jit(
-            lambda gg, vv, mm, _tbi=tbi[bins] - row0, _tbc=tbc[bins],
-            _a1=a1[rows], _a2=a2[rows], _f=flag[rows], _w=weight[rows]:
-            gauss_newton_ri(_tbi, _tbc, _a1, _a2, gg, vv, _f, mm, _w,
+            lambda gg, vv, mm, ff, ww, _tbi=tbi[bins] - row0,
+            _tbc=tbc[bins], _a1=a1[rows], _a2=a2[rows]:
+            gauss_newton_ri(_tbi, _tbc, _a1, _a2, gg, vv, ff, mm, ww,
                             tol=tol, maxiter=maxiter)
         )
         parts.append(solve(*args))

@@ -55,12 +55,16 @@ def stream_rows(fn, arrays, chunk=65536, combine="concat", row_axes=None):
     out = None
     pieces = []
 
+    # one host conversion up front: converting inside the per-chunk
+    # closure re-fetched the FULL array once per chunk per leaf (a whole
+    # HTTP round trip each on the axon backend)
+    arrays = jax.tree_util.tree_map(np.asarray, arrays)
+
     for start in range(0, max(nrow, 1), chunk):
         stop = min(start + chunk, nrow)
         n = stop - start
 
         def slice_pad(x):
-            x = np.asarray(x)
             part = x[start:stop]
             if n < chunk:
                 pad = [(0, chunk - n)] + [(0, 0)] * (x.ndim - 1)

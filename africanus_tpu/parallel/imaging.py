@@ -14,11 +14,47 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from africanus_tpu.ops.cplx import Cplx
+from africanus_tpu.ops.cplx import Cplx, cplx
 
 __all__ = ["sharded_dirty", "sharded_psf", "sharded_residual",
            "sharded_pp_gridder", "sharded_pp_degridder"]
 
+
+
+def _shard_tile_plans(uvw, freq, plan, nx, ny, cell, nshard, use_tiles):
+    """Per-shard Pallas tile plans packed to one SPMD-friendly set.
+
+    Returns (plan, use_tiles, tile_arrays): on success ``plan`` is a
+    COPY of the (shared, read-only) cached plan carrying the packed
+    plan_static, and ``tile_arrays`` the row-shardable entry arrays;
+    when any shard declines (awkward geometry) tiles are disabled.
+    """
+    from africanus_tpu.gridding.wgridder.core import (
+        _tile_plan, _use_tiles_default,
+    )
+    from africanus_tpu.ops.pallas_grid import pack_shard_plans
+
+    if use_tiles is None:
+        use_tiles = _use_tiles_default()
+    if not use_tiles:
+        return plan, False, None
+
+    nrow = uvw.shape[0]
+    rows_per = nrow // nshard
+    shard_plans = [
+        # per-shard plans in the default (fused w-stack when
+        # multi-plane) format; pack_shard_plans stacks either format
+        _tile_plan(uvw[s * rows_per:(s + 1) * rows_per], freq, plan,
+                   nx, ny, cell, cell)
+        for s in range(nshard)
+    ]
+    if not all(p is not None for p in shard_plans):
+        return plan, False, None
+    # make_plan returns shared LRU-cached dicts (read-only by contract,
+    # gridding/wgridder/core.py) — copy before attaching
+    plan = dict(plan)
+    plan["tile_plan"], tile_arrays = pack_shard_plans(shard_plans)
+    return plan, True, tile_arrays
 
 def sharded_dirty(mesh, uvw, freq, vis, nx, ny, cell, epsilon=1e-4,
                   do_wstacking=False, wgt=None, use_tiles=None):
@@ -35,9 +71,7 @@ def sharded_dirty(mesh, uvw, freq, vis, nx, ny, cell, epsilon=1e-4,
     common group count and fed through shard_map as row-sharded inputs,
     so one SPMD trace serves every shard (ops.pallas_grid.pack_shard_plans).
     """
-    from africanus_tpu.gridding.wgridder.core import (
-        _tile_plan, _use_tiles_default, grid_adjoint, make_plan,
-    )
+    from africanus_tpu.gridding.wgridder.core import grid_adjoint, make_plan
 
     uvw = np.asarray(uvw)
     freq = np.asarray(freq)
@@ -47,35 +81,14 @@ def sharded_dirty(mesh, uvw, freq, vis, nx, ny, cell, epsilon=1e-4,
         raise ValueError(f"rows {nrow} must divide over {nshard} shards "
                          f"(pad with zero-weight rows)")
 
-    v = vis if isinstance(vis, Cplx) else Cplx(jnp.real(jnp.asarray(vis)),
-                                               jnp.imag(jnp.asarray(vis)))
+    v = cplx(vis)
 
     # one shared grid geometry from the full uvw (host metadata)
     plan = make_plan(uvw, freq, nx, ny, cell, cell, epsilon, do_wstacking,
                      use_tiles=False)
-
-    if use_tiles is None:
-        use_tiles = _use_tiles_default()
-    tile_arrays = None
-    if use_tiles:
-        from africanus_tpu.ops.pallas_grid import pack_shard_plans
-
-        rows_per = nrow // nshard
-        shard_plans = [
-            # per-shard plans in the default (fused w-stack when
-            # multi-plane) format; pack_shard_plans stacks either format
-            _tile_plan(uvw[s * rows_per : (s + 1) * rows_per], freq, plan,
-                       nx, ny, cell, cell)
-            for s in range(nshard)
-        ]
-        if all(p is not None for p in shard_plans):
-            # make_plan returns shared LRU-cached dicts (read-only by
-            # contract, gridding/wgridder/core.py) — copy before
-            # attaching the shard-packed tile plan
-            plan = dict(plan)
-            plan["tile_plan"], tile_arrays = pack_shard_plans(shard_plans)
-        else:
-            use_tiles = False
+    plan, use_tiles, tile_arrays = _shard_tile_plans(
+        uvw, freq, plan, nx, ny, cell, nshard, use_tiles
+    )
 
     def local(uvw_s, v_s, wgt_s, arrs_s):
         if arrs_s is not None:
@@ -126,9 +139,7 @@ def sharded_degrid(mesh, uvw, freq, image, *, cell, epsilon=1e-4,
     the Pallas tile degridder on its own per-shard plan (see
     :func:`sharded_dirty`).
     """
-    from africanus_tpu.gridding.wgridder.core import (
-        _tile_plan, _use_tiles_default, degrid_ri, make_plan,
-    )
+    from africanus_tpu.gridding.wgridder.core import degrid_ri, make_plan
 
     if cell is None:
         raise TypeError("sharded_degrid: cell (pixel size, radians) is "
@@ -148,29 +159,9 @@ def sharded_degrid(mesh, uvw, freq, image, *, cell, epsilon=1e-4,
 
     plan = make_plan(uvw, freq, nx, ny, cell, cell, epsilon, do_wstacking,
                      use_tiles=False)
-
-    if use_tiles is None:
-        use_tiles = _use_tiles_default()
-    tile_arrays = None
-    if use_tiles:
-        from africanus_tpu.ops.pallas_grid import pack_shard_plans
-
-        rows_per = nrow // nshard
-        shard_plans = [
-            # per-shard plans in the default (fused w-stack when
-            # multi-plane) format; pack_shard_plans stacks either format
-            _tile_plan(uvw[s * rows_per : (s + 1) * rows_per], freq, plan,
-                       nx, ny, cell, cell)
-            for s in range(nshard)
-        ]
-        if all(p is not None for p in shard_plans):
-            # make_plan returns shared LRU-cached dicts (read-only by
-            # contract, gridding/wgridder/core.py) — copy before
-            # attaching the shard-packed tile plan
-            plan = dict(plan)
-            plan["tile_plan"], tile_arrays = pack_shard_plans(shard_plans)
-        else:
-            use_tiles = False
+    plan, use_tiles, tile_arrays = _shard_tile_plans(
+        uvw, freq, plan, nx, ny, cell, nshard, use_tiles
+    )
 
     def local(uvw_s, img, wgt_s, arrs_s):
         if arrs_s is not None:
@@ -211,9 +202,7 @@ def sharded_residual(mesh, uvw, freq, vis, image, cell, epsilon=1e-4,
     """
     image = jnp.asarray(image)
     nx, ny = image.shape
-    v = vis if isinstance(vis, Cplx) else Cplx(
-        jnp.real(jnp.asarray(vis)), jnp.imag(jnp.asarray(vis))
-    )
+    v = cplx(vis)
     model = sharded_degrid(mesh, uvw, freq, image, cell=cell, epsilon=epsilon,
                            do_wstacking=do_wstacking, use_tiles=use_tiles)
     resid = Cplx(v.re - model.re, v.im - model.im)
@@ -242,9 +231,7 @@ def sharded_pp_gridder(mesh, uvw, vis, wavelengths, chanmap, npix, cell,
     if nrow % nshard:
         raise ValueError(f"rows {nrow} must divide over {nshard} shards "
                          f"(pad with zero visibilities)")
-    v = vis if isinstance(vis, Cplx) else Cplx(
-        jnp.real(jnp.asarray(vis)), jnp.imag(jnp.asarray(vis))
-    )
+    v = cplx(vis)
 
     def local(uvw_s, v_s):
         g = gridder(uvw_s, v_s, wavelengths, chanmap, npix, cell,
@@ -276,9 +263,7 @@ def sharded_pp_degridder(mesh, uvw, grid, wavelengths, chanmap, cell,
     nshard = mesh.shape["row"]
     if nrow % nshard:
         raise ValueError(f"rows {nrow} must divide over {nshard} shards")
-    g = grid if isinstance(grid, Cplx) else Cplx(
-        jnp.real(jnp.asarray(grid)), jnp.imag(jnp.asarray(grid))
-    )
+    g = cplx(grid)
 
     def local(uvw_s, g_rep):
         return degridder(uvw_s, g_rep, wavelengths, chanmap, cell,

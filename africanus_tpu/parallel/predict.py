@@ -18,7 +18,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from africanus_tpu.dft.kernels import im_to_vis_ri, vis_to_im_ri
-from africanus_tpu.ops.cplx import Cplx
+from africanus_tpu.ops.cplx import Cplx, cplx
 
 __all__ = ["sharded_im_to_vis", "sharded_vis_to_im", "sharded_rime_predict"]
 
@@ -75,7 +75,7 @@ def sharded_vis_to_im(mesh, vis, uvw, lm, frequency, flags, convention="fourier"
         im = vis_to_im_ri(vis_s, uvw_s, lm_r, freq, flags_s, convention)
         return jax.lax.psum(im, "row")
 
-    v = vis if isinstance(vis, Cplx) else Cplx(jnp.real(vis), jnp.imag(vis))
+    v = cplx(vis)
     extra_in = () if freq_c is not None else (P(),)
     fn = shard_map(
         local,
@@ -120,9 +120,7 @@ def sharded_rime_predict(mesh, lm, uvw, frequency, brightness, gauss_shape=None,
             jnp.einsum("srf,sfc->rfc", k.im, b.re, precision=hp)
         return Cplx(re, im)
 
-    b = brightness if isinstance(brightness, Cplx) else Cplx(
-        jnp.real(jnp.asarray(brightness)), jnp.imag(jnp.asarray(brightness))
-    )
+    b = cplx(brightness)
 
     chan = "chan" if chan_axis else None
     freq_spec = P(chan)

@@ -381,3 +381,31 @@ def test_spectral_model_explicit_polynomials(rng, base):
             np.exp(poly) if base == "log" else 10.0 ** poly
         )
     assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_shapelet_w_term_degenerate_beta(rng):
+    """Degenerate (beta == 0) sources return exactly 1 with NO w-term
+    phase, matching the reference's early continue
+    (shapelets.py:134-136) — and the pair-native exports exist."""
+    import jax.numpy as jnp
+    from africanus_tpu.model.shape import (
+        shapelet_ri, shapelet_with_w_term, shapelet_with_w_term_ri)
+
+    nrow, nchan = 7, 3
+    coords = rng.uniform(-500, 500, (nrow, 3))
+    freq = np.linspace(1e9, 1.5e9, nchan)
+    coeffs = rng.normal(size=(2, 2, 2))
+    beta = np.array([[1e-3, 2e-3], [0.0, 2e-3]])  # source 1 degenerate
+    lm = np.array([[0.01, -0.02], [0.015, 0.01]])  # off-centre
+
+    out = np.asarray(shapelet_with_w_term(coords, freq, coeffs, beta,
+                                          (1e-5, 1e-5), lm))
+    assert_allclose(out[:, :, 1], 1.0 + 0j, rtol=0, atol=1e-12)
+
+    # pair-native variants agree with the complex wrappers
+    pr = shapelet_with_w_term_ri(coords, freq, coeffs, beta,
+                                 (1e-5, 1e-5), lm)
+    assert_allclose(np.asarray(pr.re) + 1j * np.asarray(pr.im), out,
+                    rtol=1e-12)
+    base = shapelet_ri(coords, freq, coeffs, beta, (1e-5, 1e-5))
+    assert np.asarray(base.re).shape == (nrow, nchan, 2)
