@@ -58,6 +58,17 @@ def _epsilon(gc):
     return max(float(gc.eps), 1e-9)
 
 
+
+def _w_window(uvw, wmin, wmax):
+    """Row mask for the reference's getIndices w-range selection
+    (nifty/dask.py wmin/wmax): rows whose |w| falls outside
+    [wmin, wmax) contribute nothing. Defaults (±1e30) select all."""
+    if wmin <= -1e30 and wmax >= 1e30:
+        return jnp.ones(jnp.asarray(uvw).shape[0], bool)
+    w = jnp.abs(jnp.asarray(uvw)[:, 2])
+    return (w >= wmin) & (w < wmax)
+
+
 def grid(vis, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
          wmax=1e30, streams=None):
     """Grid (row, chan, corr) visibilities → (nu, nv, ncorr) grids.
@@ -82,6 +93,7 @@ def grid(vis, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
     # unflagged & weighted per (row, chan, corr), flattened to samples
     keep = (~(flags != 0)).astype(v.re.dtype)
     wgt = keep if weights is None else keep * weights
+    wgt = wgt * _w_window(uvw, wmin, wmax).astype(wgt.dtype)[:, None, None]
 
     tile_plan = _nifty_tile_plan(uvw, frequencies, plan, gc, cellx, celly)
 
@@ -260,7 +272,8 @@ def degrid(grid, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
     re = jnp.stack(outs_re, axis=-1).reshape(nrow, nchan, ncorr)
     im = jnp.stack(outs_im, axis=-1).reshape(nrow, nchan, ncorr)
 
+    # reference parity: degrid weights are "Currently unsupported and
+    # ignored" (nifty/dask.py:509) — only flags (and the w window) mask
     keep = (~(flags != 0)).astype(re.dtype)
-    if weights is not None:
-        keep = keep * jnp.asarray(weights)
+    keep = keep * _w_window(uvw, wmin, wmax).astype(re.dtype)[:, None, None]
     return Cplx(re * keep, im * keep)

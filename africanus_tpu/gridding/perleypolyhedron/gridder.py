@@ -99,7 +99,10 @@ def _pp_tile_plan(su, sv, bands_np, npix, W, os, nband):
 
     from africanus_tpu.ops import pallas_grid as pg
 
-    if W > min(pg.choose_tile(npix), pg.choose_tile(npix)):
+    # mirror the tiles plan_tiles_table actually picks (awkward npix
+    # factorisations must fall back to scatter, not raise deep in the
+    # plan build — same guard as gridding/wgridder/core._tile_plan)
+    if W > min(pg.default_tiles(npix, npix, W)):
         return None
 
     def tapgeom(scaled):
@@ -121,7 +124,6 @@ def _pp_tile_plan(su, sv, bands_np, npix, W, os, nband):
         ir0[sel], ic0[sel], fv[sel], fu[sel], W, os, npix, npix,
         sample_id=sel, plane=bands_np.ravel()[sel], nplanes=nband,
     )
-    plan["_nvis_flat"] = su.size
     return plan
 
 
@@ -366,8 +368,11 @@ def degridder(
         raise ValueError("Invalid convolution policy type")
 
     vis = pol.stokes2corr(acc, stokes_conversion_policy)  # (row, chan, corr)
+    # the reference's conjugate phase transform reads the baseline-
+    # TRANSFORMED uvw (degridder_row_kernel mutates uvw in place before
+    # ptp.policy, ref degridder.py:43-66)
     vis = pol.phase_transform(
-        vis, uvw, wavelengths, ra0, dec0, ra, dec, phase_transform_policy,
+        vis, uvw_t, wavelengths, ra0, dec0, ra, dec, phase_transform_policy,
         phasesign=-1.0,
     )
     return vis

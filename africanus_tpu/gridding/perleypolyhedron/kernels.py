@@ -52,9 +52,15 @@ def kbsinc(W, b=None, oversample=5, order=15):
 
     if b is None:
         b = np.poly1d(_KBSINC_AUTOCOEFFS)(W + 2)
+    # the window's characteristic span is the padded support plus one
+    span = W + 3
     u = uspace(W, oversample)
-    wnd = jn(order, b * np.sqrt(1 - (2 * u / ((W + 2) + 1)) ** 2)) / ((W + 2) + 1)
-    res = sinc(W, oversample=oversample) * wnd * np.sum(wnd)
+    # J_order Bessel window over the elliptical argument; the reference
+    # scales the window by sum(wnd)/span before applying it to the sinc
+    # (a shape-only quirk — the final unit-sum normalisation absorbs any
+    # constant — preserved for bit parity)
+    wnd = jn(order, b * np.sqrt(1.0 - (2.0 * u / span) ** 2)) / span
+    res = sinc(W, oversample=oversample) * (wnd * np.sum(wnd))
     return res / np.sum(res)
 
 
@@ -67,26 +73,28 @@ def hanningsinc(W, a=None, oversample=5):
     """Hanning windowed sinc."""
     if a is None:
         a = np.poly1d(_HANNING_AUTOCOEFFS)(W + 2)
+    span = W + 3
     u = uspace(W, oversample)
-    wnd = a + (1 - a) * np.cos(2.0 * np.pi / ((W + 2) + 1) * u)
+    # raised cosine with one full period across the padded span
+    wnd = a + (1.0 - a) * np.cos(2.0 * np.pi * u / span)
     res = sinc(W, oversample=oversample) * wnd
     return res / np.sum(res)
 
 
 def pack_kernel(K, W, oversample=5):
-    """Repack taps into cache-coherent order (fractional offset major)."""
-    pkern = np.empty(oversample * (W + 2), dtype=K.dtype)
-    for t in range(oversample):
-        pkern[t * (W + 2) : (t + 1) * (W + 2)] = K[t::oversample]
-    return pkern
+    """Repack taps into cache-coherent order (fractional offset major):
+    tap-major K[j·oversample + t] → offset-major pkern[t·(W+2) + j],
+    i.e. one transpose of the (taps, offsets) view."""
+    return np.ascontiguousarray(
+        np.asarray(K).reshape(W + 2, oversample).T
+    ).reshape(-1)
 
 
 def unpack_kernel(K, W, oversample=5):
-    """Inverse of :func:`pack_kernel`."""
-    upkern = np.empty(oversample * (W + 2), dtype=K.dtype)
-    for t in range(oversample):
-        upkern[t::oversample] = K[t * (W + 2) : (t + 1) * (W + 2)]
-    return upkern
+    """Inverse of :func:`pack_kernel` (transpose back to tap-major)."""
+    return np.ascontiguousarray(
+        np.asarray(K).reshape(oversample, W + 2).T
+    ).reshape(-1)
 
 
 def compute_detaper(npix, K, W, oversample=5):

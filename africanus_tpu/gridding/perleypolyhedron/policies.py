@@ -43,22 +43,28 @@ def baseline_transform(uvw, ra0, dec0, ra, dec, policy_type):
     c_old, s_old = np.cos(dec0), np.sin(dec0)
 
     if policy_type == "rotate":
-        mat = jnp.asarray(
-            [
-                [c_d_ra, s_old * s_d_ra, -c_old * s_d_ra],
-                [
-                    -s_new * s_d_ra,
-                    s_new * s_old * c_d_ra + c_new * c_old,
-                    -c_old * s_new * c_d_ra + c_new * s_old,
-                ],
-                [
-                    c_new * s_d_ra,
-                    -c_new * s_old * c_d_ra + s_new * c_old,
-                    c_new * c_old * c_d_ra + s_new * s_old,
-                ],
-            ]
+        # elementwise row combinations, not a matmul: TPU dots default
+        # to bf16 operands (~0.4% error on |uvw| ~ 1e4 m — multiple
+        # cells of pixel offset), and host numpy inputs must stay numpy
+        # so pp_tile_plan's f64 tap quantization keeps its precision
+        mat = [
+            (c_d_ra, s_old * s_d_ra, -c_old * s_d_ra),
+            (
+                -s_new * s_d_ra,
+                s_new * s_old * c_d_ra + c_new * c_old,
+                -c_old * s_new * c_d_ra + c_new * s_old,
+            ),
+            (
+                c_new * s_d_ra,
+                -c_new * s_old * c_d_ra + s_new * c_old,
+                c_new * c_old * c_d_ra + s_new * s_old,
+            ),
+        ]
+        xp = np if isinstance(uvw, np.ndarray) else jnp
+        u, v, w = uvw[:, 0], uvw[:, 1], uvw[:, 2]
+        return xp.stack(
+            [m0 * u + m1 * v + m2 * w for (m0, m1, m2) in mat], axis=1
         )
-        return uvw @ mat.T
 
     if policy_type == "wlinapprox":
         li0 = c_new * s_d_ra

@@ -11,6 +11,7 @@ whether the native path loaded.
 from __future__ import annotations
 
 import ctypes
+import os
 import hashlib
 import logging
 import subprocess
@@ -44,14 +45,18 @@ def _build_and_load():
         so_path = build_dir / f"mappers-{tag}.so"
 
         if not so_path.exists():
-            tmp = so_path.with_suffix(".so.tmp")
+            # unique tmp name: concurrent processes (pytest workers,
+            # parallel drivers) racing the same fixed .tmp path could
+            # replace() a half-written file or FileNotFoundError into
+            # the silent numpy fallback
+            tmp = so_path.with_suffix(f".so.tmp.{os.getpid()}")
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
                  str(_SRC), "-o", str(tmp)],
                 check=True,
                 capture_output=True,
             )
-            tmp.replace(so_path)
+            tmp.replace(so_path)  # atomic: last writer wins, all valid
 
         lib = ctypes.CDLL(str(so_path))
 

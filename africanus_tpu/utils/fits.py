@@ -65,11 +65,15 @@ def read_fits(filename):
             if len(block) != _BLOCK:
                 raise ValueError(f"Truncated FITS header in {filename}")
             raw += block
-            if b"END     " in block or block.rstrip(b" ").endswith(b"END"):
-                cards = [raw[i : i + 80].decode("ascii") for i in
-                         range(0, len(raw), 80)]
-                if any(c.startswith("END") for c in cards):
-                    break
+            # the END card is a keyword field of exactly "END" padded
+            # with blanks — substring checks would trip on keywords
+            # like ENDTIME or comment text ending in END, truncating
+            # the header and misaligning the data offset
+            cards = [raw[i : i + 80].decode("ascii") for i in
+                     range(0, len(raw), 80)]
+            if any(c[:8].strip() == "END" and c[8:].strip() == ""
+                   for c in cards):
+                break
 
         for card in cards:
             key = card[:8].strip()
