@@ -28,6 +28,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 C_LIGHT = 2.99792458e8
 
+# Set by main() when the TPU backend is unreachable (the axon tunnel
+# HANGS rather than erroring when down, so a dead tunnel would
+# otherwise hang the whole bench). Configs shrink their shapes and
+# avoid explicit-Pallas routes (interpret mode on CPU is unusably
+# slow); the output JSON is labeled "cpu-fallback" so the numbers are
+# never mistaken for TPU results.
+FALLBACK_CPU = False
+
+
+def _probe_device(timeout_s=300.0):
+    """True iff the default (TPU) backend answers a tiny fetch within
+    ``timeout_s``. Runs in a subprocess because backend init itself can
+    hang indefinitely on a dead tunnel."""
+    import subprocess
+
+    code = ("import jax, numpy as np; "
+            "x = jax.jit(lambda a: a * 2)(np.float32(21.0)); "
+            "assert float(np.asarray(x)) == 42.0")
+    try:
+        subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                       check=True, capture_output=True)
+        return True
+    except Exception as e:
+        log(f"TPU probe failed: {type(e).__name__}")
+        return False
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -174,6 +200,8 @@ def config2_predict():
     from __graft_entry__ import _flagship, _predict_step, _predict_step_pallas
 
     NSRC, NANT, NTIME, NCHAN, NCORR, REPS = 100, 64, 4, 128, 4, 20
+    if FALLBACK_CPU:
+        NCHAN, REPS = 32, 3
     rng = np.random.default_rng(7)
     args = _flagship(nsrc=NSRC, ntime=NTIME, nant=NANT, nchan=NCHAN, rng=rng)
     f32args = tuple(
@@ -236,12 +264,16 @@ def config2_predict():
 
     dargs = jax.device_put(f32args)
 
+    # explicit-Pallas route on TPU; XLA path on the CPU fallback
+    # (pallas interpret mode is unusably slow)
+    step = _predict_step if FALLBACK_CPU else _predict_step_pallas
+
     @jax.jit
     def loop(ti, a1, a2, lm, uvw, freq, stokes, spi, ref_freq, gs, gphase):
         def body(carry, i):
             uvw_i = uvw + (i * 1e-12).astype(uvw.dtype)
-            out = _predict_step_pallas(ti, a1, a2, lm, uvw_i, freq, stokes,
-                                       spi, ref_freq, gs, gphase)
+            out = step(ti, a1, a2, lm, uvw_i, freq, stokes,
+                       spi, ref_freq, gs, gphase)
             return carry + out.re[0, 0, 0], None
 
         c, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(REPS))
@@ -284,6 +316,8 @@ def config3_beam():
     nud = 8
     ncorr = 4
     nsrc, ntime, nant, nchan = 8, 1, 64, 4096
+    if FALLBACK_CPU:
+        nant, nchan = 16, 512
     rng = np.random.default_rng(3)
     f32 = np.float32
 
@@ -407,7 +441,8 @@ def config3_beam():
     def chain_general(pa_t):
         return beam_cube_dde_ri(
             beam_ri, argsf[0], argsf[1], argsf[2], pa_t,
-            jnp.asarray(pe_pc), argsf[5], argsf[6], use_pallas=True,
+            jnp.asarray(pe_pc), argsf[5], argsf[6],
+            use_pallas=None if FALLBACK_CPU else True,
             chan_invariant=False,
         ).re
     gen_dt = _time_jit(chain_general, pa.astype(f32), reps=3)
@@ -454,6 +489,11 @@ def config4_imaging():
     f32 = np.float32
     nx = ny = 512
     nrow, nchan = 100_000, 8
+    use_tiles = True
+    if FALLBACK_CPU:
+        # XLA scatter path: the Pallas tile kernels only exist for TPU
+        # (interpret mode is unusably slow)
+        nrow, use_tiles = 20_000, False
     fov = 1.0 * np.pi / 180
     cell = fov / nx
     freq = np.linspace(0.856e9, 1.712e9, nchan)
@@ -507,11 +547,11 @@ def config4_imaging():
     # reference's dask layer likewise plans per chunk, then reuses)
     t0 = time.perf_counter()
     plan = make_plan(uvw32, freq32, nx, ny, cell, cell, 1e-4, True,
-                     use_tiles=True)
+                     use_tiles=use_tiles)
     plan_dt = time.perf_counter() - t0
     t0 = time.perf_counter()
     make_plan(uvw32, freq32, nx, ny, cell, cell, 1e-4, True,
-              use_tiles=True)  # content-cache hit (selfcal steady state)
+              use_tiles=use_tiles)  # content-cache hit (selfcal steady state)
     plan_cached_dt = time.perf_counter() - t0
     dt = measure(
         lambda v: grid_adjoint(uvw32, freq32, v, None, nx, ny, cell,
@@ -642,6 +682,8 @@ def config5_selfcal():
     rng = np.random.default_rng(5)
     f32 = np.float32
     nant, ntime, nchan, nsrc, ncorr = 197, 2, 16, 20, 2
+    if FALLBACK_CPU:
+        nant = 64
     a1u, a2u = np.triu_indices(nant, 1)
     nrow = a1u.size * ntime
     a1 = np.tile(a1u, ntime).astype(np.int32)
@@ -801,7 +843,20 @@ def config5_selfcal():
 
 
 def main():
+    global FALLBACK_CPU
+
+    if (os.environ.get("AFRICANUS_TPU_BENCH_CPU", "") == "1"
+            or not _probe_device()):
+        FALLBACK_CPU = True
+
     import jax
+
+    if FALLBACK_CPU:
+        # must precede first backend use; the env var alone is ignored
+        # by the axon plugin
+        jax.config.update("jax_platforms", "cpu")
+        log("TPU unreachable - CPU fallback (reduced shapes; results "
+            "are NOT TPU numbers)")
 
     log(f"device: {jax.devices()[0]}")
     configs = []
@@ -830,6 +885,8 @@ def main():
         "vs_baseline": headline["vs_baseline"] if headline else 0.0,
         "baseline": "numpy-f64 vectorised single CPU (numba unavailable)",
         "max_rel_err_vs_f64": headline["max_rel_err"] if headline else 1.0,
+        "platform": ("cpu-fallback (TPU tunnel unreachable; reduced "
+                     "shapes, not TPU numbers)") if FALLBACK_CPU else "tpu",
         "configs": configs,
     }
     print(json.dumps(result))
