@@ -320,6 +320,19 @@ def degridder(
     su, sv = _scaled_coords(uvw_t, wavelengths, npix, cell)
     bands = jnp.asarray(chanmap)[None, :].repeat(nrow, axis=0)
 
+    # accumulated convolution weight: the reference gather policies
+    # divide each visibility by the (boundary-clipped) sum of the taps
+    # actually applied (convolution_policies.py:269 `vis /= cw + 1e-8`).
+    # The 2D weight is separable, so cw = (masked u-tap sum)(masked
+    # v-tap sum) without touching the grid.
+    gu_idx, ku_idx = _tap_geometry(su, npix, W, os)
+    gv_idx, kv_idx = _tap_geometry(sv, npix, W, os)
+    cw_u = (kern[ku_idx]
+            * ((gu_idx >= 0) & (gu_idx < npix)).astype(kern.dtype)).sum(-1)
+    cw_v = (kern[kv_idx]
+            * ((gv_idx >= 0) & (gv_idx < npix)).astype(kern.dtype)).sum(-1)
+    cw = cw_v * cw_u + 1e-8
+
     if convolution_policy in (
         "conv_1d_axisymmetric_unpacked_gather",
         "conv_1d_axisymmetric_packed_gather",
@@ -343,8 +356,6 @@ def degridder(
             acc = Cplx(o_re.reshape(nrow, nvischan),
                        o_im.reshape(nrow, nvischan))
         else:
-            gu_idx, ku_idx = _tap_geometry(su, npix, W, os)
-            gv_idx, kv_idx = _tap_geometry(sv, npix, W, os)
             conv_u = kern[ku_idx]
             conv_v = kern[kv_idx]
             wj = conv_v[..., :, None] * conv_u[..., None, :]
@@ -367,6 +378,7 @@ def degridder(
     else:
         raise ValueError("Invalid convolution policy type")
 
+    acc = Cplx(acc.re / cw, acc.im / cw)
     vis = pol.stokes2corr(acc, stokes_conversion_policy)  # (row, chan, corr)
     # the reference's conjugate phase transform reads the baseline-
     # TRANSFORMED uvw (degridder_row_kernel mutates uvw in place before

@@ -201,3 +201,25 @@ def test_beam_grids_axis_variants(vla_beam_header, header_l, header_m,
 
     gfreqs = [hdr[f"GFREQ{i + 1}"] for i in range(hdr["NAXIS3"])]
     assert_array_almost_equal(freq_grid, gfreqs)
+
+
+def test_fits_end_card_not_confused_by_endlike_keywords(tmp_path):
+    """The header parser must only stop at the true END card (keyword
+    field exactly 'END', blank remainder) — not at keywords that merely
+    start with END (ENDTIME) or comment text ending in END."""
+    from africanus_tpu.utils.fits import read_fits, write_fits
+
+    arr = np.arange(24, dtype=float).reshape(2, 3, 4)
+    path = tmp_path / "endlike.fits"
+    write_fits(str(path), arr, [
+        ("ENDTIME", 12345.0),
+        ("ENDX", 1.0, "history comment mentioning END"),
+        ("CRVAL1", 0.25),
+    ])
+    hdr, data = read_fits(str(path))
+    # every card after the END-like keywords must survive, and the data
+    # payload must be read from the correct offset
+    assert hdr["ENDTIME"] == 12345.0
+    assert hdr["ENDX"] == 1.0
+    assert hdr["CRVAL1"] == 0.25
+    np.testing.assert_allclose(data, arr)

@@ -84,3 +84,39 @@ def test_nifty_flags_zero_contribution(nifty_problem):
     flags_all = np.ones_like(flags)
     g = grid(vis, uvw, flags_all, None, freq, gc)
     assert np.abs(to_numpy(g)).max() == 0.0
+
+
+def test_nifty_w_window_partitions(nifty_problem, rng):
+    """grid() honors [wmin, wmax) row windows (reference getIndices
+    w-range selection, nifty/dask.py): two complementary windows must
+    partition the default all-rows grid exactly."""
+    gc, uvw, freq, vis, flags = nifty_problem
+    uvw = uvw.copy()
+    uvw[:, 2] = rng.uniform(-50.0, 50.0, uvw.shape[0])
+    v = Cplx(vis.real, vis.imag)
+    g_all = to_numpy(grid(v, uvw, flags, None, freq, gc))
+    wcut = float(np.median(np.abs(uvw[:, 2])))
+    g_lo = to_numpy(grid(v, uvw, flags, None, freq, gc,
+                         wmin=0.0, wmax=wcut))
+    g_hi = to_numpy(grid(v, uvw, flags, None, freq, gc,
+                         wmin=wcut, wmax=1e30))
+    assert np.abs(g_lo).max() > 0 and np.abs(g_hi).max() > 0
+    assert_allclose(g_lo + g_hi, g_all, atol=1e-12 * np.abs(g_all).max())
+
+
+def test_nifty_degrid_ignores_weights(nifty_problem):
+    """degrid() weights are 'Currently unsupported and ignored'
+    (reference nifty/dask.py:509): passing weights must not change the
+    output, while flags still zero rows."""
+    gc, uvw, freq, vis, flags = nifty_problem
+    v = Cplx(vis.real, vis.imag)
+    g = grid(v, uvw, flags, None, freq, gc)
+    d0 = to_numpy(degrid(g, uvw, flags, None, freq, gc))
+    d1 = to_numpy(degrid(g, uvw, flags,
+                         7.5 * np.ones(vis.shape), freq, gc))
+    assert np.array_equal(d0, d1)
+    fl = flags.copy()
+    fl[::3] = 1
+    d2 = to_numpy(degrid(g, uvw, fl, None, freq, gc))
+    assert np.all(d2[::3] == 0)
+    assert np.array_equal(d2[1::3], d0[1::3])

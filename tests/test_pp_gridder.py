@@ -95,8 +95,25 @@ def test_gridder_degridder_adjoint(rng, pp_problem):
                   centre, kern, W, os, "None", "None", "XXYY_FROM_I",
                   "conv_1d_axisymmetric_unpacked_gather")
     )
+    # degrid is the cw-NORMALISED adjoint (the reference gather policies
+    # divide by the accumulated convolution weight): undo cw to test the
+    # pure adjoint identity
+    from africanus_tpu.gridding.perleypolyhedron.gridder import (
+        _scaled_coords, _tap_geometry,
+    )
+
+    su, sv = _scaled_coords(uvw, wl, npix, cell)
+    kj = np.asarray(kern)
+    gu, ku = _tap_geometry(su, npix, W, os)
+    gv, kv = _tap_geometry(sv, npix, W, os)
+    cw_u = (kj[np.asarray(ku)]
+            * ((np.asarray(gu) >= 0) & (np.asarray(gu) < npix))).sum(-1)
+    cw_v = (kj[np.asarray(kv)]
+            * ((np.asarray(gv) >= 0) & (np.asarray(gv) < npix))).sum(-1)
+    cw = cw_v * cw_u + 1e-8
+
     lhs = np.vdot(G, grid)
-    rhs = np.vdot(dg[..., 0], v0)
+    rhs = np.vdot(dg[..., 0] * cw, v0)
     assert_allclose(lhs, rhs, rtol=1e-10)
 
 
@@ -164,12 +181,11 @@ def test_degridder_vs_dft(pp_problem):
                   "None", "None", "XXYY_FROM_I",
                   "conv_1d_axisymmetric_unpacked_gather")
     )
-    # a centred point source has flat visibilities: constant amplitude
-    # (absolute scale depends on kernel/oversampling normalisation) and
-    # zero phase, to the kernel accuracy bound
-    mean = out.mean()
-    assert np.abs(mean) > 0
-    assert_allclose(out / mean, 1.0, rtol=2e-2)
+    # a centred point source has flat UNIT visibilities: the gather
+    # policy's cw normalisation pins the absolute scale (reference
+    # convolution_policies.py:269), and the phase is zero to the kernel
+    # accuracy bound
+    assert_allclose(np.abs(out), 1.0, rtol=2e-2)
     assert np.abs(np.angle(out)).max() < 2e-2
 
 
@@ -333,3 +349,125 @@ def test_wcorrection_faceting_backward(rng):
     assert abs(peak[0] - npixfacet // 2) <= 1
     assert abs(peak[1] - npixfacet // 2) <= 1
     assert abs(img.max() - 1.0) < 1e-6
+
+
+def test_wcorrection_faceting_forward(rng):
+    """Degridding a unit point source at an offset FACET centre
+    (baseline 'rotate' + conjugate 'phase_rotate' policies) must match
+    the direct w-aware DFT of the same source at the 99th-percentile
+    0.05 bar (reference test_wcorrection_faceting_forward,
+    perleypolyhedron/tests/test_ppgridder.py:802-900). Regression for
+    the conjugate transform reading the baseline-TRANSFORMED uvw."""
+    from africanus_tpu.coordinates import radec_to_lm
+    from africanus_tpu.dft import im_to_vis_ri
+
+    W, os = 5, 9
+    kern = kernels.pack_kernel(kernels.kbsinc(W, oversample=os), W, os)
+    nrow_bl, ntime = 25, 40
+    nrow = nrow_bl * ntime
+    d0 = np.pi / 4.0
+    blpos = rng.uniform(26, 10000, size=(nrow_bl, 3))
+    h0s = np.linspace(np.deg2rad(-20), np.deg2rad(20), ntime)
+    s, c = np.sin, np.cos
+    uvw = np.zeros((nrow, 3))
+    for n in range(nrow_bl):
+        for ih, h0 in enumerate(h0s):
+            R = np.array([
+                [s(h0), c(h0), 0],
+                [-s(d0) * c(h0), s(d0) * s(h0), c(d0)],
+                [c(d0) * c(h0), -c(d0) * s(h0), s(d0)],
+            ])
+            uvw[n * ntime + ih] = R @ blpos[n]
+
+    freq = np.array([1.4e9])
+    wl = C / freq
+    pxacrossbeam = 5
+    cell_rad = wl[0] / (max(np.abs(uvw[:, 0]).max(),
+                            np.abs(uvw[:, 1]).max()) * pxacrossbeam)
+    cell = np.rad2deg(cell_rad) * 3600  # arcsec
+    npixfacet = 100
+
+    # facet centre 20 cells off the phase centre; source AT facet centre
+    phase_centre = np.array([0.0, d0])
+    facet_centre = phase_centre + 20 * cell_rad
+    lm = np.asarray(radec_to_lm(facet_centre[None, :], phase_centre))
+
+    vis_dft = im_to_vis_ri(np.ones((1, 1, 1)), uvw, lm, freq)
+    want_re = np.asarray(vis_dft.re)[:, 0, 0]
+    want_im = np.asarray(vis_dft.im)[:, 0, 0]
+
+    # a constant uv grid is the FT of a delta at the facet centre
+    ftmod = Cplx(np.ones((1, npixfacet, npixfacet)),
+                 np.zeros((1, npixfacet, npixfacet)))
+    chanmap = np.array([0], np.int32)
+    out = degridder(uvw, ftmod, wl, chanmap, cell,
+                    tuple(facet_centre), tuple(phase_centre), kern, W, os,
+                    "rotate", "phase_rotate", "XXYY_FROM_I",
+                    "conv_1d_axisymmetric_packed_gather")
+    got_re = np.asarray(out.re)[:, 0, 0]
+    got_im = np.asarray(out.im)[:, 0, 0]
+
+    assert np.percentile(np.abs(want_re - got_re), 99.0) < 0.05
+    assert np.percentile(np.abs(want_im - got_im), 99.0) < 0.05
+
+
+def test_kernel_stopband_quality():
+    """The windowed sincs must actually anti-alias: compare worst
+    stopband leakage (response beyond twice the first null) of each
+    kernel's oversampled transfer function. kbsinc must beat the plain
+    sinc by > 20 dB and hanning by > 13 dB (assertion form of the
+    reference's plot-only test_construct_kernels)."""
+    W, os = 5, 101
+
+    def stopband_db(k):
+        # transfer function over the oversampled tap support
+        sel = kernels.uspace(W, os) <= (W + 2) // 2
+        H = np.abs(np.fft.fftshift(np.fft.fft(k[sel])))
+        H = H / H.max()
+        n = H.size
+        # in-band = central 1/os fraction (the image FoV); stopband =
+        # beyond 3x that half-width
+        hw = max(1, n // (2 * os))
+        stop = np.r_[H[: n // 2 - 3 * hw], H[n // 2 + 3 * hw + 1:]]
+        return 20 * np.log10(stop.max())
+
+    db_sinc = stopband_db(kernels.sinc(W, oversample=os))
+    db_han = stopband_db(kernels.hanningsinc(W, oversample=os))
+    db_kb = stopband_db(kernels.kbsinc(W, oversample=os))
+    # the KB window is the anti-aliasing workhorse: it must beat the
+    # plain sinc by >20 dB and the hanning window by >13 dB, and every
+    # candidate kernel must suppress the stopband below -25 dB
+    assert db_kb < db_sinc - 20.0
+    assert db_kb < db_han - 13.0
+    assert max(db_sinc, db_han, db_kb) < -25.0
+
+
+def test_facet_codepath_offsets(rng, pp_problem):
+    """Facet policies must run (and stay finite) for facet centres on
+    all sides of the phase centre (reference test_facetcodepath's
+    offset sweep, widened to a 4-quadrant parameter sweep)."""
+    npix, cell, wl, uvw = pp_problem
+    nchan = wl.shape[0]
+    W, os = 5, 9
+    kern = kernels.pack_kernel(kernels.kbsinc(W, oversample=os), W, os)
+    chanmap = np.zeros(nchan, np.int32)
+    d0 = 0.3
+    cell_rad = np.deg2rad(cell / 3600.0)
+    vis = Cplx(rng.normal(size=(uvw.shape[0], nchan, 2)),
+               rng.normal(size=(uvw.shape[0], nchan, 2)))
+
+    for dx, dy in ((15, 0), (-15, 0), (0, 15), (0, -15), (10, -10)):
+        centre = (dx * cell_rad, d0 + dy * cell_rad)
+        g = to_numpy(
+            gridder(uvw, vis, wl, chanmap, npix, cell, centre, (0.0, d0),
+                    kern, W, os, "rotate", "phase_rotate", "I_FROM_XXYY",
+                    "conv_1d_axisymmetric_packed_scatter")
+        )
+        assert np.isfinite(g).all()
+        assert np.abs(g).max() > 0
+        dg = degridder(uvw, Cplx(g.real, g.imag), wl, chanmap, cell,
+                       centre, (0.0, d0), kern, W, os,
+                       "rotate", "phase_rotate", "XXYY_FROM_I",
+                       "conv_1d_axisymmetric_packed_gather")
+        assert np.isfinite(np.asarray(dg.re)).all()
+        assert np.isfinite(np.asarray(dg.im)).all()
