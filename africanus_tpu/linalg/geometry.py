@@ -159,14 +159,20 @@ class BoundingConvexHull:
         new_shape = list(data_cube.shape)
         new_shape[axes[0]] = maxy - miny + 1
         new_shape[axes[1]] = maxx - minx + 1
-        padded = np.full(tuple(new_shape), oob_value, dtype=data_cube.dtype)
+        # reference quirk preserved (geometry.py:219-222): the padding is
+        # `zeros * oob_value`, i.e. zero for any finite oob_value (NaN
+        # only for non-finite sentinels) — NOT filled with oob_value
+        padded = np.zeros(tuple(new_shape), dtype=data_cube.dtype) * oob_value
         pslc = [slice(None)] * data_cube.ndim
         pslc[axes[0]] = slice(pad_bottom, maxy - miny + 1 - pad_top)
         pslc[axes[1]] = slice(pad_left, maxx - minx + 1 - pad_right)
         padded[tuple(pslc)] = selected
 
-        # apply the filled weight mask over the sliced axes
-        mask = sel_region.mask
+        # apply the filled weight mask over the sliced axes; in-extent
+        # pixels OUTSIDE the hull take data * oob_value (the reference
+        # substitutes oob_value for the mask zeros, geometry.py:252-254)
+        mask = sel_region.mask.copy()
+        mask[mask == 0] = oob_value
         shape = [1] * data_cube.ndim
         shape[axes[0]] = mask.shape[0]
         shape[axes[1]] = mask.shape[1]
@@ -367,6 +373,18 @@ class BoundingBox(BoundingConvexHull):
         combined_mask = []
         for data, reg in zip(regional_data_list, regions_list):
             data = np.nan_to_num(data, nan=0.0)
+            box_ny = int(reg.corners[:, 1].max() - reg.corners[:, 1].min()) + 1
+            box_nx = int(reg.corners[:, 0].max() - reg.corners[:, 0].min()) + 1
+            if (data.shape[axes[0]], data.shape[axes[1]]) != (box_ny, box_nx):
+                # the reference raises when a region cube does not span
+                # its bounding box (geometry.py project_regions shape
+                # check) — silently corner-anchoring an undersized cube
+                # would stitch a wrong image
+                raise ValueError(
+                    "Region data cube shape "
+                    f"{(data.shape[axes[0]], data.shape[axes[1]])} does "
+                    f"not match its bounding box extents {(box_ny, box_nx)}"
+                )
             xl = int(reg.corners[:, 0].min()) - minx
             yl = int(reg.corners[:, 1].min()) - miny
             slc = [slice(None)] * stitched.ndim

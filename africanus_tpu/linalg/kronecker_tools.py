@@ -11,9 +11,15 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = ["kron_N", "kron_matvec", "kron_tensorvec", "kron_matmat",
            "kron_tensormat", "kron_cholesky"]
+
+# covariance factors carry geometry-scale dynamic range: TPU matmuls
+# default to bf16 operands (~2^-8), which corrupts GP solves — pin full
+# operand precision (CLAUDE.md precision rule)
+_HP = lax.Precision.HIGHEST
 
 
 def kron_N(x):
@@ -29,7 +35,7 @@ def kron_matvec(A, b):
         Ad = jnp.asarray(Ad)
         Gd = Ad.shape[0]
         X = x.reshape(Gd, N // Gd)
-        x = (Ad @ X).T.ravel()
+        x = jnp.matmul(Ad, X, precision=_HP).T.ravel()
     return x
 
 
@@ -43,7 +49,7 @@ def kron_tensorvec(A, b):
         Gd = G[d]
         rem = int(np.prod([G[i] if i > d else M[i] for i in range(D) if i != d]))
         X = x.reshape(Gd, rem)
-        x = (jnp.asarray(A[d]) @ X).T.ravel()
+        x = jnp.matmul(jnp.asarray(A[d]), X, precision=_HP).T.ravel()
         G[d] = M[d]
     return x
 
@@ -62,12 +68,23 @@ def kron_tensormat(A, B):
     return jnp.stack(cols, axis=1)
 
 
-def kron_cholesky(A):
-    """Cholesky factors of each Kronecker factor: chol(⊗Kᵢ) = ⊗chol(Kᵢ)."""
+def kron_cholesky(A, jitter=None):
+    """Cholesky factors of each Kronecker factor: chol(⊗Kᵢ) = ⊗chol(Kᵢ).
+
+    The reference adds a fixed 1e-13 diagonal jitter and retries on a
+    numpy LinAlgError; 1e-13 is a no-op at float32 and
+    ``jnp.linalg.cholesky`` returns NaNs instead of raising, so here the
+    jitter is dtype-aware (10·eps of the mean diagonal) and a NaN result
+    triggers one retry at 1e6x jitter — the traceable equivalent of the
+    reference's except-with-jitter recovery."""
     out = []
     for Ad in A:
         Ad = jnp.asarray(Ad)
-        # jitter for numerical stability (reference adds 1e-13 diagonals)
         eye = jnp.eye(Ad.shape[0], dtype=Ad.dtype)
-        out.append(jnp.linalg.cholesky(Ad + 1e-13 * eye))
+        scale = jnp.mean(jnp.abs(jnp.diag(Ad)))
+        base = (10.0 * jnp.finfo(Ad.dtype).eps) * scale \
+            if jitter is None else jitter
+        L = jnp.linalg.cholesky(Ad + base * eye)
+        L_retry = jnp.linalg.cholesky(Ad + (base * 1e6) * eye)
+        out.append(jnp.where(jnp.any(jnp.isnan(L)), L_retry, L))
     return out

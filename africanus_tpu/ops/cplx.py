@@ -105,19 +105,28 @@ def cabs2(a: Cplx):
     return a.re * a.re + a.im * a.im
 
 
-def cmatmul(a: Cplx, b: Cplx, einsum_spec: str | None = None) -> Cplx:
+def cmatmul(a: Cplx, b: Cplx, einsum_spec: str | None = None,
+            precision=None) -> Cplx:
     """Complex contraction via real MXU matmuls.
 
     With an ``einsum_spec``, contracts with jnp.einsum; otherwise uses @.
     Uses the 4-multiply form: XLA shares the operand loads between the
     paired matmuls, and 4 real matmuls of each half keep full MXU precision
     (the 3-mult Karatsuba form costs accuracy and an extra add chain).
+
+    ``precision`` defaults to HIGHEST: TPU matmuls otherwise run with
+    bf16 operands, which destroys phase/geometry contractions (CLAUDE.md
+    precision rule). Pass an explicit lower precision only for
+    amplitude-like data that tolerates ~2^-8 operand rounding.
     """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
 
     def dot(x, y):
         if einsum_spec is not None:
-            return jnp.einsum(einsum_spec, x, y, optimize=True)
-        return x @ y
+            return jnp.einsum(einsum_spec, x, y, optimize=True,
+                              precision=precision)
+        return jnp.matmul(x, y, precision=precision)
 
     rr = dot(a.re, b.re)
     ii = dot(a.im, b.im)

@@ -145,6 +145,10 @@ def compensated_sum(x, axis=0):
     with an exact zero. Returns the (hi + lo) collapsed result.
     """
     x = jnp.moveaxis(jnp.asarray(x), axis, 0)
+    if x.shape[0] == 0:
+        # empty reductions sum to zero (einsum/reference parity; e.g. a
+        # fused predict over a zero-source chunk)
+        return jnp.zeros(x.shape[1:], x.dtype)
     hi, lo = x, jnp.zeros_like(x)
     while hi.shape[0] > 1:
         n = hi.shape[0]

@@ -247,9 +247,11 @@ def _chan_group_tables(freq, nchan, ncorr, cap, delay_max=_DELAY_MAX):
         step = 0.0
         delta = np.zeros(1)
     dmax = np.abs(delta).max()
-    # sub-mHz fit residuals (f64 linspace rounding) are ≤ 1e-6 rad of
-    # phase even at the 1e-4 s delay bound — treat as exactly uniform
-    if dmax <= 1e-3:
+    # treat the grid as exactly uniform only when the dropped fit
+    # residual costs < 1e-6 rad of phase at the CALLER'S delay bound
+    # (f64 linspace rounding lands well inside this at the 1e-4 s
+    # default; a VLBI-scale delay_max correctly demotes to residual)
+    if _TWO_PI * dmax * float(delay_max) <= 1e-6:
         mode = "exact"
     elif _TWO_PI * dmax * float(delay_max) <= _X_MAX:
         mode = "residual"
@@ -392,14 +394,20 @@ def dft_adjoint_pallas(dot_pair, freq, vis, row_tile=1024,
     return out
 
 
-def _dft_fwd_kernel(fsm_ref, usm_ref, dhi_ref, dlo_ref, ire_ref, iim_ref,
-                    ore_ref, oim_ref, *, nchan, ncorr, mode, use_flo,
-                    src_tile, imag_zero):
+def _dft_fwd_kernel(fsm_ref, usm_ref, dhi_ref, dlo_ref, ire_ref, *refs,
+                    nchan, ncorr, mode, use_flo, src_tile, imag_zero):
     """Forward direction of the same layout: sources on sublanes
     (contracted), visibility rows on the 128-lane axis, channels in
     register groups. Two output blocks (re, im) revisited over the
     source grid dimension; ``imag_zero`` drops the imaginary-image
-    half of the complex product (the common real-sky case)."""
+    half of the complex product AND its input block entirely (the
+    common real-sky case would otherwise DMA all-zero planes every
+    grid step — same economics as pallas_predict's optional planes)."""
+    if imag_zero:
+        iim_ref = None
+        ore_ref, oim_ref = refs
+    else:
+        iim_ref, ore_ref, oim_ref = refs
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -515,15 +523,22 @@ def dft_forward_pallas(dot_pair, freq, image, src_tile=1024,
         dhi = jnp.pad(dhi, ((0, spad), (0, rpad)))
         dlo = jnp.pad(dlo, ((0, spad), (0, rpad)))
     ire = image.re.astype(jnp.float32).transpose(2, 0, 1)  # (corr, src, chan)
-    iim = image.im.astype(jnp.float32).transpose(2, 0, 1)
     if spad:
         ire = jnp.pad(ire, ((0, 0), (0, spad), (0, 0)))
-        iim = jnp.pad(iim, ((0, 0), (0, spad), (0, 0)))
     nsrc_p, nrow_p = dhi.shape
 
     # (ngroups, ncorr, src, cg) so per-group blocks keep full minors
     ire = jnp.moveaxis(ire.reshape(ncorr, nsrc_p, ngroups, cg), 2, 0)
-    iim = jnp.moveaxis(iim.reshape(ncorr, nsrc_p, ngroups, cg), 2, 0)
+    if imag_zero:
+        # real sky: the kernel never reads the imaginary image — drop
+        # the operand so its all-zero blocks are never DMA'd
+        iim_ops = ()
+    else:
+        iim = image.im.astype(jnp.float32).transpose(2, 0, 1)
+        if spad:
+            iim = jnp.pad(iim, ((0, 0), (0, spad), (0, 0)))
+        iim = jnp.moveaxis(iim.reshape(ncorr, nsrc_p, ngroups, cg), 2, 0)
+        iim_ops = (iim,)
 
     grid = (nrow_p // 128, ngroups, nsrc_p // src_tile)
     kernel = partial(_dft_fwd_kernel, nchan=cg, ncorr=ncorr,
@@ -541,9 +556,13 @@ def dft_forward_pallas(dot_pair, freq, image, src_tile=1024,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ncorr, src_tile, cg), lambda i, g, k: (g, 0, k, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ncorr, src_tile, cg), lambda i, g, k: (g, 0, k, 0),
-                     memory_space=pltpu.VMEM),
     ]
+    if not imag_zero:
+        in_specs.append(
+            pl.BlockSpec((1, ncorr, src_tile, cg),
+                         lambda i, g, k: (g, 0, k, 0),
+                         memory_space=pltpu.VMEM)
+        )
     out_spec = pl.BlockSpec(
         (1, ncorr, cg, 128), lambda i, g, k: (g, 0, 0, i),
         memory_space=pltpu.VMEM,
@@ -567,12 +586,13 @@ def dft_forward_pallas(dot_pair, freq, image, src_tile=1024,
             flops=nsrc_p * nrow_p * (30 * ngroups
                                      + nchan * (6 + 2 * prods * ncorr)),
             bytes_accessed=4 * (2 * nsrc_p * nrow_p * ngroups
-                                + 2 * ncorr * nsrc_p * nchan
+                                + (1 if imag_zero else 2)
+                                * ncorr * nsrc_p * nchan
                                 * (nrow_p // 128)
                                 + 2 * ncorr * nchan * nrow_p),
             transcendentals=ntransc,
         ),
-    )(fsm, usm, dhi, dlo, ire, iim)
+    )(fsm, usm, dhi, dlo, ire, *iim_ops)
 
     def unpack(o):
         # (ngroups, ncorr, cg, row) → (row, chan, corr)

@@ -149,6 +149,35 @@ def default_tiles(nu, nv, support):
             choose_tile(nv, max(support, 128 - 2 * support)))
 
 
+def _plan_setup(n, nu, nv, w, tile_r, tile_c, sample_id, scale, plane,
+                nplanes):
+    """Shared geometry validation + payload coercion for the tile
+    planners (plan_tiles / plan_tiles_table): default tile pick,
+    divisibility/support checks, and sample_id/scale/plane defaults."""
+    if tile_r is None or tile_c is None:
+        # MXU-friendly default (see tiles_use_mxu): 128-row tiles and a
+        # column tile whose padded width stays at one 128-lane block
+        dr, dc = default_tiles(nu, nv, w)
+        tile_r = dr if tile_r is None else tile_r
+        tile_c = dc if tile_c is None else tile_c
+    if nu % tile_r or nv % tile_c:
+        raise ValueError(f"tiles ({tile_r},{tile_c}) must divide ({nu},{nv})")
+    if w > min(tile_r, tile_c):
+        raise ValueError(f"support {w} exceeds tile ({tile_r},{tile_c})")
+
+    sample_id = (np.arange(n, dtype=np.int64) if sample_id is None
+                 else np.asarray(sample_id))
+    scale = (np.ones(n, np.float32) if scale is None
+             else np.asarray(scale, np.float32))
+    plane = (np.zeros(n, np.int64) if plane is None
+             else np.asarray(plane, np.int64))
+
+    ntr = nu // tile_r
+    ntc = nv // tile_c
+    ntiles = nplanes * ntr * ntc
+    return tile_r, tile_c, sample_id, scale, plane, ntr, ntc, ntiles
+
+
 def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
                tile_c=None, group=1024, sample_id=None, scale=None,
                plane=None, nplanes=1):
@@ -184,33 +213,9 @@ def plan_tiles(iu0, iv0, uf, vf, support, beta, nu, nv, tile_r=None,
     n = iu0.shape[0]
     w = support
 
-    if tile_r is None or tile_c is None:
-        # MXU-friendly default (see tiles_use_mxu): 128-row tiles and a
-        # column tile whose padded width stays at one 128-lane block
-        dr, dc = default_tiles(nu, nv, w)
-        tile_r = dr if tile_r is None else tile_r
-        tile_c = dc if tile_c is None else tile_c
-    if nu % tile_r or nv % tile_c:
-        raise ValueError(f"tiles ({tile_r},{tile_c}) must divide ({nu},{nv})")
-    if w > min(tile_r, tile_c):
-        raise ValueError(f"support {w} exceeds tile ({tile_r},{tile_c})")
-
-    if sample_id is None:
-        sample_id = np.arange(n, dtype=np.int64)
-    else:
-        sample_id = np.asarray(sample_id)
-    if scale is None:
-        scale = np.ones(n, np.float32)
-    else:
-        scale = np.asarray(scale, np.float32)
-    if plane is None:
-        plane = np.zeros(n, np.int64)
-    else:
-        plane = np.asarray(plane, np.int64)
-
-    ntr = nu // tile_r
-    ntc = nv // tile_c
-    ntiles = nplanes * ntr * ntc
+    (tile_r, tile_c, sample_id, scale, plane, ntr, ntc,
+     ntiles) = _plan_setup(n, nu, nv, w, tile_r, tile_c, sample_id,
+                           scale, plane, nplanes)
 
     # each window is owned by EXACTLY the tile containing its start cell:
     # its whole extent fits in that tile's core + bottom/right halo, and
@@ -803,33 +808,9 @@ def plan_tiles_table(ir0, ic0, fr, fc, support, oversample, nu, nv,
     n = ir0.shape[0]
     w = support
 
-    if tile_r is None or tile_c is None:
-        # MXU-friendly default (see tiles_use_mxu): 128-row tiles and a
-        # column tile whose padded width stays at one 128-lane block
-        dr, dc = default_tiles(nu, nv, w)
-        tile_r = dr if tile_r is None else tile_r
-        tile_c = dc if tile_c is None else tile_c
-    if nu % tile_r or nv % tile_c:
-        raise ValueError(f"tiles ({tile_r},{tile_c}) must divide ({nu},{nv})")
-    if w > min(tile_r, tile_c):
-        raise ValueError(f"support {w} exceeds tile ({tile_r},{tile_c})")
-
-    if sample_id is None:
-        sample_id = np.arange(n, dtype=np.int64)
-    else:
-        sample_id = np.asarray(sample_id)
-    if scale is None:
-        scale = np.ones(n, np.float32)
-    else:
-        scale = np.asarray(scale, np.float32)
-    if plane is None:
-        plane = np.zeros(n, np.int64)
-    else:
-        plane = np.asarray(plane, np.int64)
-
-    ntr = nu // tile_r
-    ntc = nv // tile_c
-    ntiles = nplanes * ntr * ntc
+    (tile_r, tile_c, sample_id, scale, plane, ntr, ntc,
+     ntiles) = _plan_setup(n, nu, nv, w, tile_r, tile_c, sample_id,
+                           scale, plane, nplanes)
 
     # owner tile clipped to the grid: off-edge window starts still fit the
     # edge tile's halo ([1, tile+2w) local range) and the non-wrapping

@@ -77,3 +77,17 @@ def test_compensated_sum_axes_and_odd_lengths(rng):
         ref = x.astype(np.float64).sum(axis=ax)
         assert_allclose(got, ref, rtol=0, atol=2e-6)
         assert got.shape == ref.shape
+
+
+def test_compensated_sum_empty_axis():
+    """A zero-length reduction axis sums to zeros (einsum parity) —
+    e.g. a fused predict over a zero-source chunk."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.dfloat import compensated_sum
+
+    out = compensated_sum(jnp.zeros((0, 3, 2)), axis=0)
+    assert out.shape == (3, 2)
+    assert np.all(np.asarray(out) == 0.0)
+    out = compensated_sum(jnp.ones((4, 0)), axis=1)
+    assert out.shape == (4,)
+    assert np.all(np.asarray(out) == 0.0)

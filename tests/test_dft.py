@@ -555,3 +555,25 @@ def test_recurrence_engages_under_jit(rng, monkeypatch):
         v, u, l, freq, fl, use_pallas=True, interpret=True,
         real_dtype=jnp.float32))(vis, uvw, lm, flags)
     assert modes[-1] == "exact"
+
+
+def test_chan_group_tables_exact_gate_respects_delay_max():
+    """The 'exact' recurrence gate must scale with the caller's delay
+    bound: a grid with ~1e-3 Hz fit residuals is exactly-uniform at the
+    1e-4 s default but must demote to 'residual' at a VLBI-scale
+    delay_max (the dropped phase would otherwise exceed the error
+    budget)."""
+    from africanus_tpu.ops.pallas_dft import _chan_group_tables
+
+    nchan = 64
+    freq = np.linspace(1.4e9, 1.5e9, nchan)
+    rng = np.random.default_rng(3)
+    freq = freq + rng.uniform(-5e-4, 5e-4, nchan)  # ~sub-mHz residuals
+    freq[0] = 1.4e9
+    freq[-1] = 1.5e9
+
+    cg, ng, mode_default, _, _, _ = _chan_group_tables(freq, nchan, 1, cap=4)
+    cg, ng, mode_vlbi, _, _, _ = _chan_group_tables(
+        freq, nchan, 1, cap=4, delay_max=0.05)
+    assert mode_default == "exact"
+    assert mode_vlbi == "residual"

@@ -202,3 +202,40 @@ def test_overlap_normalisation(sinc2d):
     vs = np.nanargmax(sinc2d)
     assert peak == (vs % npx, vs // npx)
     assert abs(1.0 - np.nanmax(stitched)) < 1e-8
+
+
+def test_regional_data_oob_value_reference_semantics():
+    """With a non-zero oob_value, in-extent pixels OUTSIDE the hull take
+    data * oob_value (the reference substitutes oob_value for the mask
+    zeros, ref geometry.py:252-254) while the padding stays zero for
+    finite sentinels (the reference's `zeros * oob_value` quirk)."""
+    from africanus_tpu.linalg.geometry import BoundingConvexHull
+
+    data = np.arange(1.0, 1.0 + 20 * 20).reshape(1, 1, 20, 20)
+    # a triangle: its bounding box has in-extent out-of-hull corners
+    hull = BoundingConvexHull([(4, 4), (14, 4), (4, 14)])
+    win, _ = BoundingConvexHull.regional_data(hull, data, oob_value=3.0)
+
+    mask = hull.mask
+    inside = mask > 0
+    assert inside.any() and (~inside).any()
+    sl = win[0, 0]
+    miny = int(hull.corners[:, 1].min())
+    minx = int(hull.corners[:, 0].min())
+    src = data[0, 0, miny:miny + sl.shape[0], minx:minx + sl.shape[1]]
+    # inside the hull: data * weight (unit weights on creation)
+    np.testing.assert_allclose(sl[inside], (src * mask)[inside])
+    # outside the hull but in-extent: data * oob_value
+    np.testing.assert_allclose(sl[~inside], src[~inside] * 3.0)
+
+
+def test_project_regions_shape_mismatch_raises():
+    """A region cube smaller than its bounding box must raise (the
+    reference's shape check) rather than stitch at the box corner."""
+    import pytest as _pytest
+    from africanus_tpu.linalg.geometry import BoundingBox
+
+    box = BoundingBox(0, 9, 0, 9)
+    bad = np.ones((1, 1, 5, 5))
+    with _pytest.raises(ValueError, match="bounding box"):
+        BoundingBox.project_regions([bad], [box])

@@ -143,3 +143,34 @@ def test_normalize_masks():
     m1 = b1.mask
     assert_allclose(m1[:, :3], 1.0)
     assert_allclose(m1[:, 3:], 0.5)
+
+
+def test_kron_cholesky_f32_semidefinite_recovers():
+    """jnp.linalg.cholesky returns NaNs (not an exception) for a
+    semi-definite factor; kron_cholesky's dtype-aware jitter retry must
+    yield a finite factor whose product reconstructs A to f32 accuracy
+    (the reference recovers via its except-with-jitter path)."""
+    import jax.numpy as jnp
+    from africanus_tpu.linalg.kronecker_tools import kron_cholesky
+
+    A = jnp.ones((4, 4), jnp.float32)  # PSD, rank-1: plain chol NaNs
+    (L,) = kron_cholesky([A])
+    L = np.asarray(L)
+    assert np.isfinite(L).all()
+    assert np.allclose(L @ L.T, np.asarray(A), atol=1e-2)
+
+
+def test_kron_matvec_precision_pinned():
+    """kron_matvec must agree with the dense f64 matvec to f32-input
+    accuracy (guards the HIGHEST-precision pin on the factor matmuls)."""
+    from africanus_tpu.linalg.kronecker_tools import kron_matvec
+
+    rng = np.random.default_rng(11)
+    K0 = rng.normal(size=(8, 8))
+    K1 = rng.normal(size=(6, 6))
+    b = rng.normal(size=48)
+    want = np.kron(K0, K1) @ b
+    got = np.asarray(kron_matvec(
+        [K0.astype(np.float32), K1.astype(np.float32)],
+        b.astype(np.float32)))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
