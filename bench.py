@@ -26,7 +26,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-C_LIGHT = 2.99792458e8
+from africanus_tpu.constants import c as C_LIGHT  # noqa: E402
 
 # Set by main() when the TPU backend is unreachable (the axon tunnel
 # HANGS rather than erroring when down, so a dead tunnel would
@@ -247,19 +247,25 @@ def config2_predict():
     nrow = args[1].shape[0]
     cpu_rate = nrow * cpu_nchan * NCORR / cpu_dt / 1e6
 
-    # accuracy at small shape: f32 device vs an f64 oracle fed the SAME
-    # f32-rounded inputs (input rounding is not computation error)
-    s_args = _flagship(nsrc=NSRC, ntime=NTIME, nant=NANT, nchan=8,
-                       rng=np.random.default_rng(8))
-    s32 = tuple(
-        a.astype(np.float32) if np.issubdtype(a.dtype, np.floating) else a
-        for a in s_args
+    # accuracy on the SAME code path as the timed throughput (the Pallas
+    # step on TPU, XLA on the CPU fallback — a kernel precision
+    # regression must show up here): run the step once at the benched
+    # shape and compare a (row, chan) window against the f64 oracle fed
+    # the same f32-rounded inputs (input rounding is not computation
+    # error). The window keeps the oracle cost bounded.
+    acc_step = _predict_step if FALLBACK_CPU else _predict_step_pallas
+    out = jax.jit(acc_step)(*jax.device_put(f32args))
+    R, CC = 256, 8
+    got = (np.asarray(out.re)[:R, :CC] + 1j * np.asarray(out.im)[:R, :CC])
+    ti64, a1_, a2_, lm64, uvw64, freq64, st64, spi64, rf64, gs64, gp64 = (
+        np.asarray(a, np.float64)
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else np.asarray(a)
+        for a in f32args
     )
-    out = jax.jit(_predict_step)(*jax.device_put(s32))
-    got = np.asarray(out.re) + 1j * np.asarray(out.im)
-    want = np_predict(*(a.astype(np.float64)
-                        if np.issubdtype(a.dtype, np.floating) else a
-                        for a in s32))
+    want = np_predict(ti64[:R], a1_[:R], a2_[:R], lm64, uvw64[:R],
+                      freq64[:CC], st64, spi64, rf64, gs64,
+                      gp64[:, :, :CC, :])
     err = float(np.abs(got - want).max() / np.abs(want).max())
 
     dargs = jax.device_put(f32args)

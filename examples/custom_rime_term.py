@@ -72,12 +72,15 @@ def main():
     print(f"device: {jax.devices()[0]}")
     print(f"custom-term vis: {vis.shape}, |vis| max {np.abs(vis).max():.4f}")
 
-    # cross-check against the explicit K x flux composition
+    # cross-check against the explicit K x flux composition: use the
+    # pair-native phase_delay_ri (the complex-dtype wrapper builds a
+    # device complex array, which the TPU backend cannot represent)
     from africanus_tpu.coordinates import radec_to_lm
-    from africanus_tpu.rime import phase_delay
+    from africanus_tpu.rime import phase_delay_ri
 
     lm = np.asarray(radec_to_lm(ds["radec"], ds["phase_dir"]))
-    k = np.asarray(phase_delay(lm, ds["uvw"], ds["chan_freq"]))
+    k_ri = phase_delay_ri(lm, ds["uvw"], ds["chan_freq"])
+    k = np.asarray(k_ri.re) + 1j * np.asarray(k_ri.im)
     expected = (k[..., None] * ds["model_flux"][:, None]).sum(axis=0)
     err = np.abs(vis - expected).max() / np.abs(expected).max()
     print(f"max rel err vs explicit composition: {err:.2e}")

@@ -19,7 +19,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-C = 2.99792458e8
+from africanus_tpu.constants import c as C  # noqa: E402
 
 
 def main():

@@ -56,18 +56,24 @@ def main():
     ref_freq = np.full(args.nsrc, 1.2e9, f32)
 
     @jax.jit
-    def predict(radec, uvw, freq, stokes, spi, ref_freq):
+    def predict(radec, uvw, freq, stokes, spi, ref_freq, jitter=0.0):
         lm = radec_to_lm(radec, pc)
         flux = spectral_model(stokes, spi, ref_freq, freq, base="std")
         corr = convert_ri(flux, ["I"], ["XX", "YY"], implicit_stokes=True)
-        return im_to_vis_ri(corr, uvw, lm, freq)
+        return im_to_vis_ri(corr, uvw + jitter, lm, freq)
 
     dargs = jax.device_put((radec, uvw, freq, stokes, spi, ref_freq))
-    out = jax.block_until_ready(predict(*dargs))
+    out = predict(*dargs)
+    _ = float(np.asarray(out.re).ravel()[0])  # warm-up + fetch barrier
+    # block_until_ready lies on the axon backend and repeated identical
+    # dispatches can be result-reused: amortise DISTINCT dispatches
+    # (inert uvw jitter) and fetch a value as the only reliable barrier
+    # (CLAUDE.md timing rules)
     t0 = time.perf_counter()
     reps = 5
-    for _ in range(reps):
-        out = jax.block_until_ready(predict(*dargs))
+    for i in range(reps):
+        out = predict(*dargs, jitter=np.float32((i + 1) * 1e-12))
+        _ = float(np.asarray(out.re).ravel()[0])
     dt = (time.perf_counter() - t0) / reps
 
     vis = to_numpy(out)

@@ -106,12 +106,14 @@ def main():
         [x if x else 1.2e9 for x in sources["ReferenceFrequency"]],
         np.float32,
     )
-    arcsec = np.pi / (180 * 3600)
+    # wsclean.load already converts MajorAxis/MinorAxis arcsec→radians
+    # and Orientation deg→radians (model/wsclean/file_model.py
+    # _CONVERTERS) — use the loaded radian values directly
     gauss_shape = np.stack(
         [
-            np.array([x or 0.0 for x in sources["MajorAxis"]]) * arcsec,
-            np.array([x or 0.0 for x in sources["MinorAxis"]]) * arcsec,
-            np.deg2rad([x or 0.0 for x in sources["Orientation"]]),
+            np.array([x or 0.0 for x in sources["MajorAxis"]]),
+            np.array([x or 0.0 for x in sources["MinorAxis"]]),
+            np.array([x or 0.0 for x in sources["Orientation"]]),
         ],
         axis=1,
     ).astype(np.float32)

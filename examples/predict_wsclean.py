@@ -82,17 +82,16 @@ def main():
             u, l, source_type, fl, co, lp, rf, gs, fq
         )
     )
+    # fetch inside the timed region: block_until_ready lies on the axon
+    # backend — a value fetch is the only reliable barrier (CLAUDE.md)
     t0 = time.perf_counter()
-    out = jax.block_until_ready(
-        fn(
-            uvw.astype(f32), lm.astype(f32), flux.astype(f32),
-            coeffs.astype(f32), log_poly, ref_freq.astype(f32),
-            gauss_shape.astype(f32), freq.astype(f32),
-        )
+    out = fn(
+        uvw.astype(f32), lm.astype(f32), flux.astype(f32),
+        coeffs.astype(f32), log_poly, ref_freq.astype(f32),
+        gauss_shape.astype(f32), freq.astype(f32),
     )
-    dt = time.perf_counter() - t0
-
     vis = to_numpy(out)
+    dt = time.perf_counter() - t0
     print(f"device: {jax.devices()[0]}")
     print(f"predicted vis: {vis.shape} in {dt:.2f}s (incl. compile)")
     print(f"|vis| range: [{np.abs(vis).min():.4f}, {np.abs(vis).max():.4f}]")

@@ -36,7 +36,7 @@ def main():
 
     rng = np.random.default_rng(7)
     f32 = np.float32
-    C = 2.99792458e8
+    from africanus_tpu.constants import c as C  # noqa: E402
 
     # observation: 16 antennas, 8 times
     nant, ntime, nchan = 16, 8, 16

@@ -123,7 +123,9 @@ def evaluate_primary_beam(schema, maskindices, l_coord, m_coord, freqs):
     from africanus_tpu.rime.fast_beam_cubes import beam_cube_dde_ri
     from africanus_tpu.utils.beams import load_beam_cube
 
-    beam, extents, freq_map = load_beam_cube(schema, range(16))
+    # CASA linear correlation ids XX/XY/YX/YY — a real beam schema ships
+    # one re/im FITS pair per correlation, not all 16 stokes ids
+    beam, extents, freq_map = load_beam_cube(schema, (9, 10, 11, 12))
     lm = np.deg2rad(
         np.stack(
             [l_coord[maskindices[:, 0]], m_coord[maskindices[:, 1]]],
@@ -179,9 +181,12 @@ def main(argv=None):
     mhdr, mdata = read_fits(args.fitsmodel)
     l_coord, m_coord, freqs, ref_freq, freq_axis = parse_cube_header(mhdr)
     nband = freqs.size
+    # read_fits returns C order with NAXIS1 (l) as the LAST axis, i.e.
+    # (nband, m, l): reorder to the (band, l, m) layout the restoring
+    # beam / mask / fitter use
     model = np.asarray(mdata, np.float64).reshape(
-        nband, l_coord.size, m_coord.size
-    )
+        nband, m_coord.size, l_coord.size
+    ).transpose(0, 2, 1)
     print(f"cube {model.shape}, ref_freq {ref_freq:.3e} Hz")
 
     if args.beampars is None:
@@ -196,7 +201,9 @@ def main(argv=None):
 
     if args.fitsresidual:
         _, rdata = read_fits(args.fitsresidual)
-        resid = np.asarray(rdata, np.float64).reshape(model.shape)
+        resid = np.asarray(rdata, np.float64).reshape(
+            nband, m_coord.size, l_coord.size
+        ).transpose(0, 2, 1)
         rms = float(resid.std())
         rms_cube = resid.reshape(nband, -1).std(axis=1)
         threshold = args.threshold * rms
@@ -253,14 +260,16 @@ def main(argv=None):
     names = dict(a="alpha", e="alpha_err", I="I0", k="I0_err")
     for letter, name in names.items():
         if letter in args.output:
-            write_fits(f"{prefix}{name}.fits", maps[letter], cards)
+            # write_fits is NAXIS1-fastest: l must be the LAST axis
+            write_fits(f"{prefix}{name}.fits", maps[letter].T, cards)
             print(f"wrote {prefix}{name}.fits")
     if "c" in args.output:
         rec = (maps["I"][None]
                * (freqs[:, None, None] / ref_freq)
                ** np.where(maps["I"][None] != 0, maps["a"][None], 0.0))
-        shape = ((1, nband, npl, npm) if freq_axis == 3
-                 else (nband, 1, npl, npm))
+        rec = rec.transpose(0, 2, 1)  # (band, m, l): l NAXIS1-fastest
+        shape = ((1, nband, npm, npl) if freq_axis == 3
+                 else (nband, 1, npm, npl))
         write_fits(f"{prefix}Irec_cube.fits", rec.reshape(shape), cards)
         print(f"wrote {prefix}Irec_cube.fits")
 
