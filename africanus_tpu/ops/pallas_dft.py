@@ -109,79 +109,91 @@ def _residual_rot(kre, kim, dot, d2p):
     return kre * c - kim * s, kim * c + kre * s
 
 
-def _chunk_phasors(usm_ref, dot, dlo, dhh, dhl, use_flo):
+def _chunk_phasors(usm_ref, g, dot, dlo, dhh, dhl, use_flo):
     """Base and step phasors for the recurrence modes (usm rows are
-    [value, dekker_hh, dekker_hl, lo]; columns [base, step])."""
-    kre, kim = _phase_cs(dot, dlo, dhh, dhl, usm_ref[0, 0, 0],
-                         usm_ref[0, 1, 0], usm_ref[0, 2, 0],
-                         usm_ref[0, 3, 0], use_flo)
-    sre, sim = _phase_cs(dot, dlo, dhh, dhl, usm_ref[0, 0, 1],
-                         usm_ref[0, 1, 1], usm_ref[0, 2, 1],
-                         usm_ref[0, 3, 1], use_flo)
+    [value, dekker_hh, dekker_hl, lo]; columns [base, step]; ``g``
+    selects the channel group within the block)."""
+    kre, kim = _phase_cs(dot, dlo, dhh, dhl, usm_ref[g, 0, 0],
+                         usm_ref[g, 1, 0], usm_ref[g, 2, 0],
+                         usm_ref[g, 3, 0], use_flo)
+    sre, sim = _phase_cs(dot, dlo, dhh, dhl, usm_ref[g, 0, 1],
+                         usm_ref[g, 1, 1], usm_ref[g, 2, 1],
+                         usm_ref[g, 3, 1], use_flo)
     return kre, kim, sre, sim
 
 
 def _dft_adj_kernel(fsm_ref, usm_ref, dhi_ref, dlo_ref, vre_ref, vim_ref,
-                    out_ref, *, nchan, ncorr, mode, use_flo, row_tile):
-    """One (pixel_tile, chan_group, row_tile) step; out block revisited
-    over the row grid dimension.
+                    out_ref, *, nchan, ncorr, mode, use_flo, row_tile,
+                    gb, lane_tile):
+    """One (pixel_tile, chan_group_block, row_tile) step; out block
+    revisited over the row grid dimension.
 
     Rows are consumed in 8-sublane register chunks: the chunk's kernel
     matrix, its per-channel rotation, and the (ncorr·nchan_group)
     partial accumulators all live in vector registers — a whole-block
     formulation bounced every (row_tile, 128) temporary through VMEM,
     and carrying all channels' accumulators spilled the loop carry; the
-    channel-group grid dimension keeps the carry register-resident."""
+    channel-group grid dimension keeps the carry register-resident.
+
+    ``gb`` channel groups run per grid step (an unrolled outer loop,
+    each group with its own register-resident fori_loop over the row
+    chunks) and ``lane_tile`` pixels sit on the lane axis — both
+    amortise the fixed per-grid-step cost, which dominates when the
+    problem is small (KAT-7-scale predicts are otherwise ~20x slower
+    than their flop count; see bench.py config 1)."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    def chunk(j, acc):
-        # fori_loop index: assert the 8-alignment Mosaic needs for
-        # dynamic sublane slicing (CLAUDE.md / pallas_grid.py precedent)
-        r0 = pl.multiple_of(j * 8, 8)
-        dot = dhi_ref[pl.ds(r0, 8), :]  # (8, 128) delay seconds, hi
-        dlo = dlo_ref[pl.ds(r0, 8), :]
-        dhh, dhl = df_split(dot)
-
-        if mode != "direct":
-            bre, bim, sre, sim = _chunk_phasors(
-                usm_ref, dot, dlo, dhh, dhl, use_flo
-            )
-
-        new = list(acc)
-        for f in range(nchan):
-            if mode == "direct":
-                kre, kim = _phase_cs(dot, dlo, dhh, dhl, fsm_ref[0, 0, f],
-                                     fsm_ref[0, 1, f], fsm_ref[0, 2, f],
-                                     fsm_ref[0, 3, f], use_flo)
-            elif mode == "residual":
-                kre, kim = _residual_rot(bre, bim, dot, fsm_ref[0, 0, f])
-            else:
-                kre, kim = bre, bim
-            for c in range(ncorr):
-                vr = vre_ref[0, c, pl.ds(r0, 8), f][:, None]  # (8, 1)
-                vi = vim_ref[0, c, pl.ds(r0, 8), f][:, None]
-                i = f * ncorr + c
-                new[i] = new[i] + (kre * vr - kim * vi)
-            if mode != "direct" and f + 1 < nchan:
-                bre, bim = (
-                    _r(bre * sre - bim * sim),
-                    _r(bre * sim + bim * sre),
-                )
-        return tuple(new)
-
     from jax import lax
 
-    zeros = tuple(
-        jnp.zeros((8, 128), jnp.float32) for _ in range(nchan * ncorr)
-    )
-    acc = lax.fori_loop(0, row_tile // 8, chunk, zeros)
-    for f in range(nchan):
-        for c in range(ncorr):
-            out_ref[0, c, f, :] += acc[f * ncorr + c].sum(axis=0)
+    for g in range(gb):
+        def chunk(j, acc, g=g):
+            # fori_loop index: assert the 8-alignment Mosaic needs for
+            # dynamic sublane slicing (CLAUDE.md / pallas_grid.py)
+            r0 = pl.multiple_of(j * 8, 8)
+            dot = dhi_ref[pl.ds(r0, 8), :]  # (8, lane_tile) delay, hi
+            dlo = dlo_ref[pl.ds(r0, 8), :]
+            dhh, dhl = df_split(dot)
+
+            if mode != "direct":
+                bre, bim, sre, sim = _chunk_phasors(
+                    usm_ref, g, dot, dlo, dhh, dhl, use_flo
+                )
+
+            new = list(acc)
+            for f in range(nchan):
+                if mode == "direct":
+                    kre, kim = _phase_cs(dot, dlo, dhh, dhl,
+                                         fsm_ref[g, 0, f], fsm_ref[g, 1, f],
+                                         fsm_ref[g, 2, f], fsm_ref[g, 3, f],
+                                         use_flo)
+                elif mode == "residual":
+                    kre, kim = _residual_rot(bre, bim, dot, fsm_ref[g, 0, f])
+                else:
+                    kre, kim = bre, bim
+                for c in range(ncorr):
+                    vr = vre_ref[g, c, pl.ds(r0, 8), f][:, None]  # (8, 1)
+                    vi = vim_ref[g, c, pl.ds(r0, 8), f][:, None]
+                    i = f * ncorr + c
+                    new[i] = new[i] + (kre * vr - kim * vi)
+                if mode != "direct" and f + 1 < nchan:
+                    bre, bim = (
+                        _r(bre * sre - bim * sim),
+                        _r(bre * sim + bim * sre),
+                    )
+            return tuple(new)
+
+        zeros = tuple(
+            jnp.zeros((8, lane_tile), jnp.float32)
+            for _ in range(nchan * ncorr)
+        )
+        acc = lax.fori_loop(0, row_tile // 8, chunk, zeros)
+        for f in range(nchan):
+            for c in range(ncorr):
+                out_ref[g, c, f, :] += acc[f * ncorr + c].sum(axis=0)
 
 
 def _f32_dekker_split_np(f):
@@ -285,8 +297,54 @@ def _chan_group_tables(freq, nchan, ncorr, cap, delay_max=_DELAY_MAX):
     return cg, ngroups, mode, use_flo, fsm, usm
 
 
+def _pick_blocks(nlane, ngroups, cg, ncorr, contract_tile, n_in_planes,
+                 n_acc, lane_tile, group_block):
+    """Lane width and channel-group block for a fused DFT kernel call.
+
+    The kernels' fixed per-grid-step cost (~5-10 us of DMA setup and
+    scalar prologue) dwarfs the compute of a (contract_tile, 128)
+    single-group step on small problems, so blocks widen until a step
+    carries enough work:
+
+    - ``lane_tile`` (pixels/rows on the 128-lane axis) grows to 512
+      while the register accumulators (``n_acc`` per lane register)
+      stay within a conservative 32-vreg budget;
+    - ``group_block`` channel groups run per step (unrolled), bounded
+      by a 32-slot unroll budget (gb*cg, Mosaic compile time) and a
+      ~2 MB VMEM budget across the step's blocks.
+    """
+    if lane_tile is None:
+        lane_tile = 128
+        while (lane_tile < 512 and lane_tile < nlane
+               and n_acc * (2 * lane_tile // 128) <= 32):
+            lane_tile *= 2
+    else:
+        lane_tile = max(128, -(-int(lane_tile) // 128) * 128)
+
+    if group_block is None:
+        group_block = 1
+        for d in range(1, ngroups + 1):
+            if ngroups % d or d * cg > 32:
+                continue
+            vmem = 4 * (
+                2 * contract_tile * lane_tile
+                + n_in_planes * d * ncorr * contract_tile * cg
+                + (n_acc // max(cg * ncorr, 1)) * d * ncorr * cg * lane_tile
+            )
+            if vmem <= 2 * 1024 * 1024:
+                group_block = d
+    else:
+        group_block = int(group_block)
+        if ngroups % group_block:
+            raise ValueError(
+                f"group_block {group_block} must divide ngroups {ngroups}"
+            )
+    return lane_tile, group_block
+
+
 def dft_adjoint_pallas(dot_pair, freq, vis, row_tile=1024,
-                       interpret=False, delay_max=_DELAY_MAX):
+                       interpret=False, delay_max=_DELAY_MAX,
+                       lane_tile=None, group_block=None):
     """Adjoint DFT via the fused pixel-lane kernel.
 
     Parameters
@@ -319,12 +377,17 @@ def dft_adjoint_pallas(dot_pair, freq, vis, row_tile=1024,
     cg, ngroups, mode, use_flo, fsm, usm = _chan_group_tables(
         freq, nchan, ncorr, cap=8, delay_max=delay_max
     )
+    lane_tile, gb = _pick_blocks(
+        npix, ngroups, cg, ncorr, contract_tile=min(row_tile, nrow),
+        n_in_planes=2, n_acc=cg * ncorr,
+        lane_tile=lane_tile, group_block=group_block,
+    )
 
     # the kernel consumes rows in 8-sublane chunks: round the tile up
     row_tile = max(8, -(-int(row_tile) // 8) * 8)
     row_tile = min(row_tile, max(8, -(-nrow // 8) * 8))
     rpad = (-nrow) % row_tile
-    ppad = (-npix) % 128
+    ppad = (-npix) % lane_tile
     if rpad or ppad:
         dhi = jnp.pad(dhi, ((0, rpad), (0, ppad)))
         dlo = jnp.pad(dlo, ((0, rpad), (0, ppad)))
@@ -343,26 +406,27 @@ def dft_adjoint_pallas(dot_pair, freq, vis, row_tile=1024,
         vim.reshape(ncorr, nrow_p, ngroups, cg), 2, 0
     )
 
-    grid = (npix_p // 128, ngroups, nrow_p // row_tile)
+    grid = (npix_p // lane_tile, ngroups // gb, nrow_p // row_tile)
     kernel = partial(_dft_adj_kernel, nchan=cg, ncorr=ncorr,
-                     mode=mode, use_flo=use_flo, row_tile=row_tile)
+                     mode=mode, use_flo=use_flo, row_tile=row_tile,
+                     gb=gb, lane_tile=lane_tile)
 
     in_specs = [
-        pl.BlockSpec((1, 4, cg), lambda i, g, k: (g, 0, 0),
+        pl.BlockSpec((gb, 4, cg), lambda i, g, k: (g, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 4, 2), lambda i, g, k: (g, 0, 0),
+        pl.BlockSpec((gb, 4, 2), lambda i, g, k: (g, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((row_tile, 128), lambda i, g, k: (k, i),
+        pl.BlockSpec((row_tile, lane_tile), lambda i, g, k: (k, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((row_tile, 128), lambda i, g, k: (k, i),
+        pl.BlockSpec((row_tile, lane_tile), lambda i, g, k: (k, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ncorr, row_tile, cg), lambda i, g, k: (g, 0, k, 0),
+        pl.BlockSpec((gb, ncorr, row_tile, cg), lambda i, g, k: (g, 0, k, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ncorr, row_tile, cg), lambda i, g, k: (g, 0, k, 0),
+        pl.BlockSpec((gb, ncorr, row_tile, cg), lambda i, g, k: (g, 0, k, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_specs = pl.BlockSpec(
-        (1, ncorr, cg, 128), lambda i, g, k: (g, 0, 0, i),
+        (gb, ncorr, cg, lane_tile), lambda i, g, k: (g, 0, 0, i),
         memory_space=pltpu.VMEM,
     )
 
@@ -395,14 +459,17 @@ def dft_adjoint_pallas(dot_pair, freq, vis, row_tile=1024,
 
 
 def _dft_fwd_kernel(fsm_ref, usm_ref, dhi_ref, dlo_ref, ire_ref, *refs,
-                    nchan, ncorr, mode, use_flo, src_tile, imag_zero):
+                    nchan, ncorr, mode, use_flo, src_tile, imag_zero,
+                    gb, lane_tile):
     """Forward direction of the same layout: sources on sublanes
     (contracted), visibility rows on the 128-lane axis, channels in
     register groups. Two output blocks (re, im) revisited over the
     source grid dimension; ``imag_zero`` drops the imaginary-image
     half of the complex product AND its input block entirely (the
     common real-sky case would otherwise DMA all-zero planes every
-    grid step — same economics as pallas_predict's optional planes)."""
+    grid step — same economics as pallas_predict's optional planes).
+    ``gb``/``lane_tile`` widen the per-grid-step work as in
+    :func:`_dft_adj_kernel`."""
     if imag_zero:
         iim_ref = None
         ore_ref, oim_ref = refs
@@ -415,60 +482,64 @@ def _dft_fwd_kernel(fsm_ref, usm_ref, dhi_ref, dlo_ref, ire_ref, *refs,
         ore_ref[...] = jnp.zeros_like(ore_ref)
         oim_ref[...] = jnp.zeros_like(oim_ref)
 
-    def chunk(j, acc):
-        s0 = pl.multiple_of(j * 8, 8)  # Mosaic sublane-alignment hint
-        dot = dhi_ref[pl.ds(s0, 8), :]  # (8, 128) delay seconds, hi
-        dlo = dlo_ref[pl.ds(s0, 8), :]
-        dhh, dhl = df_split(dot)
-
-        if mode != "direct":
-            bre, bim, sre, sim = _chunk_phasors(
-                usm_ref, dot, dlo, dhh, dhl, use_flo
-            )
-
-        new = list(acc)
-        for f in range(nchan):
-            if mode == "direct":
-                kre, kim = _phase_cs(dot, dlo, dhh, dhl, fsm_ref[0, 0, f],
-                                     fsm_ref[0, 1, f], fsm_ref[0, 2, f],
-                                     fsm_ref[0, 3, f], use_flo)
-            elif mode == "residual":
-                kre, kim = _residual_rot(bre, bim, dot, fsm_ref[0, 0, f])
-            else:
-                kre, kim = bre, bim
-            for c in range(ncorr):
-                ir = ire_ref[0, c, pl.ds(s0, 8), f][:, None]  # (8, 1)
-                i = 2 * (f * ncorr + c)
-                if imag_zero:
-                    new[i] = new[i] + kre * ir
-                    new[i + 1] = new[i + 1] + kim * ir
-                else:
-                    ii = iim_ref[0, c, pl.ds(s0, 8), f][:, None]
-                    new[i] = new[i] + (kre * ir - kim * ii)
-                    new[i + 1] = new[i + 1] + (kim * ir + kre * ii)
-            if mode != "direct" and f + 1 < nchan:
-                bre, bim = (
-                    _r(bre * sre - bim * sim),
-                    _r(bre * sim + bim * sre),
-                )
-        return tuple(new)
-
     from jax import lax
 
-    zeros = tuple(
-        jnp.zeros((8, 128), jnp.float32) for _ in range(2 * nchan * ncorr)
-    )
-    acc = lax.fori_loop(0, src_tile // 8, chunk, zeros)
-    for f in range(nchan):
-        for c in range(ncorr):
-            i = 2 * (f * ncorr + c)
-            ore_ref[0, c, f, :] += acc[i].sum(axis=0)
-            oim_ref[0, c, f, :] += acc[i + 1].sum(axis=0)
+    for g in range(gb):
+        def chunk(j, acc, g=g):
+            s0 = pl.multiple_of(j * 8, 8)  # Mosaic sublane-alignment hint
+            dot = dhi_ref[pl.ds(s0, 8), :]  # (8, lane_tile) delay, hi
+            dlo = dlo_ref[pl.ds(s0, 8), :]
+            dhh, dhl = df_split(dot)
+
+            if mode != "direct":
+                bre, bim, sre, sim = _chunk_phasors(
+                    usm_ref, g, dot, dlo, dhh, dhl, use_flo
+                )
+
+            new = list(acc)
+            for f in range(nchan):
+                if mode == "direct":
+                    kre, kim = _phase_cs(dot, dlo, dhh, dhl,
+                                         fsm_ref[g, 0, f], fsm_ref[g, 1, f],
+                                         fsm_ref[g, 2, f], fsm_ref[g, 3, f],
+                                         use_flo)
+                elif mode == "residual":
+                    kre, kim = _residual_rot(bre, bim, dot, fsm_ref[g, 0, f])
+                else:
+                    kre, kim = bre, bim
+                for c in range(ncorr):
+                    ir = ire_ref[g, c, pl.ds(s0, 8), f][:, None]  # (8, 1)
+                    i = 2 * (f * ncorr + c)
+                    if imag_zero:
+                        new[i] = new[i] + kre * ir
+                        new[i + 1] = new[i + 1] + kim * ir
+                    else:
+                        ii = iim_ref[g, c, pl.ds(s0, 8), f][:, None]
+                        new[i] = new[i] + (kre * ir - kim * ii)
+                        new[i + 1] = new[i + 1] + (kim * ir + kre * ii)
+                if mode != "direct" and f + 1 < nchan:
+                    bre, bim = (
+                        _r(bre * sre - bim * sim),
+                        _r(bre * sim + bim * sre),
+                    )
+            return tuple(new)
+
+        zeros = tuple(
+            jnp.zeros((8, lane_tile), jnp.float32)
+            for _ in range(2 * nchan * ncorr)
+        )
+        acc = lax.fori_loop(0, src_tile // 8, chunk, zeros)
+        for f in range(nchan):
+            for c in range(ncorr):
+                i = 2 * (f * ncorr + c)
+                ore_ref[g, c, f, :] += acc[i].sum(axis=0)
+                oim_ref[g, c, f, :] += acc[i + 1].sum(axis=0)
 
 
 def dft_forward_pallas(dot_pair, freq, image, src_tile=1024,
                        interpret=False, imag_zero=None,
-                       delay_max=_DELAY_MAX):
+                       delay_max=_DELAY_MAX,
+                       lane_tile=None, group_block=None):
     """Forward DFT predict via the fused row-lane kernel.
 
     V[r,f,c] = Σ_s e^{iφ(s,r,f)} · I[s,f,c] with the same fused
@@ -513,12 +584,18 @@ def dft_forward_pallas(dot_pair, freq, image, src_tile=1024,
     cg, ngroups, mode, use_flo, fsm, usm = _chan_group_tables(
         freq, nchan, ncorr, cap=4, delay_max=delay_max
     )
+    lane_tile, gb = _pick_blocks(
+        nrow, ngroups, cg, ncorr, contract_tile=min(src_tile, nsrc),
+        n_in_planes=1 if imag_zero else 2,
+        n_acc=2 * cg * ncorr,
+        lane_tile=lane_tile, group_block=group_block,
+    )
 
     # the kernel consumes sources in 8-sublane chunks: round up
     src_tile = max(8, -(-int(src_tile) // 8) * 8)
     src_tile = min(src_tile, max(8, -(-nsrc // 8) * 8))
     spad = (-nsrc) % src_tile
-    rpad = (-nrow) % 128
+    rpad = (-nrow) % lane_tile
     if spad or rpad:
         dhi = jnp.pad(dhi, ((0, spad), (0, rpad)))
         dlo = jnp.pad(dlo, ((0, spad), (0, rpad)))
@@ -540,31 +617,31 @@ def dft_forward_pallas(dot_pair, freq, image, src_tile=1024,
         iim = jnp.moveaxis(iim.reshape(ncorr, nsrc_p, ngroups, cg), 2, 0)
         iim_ops = (iim,)
 
-    grid = (nrow_p // 128, ngroups, nsrc_p // src_tile)
+    grid = (nrow_p // lane_tile, ngroups // gb, nsrc_p // src_tile)
     kernel = partial(_dft_fwd_kernel, nchan=cg, ncorr=ncorr,
                      mode=mode, use_flo=use_flo, src_tile=src_tile,
-                     imag_zero=imag_zero)
+                     imag_zero=imag_zero, gb=gb, lane_tile=lane_tile)
 
     in_specs = [
-        pl.BlockSpec((1, 4, cg), lambda i, g, k: (g, 0, 0),
+        pl.BlockSpec((gb, 4, cg), lambda i, g, k: (g, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 4, 2), lambda i, g, k: (g, 0, 0),
+        pl.BlockSpec((gb, 4, 2), lambda i, g, k: (g, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((src_tile, 128), lambda i, g, k: (k, i),
+        pl.BlockSpec((src_tile, lane_tile), lambda i, g, k: (k, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((src_tile, 128), lambda i, g, k: (k, i),
+        pl.BlockSpec((src_tile, lane_tile), lambda i, g, k: (k, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ncorr, src_tile, cg), lambda i, g, k: (g, 0, k, 0),
+        pl.BlockSpec((gb, ncorr, src_tile, cg), lambda i, g, k: (g, 0, k, 0),
                      memory_space=pltpu.VMEM),
     ]
     if not imag_zero:
         in_specs.append(
-            pl.BlockSpec((1, ncorr, src_tile, cg),
+            pl.BlockSpec((gb, ncorr, src_tile, cg),
                          lambda i, g, k: (g, 0, k, 0),
                          memory_space=pltpu.VMEM)
         )
     out_spec = pl.BlockSpec(
-        (1, ncorr, cg, 128), lambda i, g, k: (g, 0, 0, i),
+        (gb, ncorr, cg, lane_tile), lambda i, g, k: (g, 0, 0, i),
         memory_space=pltpu.VMEM,
     )
 

@@ -577,3 +577,63 @@ def test_chan_group_tables_exact_gate_respects_delay_max():
         freq, nchan, 1, cap=4, delay_max=0.05)
     assert mode_default == "exact"
     assert mode_vlbi == "residual"
+
+
+@pytest.mark.parametrize("lane_tile,group_block", [(128, 1), (256, 2),
+                                                   (512, 4), (None, None)])
+def test_pallas_dft_block_policy_sweep(rng, lane_tile, group_block):
+    """Explicit lane-tile / channel-group-block combinations (the
+    per-grid-step widening knobs, ops/pallas_dft._pick_blocks) must all
+    reproduce the f64 einsum result — forward and adjoint."""
+    import jax.numpy as jnp
+    from africanus_tpu.dft import im_to_vis_ri, vis_to_im_ri
+    from africanus_tpu.ops.cplx import Cplx
+    from africanus_tpu.ops.pallas_dft import (dft_adjoint_pallas,
+                                              dft_forward_pallas)
+    from africanus_tpu.rime.phase import phase_dot_cycles
+
+    f32 = np.float32
+    nsrc, nrow, nchan, ncorr = 23, 290, 16, 2  # cg=4 -> ngroups=4
+    uvw = rng.uniform(-2000, 2000, (nrow, 3)).astype(f32)
+    freq = np.linspace(0.856e9, 1.2e9, nchan)
+    lm = rng.uniform(-0.01, 0.01, (nsrc, 2)).astype(f32)
+    img = Cplx(rng.normal(size=(nsrc, nchan, ncorr)).astype(f32),
+               rng.normal(size=(nsrc, nchan, ncorr)).astype(f32))
+
+    ref = im_to_vis_ri(
+        Cplx(img.re.astype(np.float64), img.im.astype(np.float64)),
+        uvw.astype(np.float64), lm.astype(np.float64), freq,
+        use_pallas=False, real_dtype=jnp.float64)
+    dot = phase_dot_cycles(lm, uvw, "fourier")
+    got = dft_forward_pallas(dot, freq, img, interpret=True,
+                             lane_tile=lane_tile, group_block=group_block)
+    scale = np.abs(np.asarray(ref.re)).max()
+    err = max(np.abs(np.asarray(got.re) - np.asarray(ref.re)).max(),
+              np.abs(np.asarray(got.im) - np.asarray(ref.im)).max())
+    assert err < 3e-6 * scale
+
+    vis = Cplx(rng.normal(size=(nrow, nchan, ncorr)).astype(f32),
+               rng.normal(size=(nrow, nchan, ncorr)).astype(f32))
+    flags = np.zeros((nrow, nchan, ncorr), bool)
+    refa = np.asarray(vis_to_im_ri(
+        Cplx(vis.re.astype(np.float64), vis.im.astype(np.float64)),
+        uvw.astype(np.float64), lm.astype(np.float64), freq, flags,
+        use_pallas=False, real_dtype=jnp.float64))
+    dota = phase_dot_cycles(lm, uvw, "casa")
+    gota = np.asarray(dft_adjoint_pallas(
+        (dota[0].T, dota[1].T), freq, vis, interpret=True,
+        lane_tile=lane_tile, group_block=group_block))
+    assert np.abs(gota - refa).max() < 3e-6 * np.abs(refa).max()
+
+
+def test_pallas_dft_group_block_must_divide():
+    """An explicit group_block that does not divide ngroups raises."""
+    from africanus_tpu.ops.cplx import Cplx
+    from africanus_tpu.ops.pallas_dft import dft_forward_pallas
+
+    freq = np.linspace(1e9, 1.1e9, 16)  # cg=4 -> ngroups=4
+    dot = (np.zeros((8, 16), np.float32), np.zeros((8, 16), np.float32))
+    img = Cplx(np.ones((8, 16, 1), np.float32),
+               np.zeros((8, 16, 1), np.float32))
+    with pytest.raises(ValueError, match="group_block"):
+        dft_forward_pallas(dot, freq, img, interpret=True, group_block=3)
