@@ -57,12 +57,13 @@ def _tap_geometry(scaled, npix, W, oversample):
 def pp_tile_plan(uvw, wavelengths, chanmap, npix, cell, image_centre,
                  phase_centre, convolution_kernel_width,
                  convolution_kernel_oversampling,
-                 baseline_transform_policy, direction="grid"):
+                 baseline_transform_policy, direction="grid", force=False):
     """Precompute the Pallas tile plan for :func:`gridder` /
     :func:`degridder` from *concrete* inputs (host metadata). Required to
     use the tile path under ``jax.jit`` — traced coordinates fall back to
     scatter/gather. ``direction`` is "grid" or "degrid" (the degridder
-    applies the baseline transform with swapped centres)."""
+    applies the baseline transform with swapped centres). ``force`` plans
+    even off-TPU (the kernels then run in Pallas interpret mode)."""
     uvw = np.asarray(uvw)
     wavelengths = np.asarray(wavelengths).ravel()
     chanmap = np.asarray(chanmap).ravel().astype(np.int32)
@@ -82,14 +83,15 @@ def pp_tile_plan(uvw, wavelengths, chanmap, npix, cell, image_centre,
     bands = chanmap[None, :].repeat(uvw.shape[0], axis=0)
     return _pp_tile_plan(np.asarray(su), np.asarray(sv), bands, npix,
                          convolution_kernel_width,
-                         convolution_kernel_oversampling, nband)
+                         convolution_kernel_oversampling, nband,
+                         force=force)
 
 
-def _pp_tile_plan(su, sv, bands_np, npix, W, os, nband):
+def _pp_tile_plan(su, sv, bands_np, npix, W, os, nband, force=False):
     """Host tile plan from concrete scaled coordinates (None if traced)."""
     import jax
 
-    if jax.default_backend() != "tpu":
+    if not force and jax.default_backend() != "tpu":
         return None
     try:
         su = np.asarray(su)
@@ -154,6 +156,7 @@ def gridder(
     grid_dtype=None,
     do_normalize=False,
     tile_plan=None,
+    tile_arrays=None,
 ):
     """Grid (row, chan, corr) visibilities onto (nband, npix, npix) grids.
 
@@ -161,7 +164,9 @@ def gridder(
     ``cell`` is in arcseconds; ``image_centre``/``phase_centre`` in radians.
     ``tile_plan`` (from :func:`pp_tile_plan`) enables the Pallas tile path
     under jit; otherwise it activates automatically for concrete inputs
-    on TPU.
+    on TPU. ``tile_arrays`` overrides the plan's packed entry arrays with
+    (possibly traced) per-shard stacks from
+    :func:`africanus_tpu.ops.pallas_grid.pack_shard_plans`.
     """
     uvw = jnp.asarray(uvw)
     v = cplx(vis)
@@ -228,7 +233,7 @@ def gridder(
         # (row, chan, Wv, Wu) weights and validity
         wj = conv_v[..., :, None] * conv_u[..., None, :]
 
-        if tile_plan is None:
+        if tile_plan is None and tile_arrays is None:
             tile_plan = _pp_tile_plan(su, sv, chanmap[None, :].repeat(
                 nrow, axis=0), npix, W, os, nband)
         if tile_plan is not None:
@@ -242,6 +247,7 @@ def gridder(
             t_re, t_im = grid_tiles_table_pallas(
                 tile_plan, kern, stokes.re.reshape(-1),
                 stokes.im.reshape(-1), interpret=interpret,
+                arrays=tile_arrays,
             )
             gre, gim = assemble_tiles(t_re, t_im, tile_plan)
         else:
@@ -293,6 +299,7 @@ def degridder(
     convolution_policy,
     vis_dtype=None,
     tile_plan=None,
+    tile_arrays=None,
 ):
     """Degrid (nband, npix, npix) grids to (row, chan, corr) visibilities.
 
@@ -337,7 +344,7 @@ def degridder(
         "conv_1d_axisymmetric_unpacked_gather",
         "conv_1d_axisymmetric_packed_gather",
     ):
-        if tile_plan is None:
+        if tile_plan is None and tile_arrays is None:
             tile_plan = _pp_tile_plan(su, sv, chanmap[None, :].repeat(
                 nrow, axis=0), npix, W, os, nband)
         if tile_plan is not None:
@@ -351,7 +358,7 @@ def degridder(
             tre, tim = extract_tiles(g.re, g.im, tile_plan)
             o_re, o_im = degrid_tiles_table_pallas(
                 tile_plan, kern, tre, tim, nrow * nvischan,
-                interpret=interpret,
+                interpret=interpret, arrays=tile_arrays,
             )
             acc = Cplx(o_re.reshape(nrow, nvischan),
                        o_im.reshape(nrow, nvischan))

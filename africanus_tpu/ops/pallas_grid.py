@@ -64,7 +64,7 @@ __all__ = ["plan_tiles", "plan_tiles_table", "plan_tiles_wstack",
            "tiles_use_mxu", "TILES_USE_MXU",
            "tile_pad_geometry", "default_tiles",
            "choose_tile", "pack_shard_plans", "PLAN_ARRAY_KEYS",
-           "WSTACK_PLAN_ARRAY_KEYS"]
+           "WSTACK_PLAN_ARRAY_KEYS", "TABLE_PLAN_ARRAY_KEYS"]
 
 log = logging.getLogger(__name__)
 
@@ -109,6 +109,11 @@ PLAN_ARRAY_KEYS = ("first", "group_tile", "ir_loc", "uf", "vfa", "scale",
 # per-plane taps in wsc; vis_slot is appended by pack_shard_plans
 WSTACK_PLAN_ARRAY_KEYS = ("first", "group_tile", "ir_loc", "uf", "vfa",
                           "p0", "wsc", "sample_pack")
+
+# table-mode plan format (plan_tiles_table): quantized taps read from a
+# shared oversampled kernel table (Perley-polyhedron AA kernels)
+TABLE_PLAN_ARRAY_KEYS = ("first", "group_tile", "ir_loc", "dsh", "ic_loc",
+                         "fr", "fc", "scale", "sample_pack")
 
 
 def _round_up(x, m):
@@ -722,7 +727,8 @@ def pack_shard_plans(plans):
     """Stack per-shard tile plans into one static geometry + stacked arrays.
 
     All plans must share tile geometry (same grid/support/tiles/group) and
-    format (all virtual-sample, or all fused w-stack). Each shard's packed
+    format (all virtual-sample, all fused w-stack, or all table-mode —
+    the latter keyed by the presence of ``oversample``). Each shard's packed
     arrays are padded to the max ngroups with inert groups (first=0,
     scale=0 / all-outside uv windows, repeating the shard's last tile id
     so output-block revisits stay contiguous), then stacked on a leading
@@ -737,17 +743,31 @@ def pack_shard_plans(plans):
     keys to (nshard, ngroups_max, ...) numpy arrays.
     """
     fused = bool(plans[0].get("wstack_fused"))
-    geo_keys = ("tile_r", "tile_c", "support", "beta", "ntr", "ntc", "nu",
-                "nv", "nplanes", "tpad_r", "tpad_c", "group", "blk")
+    table = "oversample" in plans[0]
+    if table:
+        geo_keys = ("tile_r", "tile_c", "support", "oversample", "ntr",
+                    "ntc", "nu", "nv", "nplanes", "wrap", "tpad_r",
+                    "tpad_c", "group", "blk")
+    else:
+        geo_keys = ("tile_r", "tile_c", "support", "beta", "ntr", "ntc",
+                    "nu", "nv", "nplanes", "tpad_r", "tpad_c", "group",
+                    "blk")
     geo = {k: plans[0][k] for k in geo_keys}
     for p in plans[1:]:
         if bool(p.get("wstack_fused")) != fused:
             raise ValueError("shard plans disagree on wstack_fused format")
+        if ("oversample" in p) != table:
+            raise ValueError("shard plans disagree on table-mode format")
         for k in geo_keys:
             if p[k] != geo[k]:
                 raise ValueError(f"shard plans disagree on {k}")
 
-    keys = WSTACK_PLAN_ARRAY_KEYS if fused else PLAN_ARRAY_KEYS
+    if table:
+        keys = TABLE_PLAN_ARRAY_KEYS
+    elif fused:
+        keys = WSTACK_PLAN_ARRAY_KEYS
+    else:
+        keys = PLAN_ARRAY_KEYS
     ng_max = max(p["ngroups"] for p in plans)
     arrays = {k: [] for k in keys}
     for p in plans:
@@ -896,15 +916,21 @@ def _grid_kernel_table(first_ref, gtile_ref, tab_ref, ir_ref, dsh_ref,
 
 
 def grid_tiles_table_pallas(plan, table, vre_flat, vim_flat,
-                            interpret=False):
-    """Table-mode tile gridding (see :func:`plan_tiles_table`)."""
+                            interpret=False, arrays=None):
+    """Table-mode tile gridding (see :func:`plan_tiles_table`).
+
+    ``arrays`` optionally overrides the plan's packed entry arrays with
+    (possibly traced) per-shard stacks from :func:`pack_shard_plans`.
+    """
     w = plan["support"]
     group, ngroups = plan["group"], plan["ngroups"]
     ntiles = plan["nplanes"] * plan["ntr"] * plan["ntc"]
     tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+    if arrays is None:
+        arrays = plan
 
-    sample_pack = jnp.asarray(plan["sample_pack"])
-    scale = jnp.asarray(plan["scale"])
+    sample_pack = jnp.asarray(arrays["sample_pack"])
+    scale = jnp.asarray(arrays["scale"])
     vre = (vre_flat[sample_pack] * scale).astype(jnp.float32)
     vim = (vim_flat[sample_pack] * scale).astype(jnp.float32)
     table = jnp.asarray(table, jnp.float32)[None, :]
@@ -939,14 +965,14 @@ def grid_tiles_table_pallas(plan, table, vre_flat, vim_flat,
         out_shape=out_shape,
         interpret=interpret,
     )(
-        jnp.asarray(plan["first"]),
-        jnp.asarray(plan["group_tile"]),
+        jnp.asarray(arrays["first"]),
+        jnp.asarray(arrays["group_tile"]),
         table,
-        jnp.asarray(plan["ir_loc"])[:, None, :],
-        jnp.asarray(plan["dsh"])[:, None, :],
-        jnp.asarray(plan["ic_loc"])[:, None, :],
-        jnp.asarray(plan["fr"])[:, None, :],
-        jnp.asarray(plan["fc"])[:, None, :],
+        jnp.asarray(arrays["ir_loc"])[:, None, :],
+        jnp.asarray(arrays["dsh"])[:, None, :],
+        jnp.asarray(arrays["ic_loc"])[:, None, :],
+        jnp.asarray(arrays["fr"])[:, None, :],
+        jnp.asarray(arrays["fc"])[:, None, :],
         vre[:, None, :],
         vim[:, None, :],
     )
@@ -995,12 +1021,16 @@ def _degrid_kernel_table(gtile_ref, tab_ref, ir_ref, dsh_ref, ic_ref,
 
 
 def degrid_tiles_table_pallas(plan, table, tiles_re, tiles_im, nvis,
-                              interpret=False):
+                              interpret=False, arrays=None):
     """Table-mode tile degridding (mirror of
-    :func:`grid_tiles_table_pallas`)."""
+    :func:`grid_tiles_table_pallas`). ``arrays`` optionally overrides the
+    plan's packed entry arrays with (possibly traced) per-shard stacks —
+    the inverse then runs as a scatter-add (no host inverse available)."""
     w = plan["support"]
     group, ngroups = plan["group"], plan["ngroups"]
     tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
+    if arrays is None:
+        arrays = plan
     table = jnp.asarray(table, jnp.float32)[None, :]
 
     kernel = partial(_degrid_kernel_table, group=group, support=w,
@@ -1032,17 +1062,29 @@ def degrid_tiles_table_pallas(plan, table, tiles_re, tiles_im, nvis,
         out_shape=out_shape,
         interpret=interpret,
     )(
-        jnp.asarray(plan["group_tile"]),
+        jnp.asarray(arrays["group_tile"]),
         table,
-        jnp.asarray(plan["ir_loc"])[:, None, :],
-        jnp.asarray(plan["dsh"])[:, None, :],
-        jnp.asarray(plan["ic_loc"])[:, None, :],
-        jnp.asarray(plan["fr"])[:, None, :],
-        jnp.asarray(plan["fc"])[:, None, :],
-        jnp.asarray(plan["scale"])[:, None, :],
+        jnp.asarray(arrays["ir_loc"])[:, None, :],
+        jnp.asarray(arrays["dsh"])[:, None, :],
+        jnp.asarray(arrays["ic_loc"])[:, None, :],
+        jnp.asarray(arrays["fr"])[:, None, :],
+        jnp.asarray(arrays["fc"])[:, None, :],
+        jnp.asarray(arrays["scale"])[:, None, :],
         tiles_re.astype(jnp.float32),
         tiles_im.astype(jnp.float32),
     )
+
+    if arrays is not plan:
+        # traced per-shard arrays: no host inverse available — scatter-add
+        # (padded entries carry scale 0, so they deposit 0 onto vis 0)
+        sample = jnp.asarray(arrays["sample_pack"]).reshape(-1)
+        out_re = jnp.zeros((nvis,), jnp.float32).at[sample].add(
+            vals_re.reshape(-1)
+        )
+        out_im = jnp.zeros((nvis,), jnp.float32).at[sample].add(
+            vals_im.reshape(-1)
+        )
+        return out_re, out_im
 
     # host-planned inverse: per visibility, its (padded) flat slots — a
     # gather+sum instead of a scatter (XLA scatter caps ~1.4e8 elem/s on

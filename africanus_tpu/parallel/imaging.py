@@ -211,17 +211,54 @@ def sharded_residual(mesh, uvw, freq, vis, image, cell, epsilon=1e-4,
                          wgt=wgt, use_tiles=use_tiles)
 
 
+_PP_TILE_POLICIES = (
+    "conv_1d_axisymmetric_unpacked_scatter",
+    "conv_1d_axisymmetric_packed_scatter",
+    "conv_1d_axisymmetric_unpacked_gather",
+    "conv_1d_axisymmetric_packed_gather",
+)
+
+
+def _pp_shard_plans(uvw, wavelengths, chanmap, npix, cell, image_centre,
+                    phase_centre, W, OS, baseline_transform_policy,
+                    convolution_policy, nshard, direction, use_tiles):
+    """Per-shard table-mode tile plans packed to one SPMD-friendly set
+    (None, None when tiles are off or any shard declines)."""
+    from africanus_tpu.gridding.perleypolyhedron.gridder import pp_tile_plan
+    from africanus_tpu.ops.pallas_grid import pack_shard_plans
+
+    if use_tiles is None:
+        use_tiles = jax.default_backend() == "tpu"
+    if not use_tiles or convolution_policy not in _PP_TILE_POLICIES:
+        return None, None
+
+    rows_per = uvw.shape[0] // nshard
+    plans = [
+        pp_tile_plan(uvw[s * rows_per:(s + 1) * rows_per], wavelengths,
+                     chanmap, npix, cell, image_centre, phase_centre,
+                     W, OS, baseline_transform_policy,
+                     direction=direction, force=True)
+        for s in range(nshard)
+    ]
+    if not all(p is not None for p in plans):
+        return None, None
+    return pack_shard_plans(plans)
+
+
 def sharded_pp_gridder(mesh, uvw, vis, wavelengths, chanmap, npix, cell,
                        image_centre, phase_centre, kernel, W, OS,
                        baseline_transform_policy, phase_transform_policy,
-                       stokes_conversion_policy, convolution_policy):
+                       stokes_conversion_policy, convolution_policy,
+                       use_tiles=None):
     """Perley-polyhedron faceting gridder with rows sharded over "row".
 
-    Each device grids its row shard (scatter path — per-shard tile plans
-    speak the table-mode protocol, which pack_shard_plans does not yet
-    stack) and partial grids are psum-reduced — the TPU analogue of the
-    reference's dask blockwise grid + sum
-    (gridding/perleypolyhedron/dask.py:43-90).
+    Each device grids its row shard and partial grids are psum-reduced —
+    the TPU analogue of the reference's dask blockwise grid + sum
+    (gridding/perleypolyhedron/dask.py:43-90). With ``use_tiles``
+    (auto-on for TPU) each shard gets its own table-mode Pallas tile
+    plan; the packed per-shard entry arrays travel through shard_map as
+    row-sharded inputs so one SPMD trace serves every shard
+    (ops.pallas_grid.pack_shard_plans, table-mode format).
     """
     from africanus_tpu.gridding.perleypolyhedron import gridder
 
@@ -233,29 +270,49 @@ def sharded_pp_gridder(mesh, uvw, vis, wavelengths, chanmap, npix, cell,
                          f"(pad with zero visibilities)")
     v = cplx(vis)
 
-    def local(uvw_s, v_s):
+    plan_static, tile_arrays = _pp_shard_plans(
+        uvw, wavelengths, chanmap, npix, cell, image_centre, phase_centre,
+        W, OS, baseline_transform_policy, convolution_policy, nshard,
+        "grid", use_tiles,
+    )
+
+    def local(uvw_s, v_s, arrs_s):
+        if arrs_s is not None:
+            arrs_s = {k: a[0] for k, a in arrs_s.items()}
         g = gridder(uvw_s, v_s, wavelengths, chanmap, npix, cell,
                     image_centre, phase_centre, kernel, W, OS,
                     baseline_transform_policy, phase_transform_policy,
-                    stokes_conversion_policy, convolution_policy)
+                    stokes_conversion_policy, convolution_policy,
+                    tile_plan=plan_static, tile_arrays=arrs_s)
         return Cplx(jax.lax.psum(g.re, "row"), jax.lax.psum(g.im, "row"))
+
+    if tile_arrays is None:
+        arr_spec = None
+        tile_in = None
+    else:
+        arr_spec = {k: P("row") for k in tile_arrays}
+        tile_in = {k: jnp.asarray(a) for k, a in tile_arrays.items()}
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("row"), Cplx(P("row"), P("row"))),
+        in_specs=(P("row"), Cplx(P("row"), P("row")), arr_spec),
         out_specs=Cplx(P(), P()),
+        check_vma=False,
     )
-    return fn(jnp.asarray(uvw), v)
+    return fn(jnp.asarray(uvw), v, tile_in)
 
 
 def sharded_pp_degridder(mesh, uvw, grid, wavelengths, chanmap, cell,
                          image_centre, phase_centre, kernel, W, OS,
                          baseline_transform_policy, phase_transform_policy,
-                         stokes_conversion_policy, convolution_policy):
+                         stokes_conversion_policy, convolution_policy,
+                         use_tiles=None):
     """Perley-polyhedron faceting degridder with rows sharded over "row"
     (grid replicated; outputs row-sharded like the inputs — reference
-    dask layer's degridder blockwise, perleypolyhedron/dask.py:93-141)."""
+    dask layer's degridder blockwise, perleypolyhedron/dask.py:93-141).
+    With ``use_tiles`` (auto-on for TPU) each shard gathers through its
+    own packed table-mode Pallas tile plan (pack_shard_plans)."""
     from africanus_tpu.gridding.perleypolyhedron import degridder
 
     uvw = np.asarray(uvw)
@@ -264,17 +321,35 @@ def sharded_pp_degridder(mesh, uvw, grid, wavelengths, chanmap, cell,
     if nrow % nshard:
         raise ValueError(f"rows {nrow} must divide over {nshard} shards")
     g = cplx(grid)
+    npix = g.shape[-1]
 
-    def local(uvw_s, g_rep):
+    plan_static, tile_arrays = _pp_shard_plans(
+        uvw, wavelengths, chanmap, npix, cell, image_centre, phase_centre,
+        W, OS, baseline_transform_policy, convolution_policy, nshard,
+        "degrid", use_tiles,
+    )
+
+    def local(uvw_s, g_rep, arrs_s):
+        if arrs_s is not None:
+            arrs_s = {k: a[0] for k, a in arrs_s.items()}
         return degridder(uvw_s, g_rep, wavelengths, chanmap, cell,
                          image_centre, phase_centre, kernel, W, OS,
                          baseline_transform_policy, phase_transform_policy,
-                         stokes_conversion_policy, convolution_policy)
+                         stokes_conversion_policy, convolution_policy,
+                         tile_plan=plan_static, tile_arrays=arrs_s)
+
+    if tile_arrays is None:
+        arr_spec = None
+        tile_in = None
+    else:
+        arr_spec = {k: P("row") for k in tile_arrays}
+        tile_in = {k: jnp.asarray(a) for k, a in tile_arrays.items()}
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("row"), Cplx(P(), P())),
+        in_specs=(P("row"), Cplx(P(), P()), arr_spec),
         out_specs=Cplx(P("row"), P("row")),
+        check_vma=False,
     )
-    return fn(jnp.asarray(uvw), g)
+    return fn(jnp.asarray(uvw), g, tile_in)

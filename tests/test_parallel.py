@@ -298,6 +298,105 @@ def test_sharded_pp_gridder_matches_local(rng):
     assert_allclose(shard_vis, local_vis, rtol=1e-12, atol=1e-12)
 
 
+def test_sharded_pp_tiles_matches_local(rng):
+    """Row-sharded pp gridding/degridding on the *packed table-mode tile
+    path* (per-shard Pallas plans stacked by pack_shard_plans, interpret
+    mode on CPU) equals the scatter/gather single-device calls."""
+    from africanus_tpu.gridding.perleypolyhedron import (
+        degridder, gridder, kernels,
+    )
+    from africanus_tpu.ops.cplx import Cplx, to_numpy
+    from africanus_tpu.parallel import (
+        make_mesh, sharded_pp_degridder, sharded_pp_gridder,
+    )
+
+    C = 2.99792458e8
+    npix, nrow, nchan = 64, 96, 2
+    cell = 8.0  # arcsec
+    wl = C / np.array([1.0e9, 1.1e9])
+    fov = npix * cell / 3600.0 * np.pi / 180.0
+    uvw = rng.uniform(-0.4, 0.4, (nrow, 3)) / fov
+    uvw[:, 2] = 0.0
+    uvw *= wl.min()
+    W, os = 7, 63
+    kern = kernels.kbsinc(W, oversample=os)
+    chanmap = np.zeros(nchan, np.int32)
+    centre = (0.2, -0.4)
+    pol_args = ("None", "None", "I_FROM_XXYY",
+                "conv_1d_axisymmetric_unpacked_scatter")
+
+    v0 = rng.normal(size=(nrow, nchan)) + 1j * rng.normal(size=(nrow, nchan))
+    vis = Cplx(np.stack([v0.real] * 2, -1), np.stack([v0.imag] * 2, -1))
+
+    local_grid = to_numpy(
+        gridder(uvw, vis, wl, chanmap, npix, cell, centre, centre,
+                kern, W, os, *pol_args)
+    )
+    mesh = make_mesh((8,), ("row",))
+    shard_grid = to_numpy(
+        sharded_pp_gridder(mesh, uvw, vis, wl, chanmap, npix, cell,
+                           centre, centre, kern, W, os, *pol_args,
+                           use_tiles=True)
+    )
+    # tile kernels accumulate in f32
+    assert_allclose(shard_grid, local_grid, rtol=3e-5, atol=3e-5)
+
+    grid_c = Cplx(rng.normal(size=(1, npix, npix)),
+                  rng.normal(size=(1, npix, npix)))
+    pol_args_d = ("None", "None", "XXYY_FROM_I",
+                  "conv_1d_axisymmetric_packed_gather")
+    local_vis = to_numpy(
+        degridder(uvw, grid_c, wl, chanmap, cell, centre, centre,
+                  kern, W, os, *pol_args_d)
+    )
+    shard_vis = to_numpy(
+        sharded_pp_degridder(mesh, uvw, grid_c, wl, chanmap, cell,
+                             centre, centre, kern, W, os, *pol_args_d,
+                             use_tiles=True)
+    )
+    assert_allclose(shard_vis, local_vis, rtol=3e-5, atol=3e-5)
+
+
+def test_pack_shard_plans_table_format(rng):
+    """pack_shard_plans stacks table-mode plans: padded inert entries
+    (scale 0) leave grids/vis untouched, geometry disagreements raise."""
+    from africanus_tpu.ops import pallas_grid as pg
+
+    npix, W, os = 64, 7, 63
+    n1, n2 = 37, 61  # unequal entry counts -> padding on one shard
+    plans = []
+    for n in (n1, n2):
+        ir0 = rng.integers(0, npix - W, n)
+        ic0 = rng.integers(0, npix - W, n)
+        fr = rng.integers(0, os, n).astype(np.int32)
+        fc = rng.integers(0, os, n).astype(np.int32)
+        plans.append(pg.plan_tiles_table(ir0, ic0, fr, fc, W, os,
+                                         npix, npix, group=32))
+    static, arrays = pg.pack_shard_plans(plans)
+    assert static["oversample"] == os and static["wrap"] is False
+    ng = static["ngroups"]
+    for k in pg.TABLE_PLAN_ARRAY_KEYS:
+        assert arrays[k].shape[:2] == (2, ng), k
+    # padded groups are inert: scale == 0 everywhere past each shard's
+    # own group count
+    for s, p in enumerate(plans):
+        tail = arrays["scale"][s, p["ngroups"]:]
+        assert np.all(tail == 0.0)
+
+    # geometry disagreement raises
+    other = pg.plan_tiles_table(
+        rng.integers(0, npix - W, 5), rng.integers(0, npix - W, 5),
+        np.zeros(5, np.int32), np.zeros(5, np.int32), W, os + 1,
+        npix, npix, group=32)
+    with pytest.raises(ValueError):
+        pg.pack_shard_plans([plans[0], other])
+    # format disagreement (table vs virtual-sample) raises
+    es_plan = {k: plans[0][k] for k in plans[0]}
+    es_plan.pop("oversample")
+    with pytest.raises(ValueError):
+        pg.pack_shard_plans([plans[0], es_plan])
+
+
 def test_sharded_residual_vis_and_gauss_newton(rng):
     """Time-bin-sharded calibration equals the single-device calls:
     residual under shard_map, phase-only Gauss-Newton over per-device
