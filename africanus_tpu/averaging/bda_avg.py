@@ -362,7 +362,7 @@ def bda(
     if chan_width is None or chan_freq is None:
         raise ValueError("chan_freq and chan_width must be provided")
     if uvw is None:
-        raise TypeError("uvw must be provided")  # ref bda_avg.py:768
+        raise TypeError("a uvw array is required for BDA averaging")  # ref bda_avg.py:768
 
     # derive/validate row flags against per-visibility flags (reference
     # bda_avg.py:820): a fully-flagged row drives the binner's

@@ -30,6 +30,11 @@ RowMapOutput = namedtuple(
     ["map", "offsets", "decorr_chan_width", "time", "interval", "chan_width",
      "flag_row"],
 )
+RowMapOutput.__doc__ = """BDA mapping plan (reference
+``averaging/bda_mapping.py:280``): ``map`` (row, chan) -> flat output
+bin id; ``offsets`` (out_row+1,) flat-bin start of each output row;
+``decorr_chan_width``/``chan_width`` per output row (Hz); ``time`` /
+``interval`` per output row (s); ``flag_row`` per output row."""
 
 
 class RowMapperError(Exception):
@@ -106,7 +111,7 @@ class _Binner:
     def finalise_bin(self, auto_corr, uvw, time, interval, nchan_factors,
                      chan_width):
         if self.bin_count == 0:
-            raise ValueError("Attempted to finalise empty bin")
+            raise ValueError("cannot close a bin containing no rows")
 
         if self.bin_count == 1:
             out = (self.tbin, time[self.rs], interval[self.rs],
@@ -126,7 +131,7 @@ class _Binner:
                 abs(cuv) * abs(self.max_lm) + abs(cuvw[2]) * abs(self.n_max)
             )
             if max_abs_dist == 0.0:
-                raise ValueError("max_abs_dist == 0.0")
+                raise ValueError("max_abs_dist must be non-zero")
             delta_nu = (lightspeed / (2.0 * np.pi)) * (
                 self.decorrelation / max_abs_dist
             )
@@ -214,9 +219,9 @@ def _bda_mapper_impl(
         flag_row = np.asarray(flag_row)
 
     if not 0.0 <= decorrelation <= 1.0:
-        raise ValueError("0.0 <= decorrelation <= 1.0 must hold")
+        raise ValueError("decorrelation factor must lie in [0.0, 1.0]")
     if not 0.0 < max_fov <= 90.0:
-        raise ValueError("0.0 < max_fov <= 90.0 must hold")
+        raise ValueError("max_fov must lie in (0.0, 90.0] degrees")
     max_lm = np.deg2rad(max_fov)
 
     ubl, _, bl_inv, _ = unique_baselines(ant1, ant2)
@@ -228,7 +233,7 @@ def _bda_mapper_impl(
     nchan = chan_width.shape[0]
     if nchan == 0:
         raise ValueError(
-            "Number of channels passed into averager must be at least size 1"
+            "the averager needs at least one input channel"
         )
     nchan_factors = _factors(nchan)
     bandwidth = chan_width.sum()
@@ -257,7 +262,7 @@ def _bda_mapper_impl(
     # colliding (baseline, time) pairs overwrite the same cell, leaving
     # fewer filled cells than rows — O(nrow) vs the set-of-tuples check
     if np.count_nonzero(row_lookup != -1) != nrow:
-        raise ValueError("Duplicate (TIME, ANTENNA1, ANTENNA2)")
+        raise ValueError("Duplicate (time, antenna1, antenna2) tuples in the input rows")
 
     if time_bin_secs is None:
         time_bin_secs = np.finfo(time.dtype).max
@@ -373,7 +378,7 @@ def _bda_mapper_impl(
     row_tbin = bin_lookup[bl_inv, time_inv]  # (nrow,)
     row_out = inv_argsort[bl_inv * ntime + row_tbin]
     if (row_out >= out_rows).any():
-        raise RowMapperError("out_row >= out_rows")
+        raise RowMapperError("internal invariant broken: out_row overran out_rows")
     decorr_chan_width[row_out] = bin_chan_width[bl_inv, row_tbin]
 
     row_flagged = bin_flagged[bl_inv, row_tbin]
@@ -389,7 +394,7 @@ def _bda_mapper_impl(
         // per_bin[bl_inv, row_tbin].astype(np.int32)[:, None]
     )
     if (row_chan_map >= out_row_chans).any():
-        raise RowMapperError("out_offset >= out_row_chans")
+        raise RowMapperError("internal invariant broken: out_offset overran out_row_chans")
 
     time_ret[row_chan_map] = time_lookup[bl_inv, row_tbin][:, None]
     int_ret[row_chan_map] = interval_lookup[bl_inv, row_tbin][:, None]

@@ -25,7 +25,7 @@ def merge_flags(flag_row, flag):
             axis=1
         )
         if ((np.asarray(flag_row) != 0) != all_flagged).any():
-            raise ValueError("flag_row and flag arrays mismatch")
+            raise ValueError("flag_row contradicts the per-element flag array (mismatch)")
         return flag_row
 
     if have_flag_row:

@@ -22,6 +22,10 @@ import numpy as np
 __all__ = ["Spline", "fit_cubic_spline", "evaluate_spline"]
 
 Spline = namedtuple("Spline", "ma mb mc mx my")
+Spline.__doc__ = """Fitted cubic-spline coefficients (reference
+``averaging/splines.py``): per-interval quadratic/cubic coefficient
+arrays ``ma``/``mb``/``mc`` plus the knots ``mx`` and values ``my``;
+evaluate with :func:`evaluate_spline`."""
 
 
 def _solve_second_derivatives(x, y, left_type, right_type, left_value,
@@ -48,7 +52,7 @@ def _solve_second_derivatives(x, y, left_type, right_type, left_value,
         upper[0] = h[0]
         rhs[0] = 3.0 * (slope[0] - left_value)
     else:
-        raise ValueError("left_type not in (1, 2)")
+        raise ValueError("left_type must be 1 or 2")
 
     if right_type == 2:
         diag[n - 1] = 1.0
@@ -58,7 +62,7 @@ def _solve_second_derivatives(x, y, left_type, right_type, left_value,
         diag[n - 1] = 2.0 * h[-1]
         rhs[n - 1] = 3.0 * (right_value - slope[-1])
     else:
-        raise ValueError("right_type not in (1, 2)")
+        raise ValueError("right_type must be 1 or 2")
 
     # Thomas algorithm
     cp = np.zeros(n)
@@ -127,6 +131,6 @@ def evaluate_spline(spline, x, order=0, xp=np):
         lo = 2.0 * mb[0] * h
         hi = xp.broadcast_to(2.0 * mb[n - 1], x.shape)
     else:
-        raise ValueError("order not in (0, 1, 2)")
+        raise ValueError("order must be 0, 1 or 2")
 
     return xp.where(below, lo, xp.where(above, hi, inside))

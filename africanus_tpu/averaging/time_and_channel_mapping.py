@@ -26,6 +26,11 @@ from africanus_tpu.averaging.support import unique_baselines, unique_time
 __all__ = ["row_mapper", "channel_mapper", "RowMapOutput", "RowMapperError"]
 
 RowMapOutput = namedtuple("RowMapOutput", ["map", "time", "interval", "flag_row"])
+RowMapOutput.__doc__ = """Time/channel averaging plan (reference
+``averaging/time_and_channel_mapping.py:67``): ``map`` (row,) input row
+-> output row bin; ``time`` / ``interval`` (out_row,) averaged
+centroids and summed intervals (s); ``flag_row`` (out_row,) whether
+every contributing row was flagged."""
 
 
 class RowMapperError(Exception):
@@ -61,7 +66,7 @@ def row_mapper(time, interval, antenna1, antenna2, flag_row=None, time_bin_secs=
 
     if len(set(zip(bl_inv.tolist(), time_inv.tolist()))) != time.shape[0]:
         raise ValueError(
-            "Duplicate (TIME, ANTENNA1, ANTENNA2) combinations were "
+            "Duplicate (time, antenna1, antenna2) tuples in the input rows combinations were "
             "discovered in the input data. This is usually caused by not "
             "partitioning your data sufficiently by indexing columns, "
             "DATA_DESC_ID and SCAN_NUMBER in particular."
@@ -146,7 +151,7 @@ def row_mapper(time, interval, antenna1, antenna2, flag_row=None, time_bin_secs=
     tbin_of_row = bin_lookup[bl_inv, time_inv]
     row_map = inv_argsort[bl_inv * ntime + tbin_of_row].astype(np.uint32)
     if (row_map >= out_rows).any():
-        raise RowMapperError("out_row >= out_rows")
+        raise RowMapperError("internal invariant broken: out_row overran out_rows")
 
     out_flag_row = None
     if have_flag_row:

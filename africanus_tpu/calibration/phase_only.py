@@ -168,10 +168,29 @@ def compute_jhr(
 def compute_jhj_and_jhr(
     time_bin_indices, time_bin_counts, antenna1, antenna2, jones, residual, model, flag
 ):
-    """(JᴴJ, JᴴR) in one pass (reference phase_only.py:30)."""
+    """Gauss-Newton normal-equation terms for the phase-only solver.
+
+    Returns the diagonal JhJ and the data-residual projection JhR in
+    one call (reference ``phase_only/phase_only.py:30``
+    compute_jhj_and_jhr). DIAG_DIAG mode only, matching the
+    reference's own limitation (``phase_only.py:56-57``).
+
+    Parameters
+    ----------
+    time_bin_indices, time_bin_counts : (utime,) int row-chunk layout
+    antenna1, antenna2 : (row,) int
+    jones : (utime, ant, chan, dir, corr) complex current gains
+    residual, model : (row, chan, dir, corr) complex
+    flag : (row, chan, dir, corr) bool (True kills the sample)
+
+    Returns
+    -------
+    (jhj, jhr) — both (utime, ant, chan, dir, corr), real/complex per
+    the reference convention.
+    """
     mode = check_type(cplx(jones), cplx(residual))
     if mode != DIAG_DIAG:
-        raise NotImplementedError("Only DIAG-DIAG case has been implemented")
+        raise NotImplementedError("only the DIAG_DIAG mode is implemented (reference parity)")
     jhj = compute_jhj(
         time_bin_indices, time_bin_counts, antenna1, antenna2, jones, model, flag
     )
@@ -202,7 +221,7 @@ def gauss_newton_ri(
     m = cplx(model)
     mode = check_type(g0, v)
     if mode != DIAG_DIAG:
-        raise NotImplementedError("Only DIAG_DIAG mode implemented")
+        raise NotImplementedError("only DIAG_DIAG mode is implemented (reference parity)")
 
     weight = jnp.asarray(weight)
     sqrtw = jnp.sqrt(weight)

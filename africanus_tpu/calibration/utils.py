@@ -70,8 +70,8 @@ def check_type(jones, vis, vis_type="vis"):
             return DIAG
         if jones_axes == 6:
             return FULL
-        raise RuntimeError("Jones term has incorrect shape")
-    raise RuntimeError("Visibility data has incorrect shape")
+        raise RuntimeError("jones array rank does not match any supported mode")
+    raise RuntimeError("vis array rank does not match any supported mode")
 
 
 def chunkify_rows(time, utimes_per_chunk):
@@ -104,7 +104,7 @@ def _row_time_index(time_bin_indices, nrow):
 def _validate_corrs(*pairs):
     for name, x in pairs:
         if x.shape[-1] > 2:
-            raise ValueError("ncorr cant be larger than 2")
+            raise ValueError("at most 2 correlations are supported here")
 
 
 def corrupt_vis_ri(
@@ -180,7 +180,7 @@ def correct_vis_ri(
     _validate_corrs(("vis", v), ("jones", g))
     if g.shape[3] > 1:
         raise ValueError(
-            "Jones has n_dir > 1. Cannot correct for direction dependent gains"
+            "cannot correct with direction-dependent jones (n_dir > 1)"
         )
 
     antenna1 = jnp.asarray(antenna1)
@@ -314,7 +314,25 @@ def compute_and_corrupt_vis_ri(
 def compute_and_corrupt_vis(
     time_bin_indices, time_bin_counts, antenna1, antenna2, jones, model, uvw, freq, lm
 ):
-    """Complex-dtype compute_and_corrupt_vis (reference parity)."""
+    """Predict model visibilities from (lm, uvw, freq) and corrupt them
+    with time-variable gains in one call (complex output; reference
+    ``calibration/utils/compute_and_corrupt_vis.py:76``).
+
+    Parameters
+    ----------
+    time_bin_indices, time_bin_counts : (utime,) int row-chunk layout
+        per unique time (from :func:`chunkify_rows`)
+    antenna1, antenna2 : (row,) int
+    jones : (utime, ant, chan, dir, corr...) complex gains
+    model : (utime, chan, dir, corr...) complex model coherencies
+    uvw : (row, 3) float metres
+    freq : (chan,) float Hz
+    lm : (dir, 2) float direction cosines per direction
+
+    Returns
+    -------
+    (row, chan, corr...) complex corrupted model visibilities.
+    """
     out = compute_and_corrupt_vis_ri(
         time_bin_indices, time_bin_counts, antenna1, antenna2, jones, model, uvw,
         freq, lm,

@@ -68,7 +68,18 @@ def radec_to_lmn(radec, phase_centre=None):
 
 
 def radec_to_lm(radec, phase_centre=None):
-    """As :func:`radec_to_lmn` but returning only (l, m)."""
+    """Project (ra, dec) to direction cosines (l, m) relative to a
+    phase centre (SIN projection; reference ``coordinates.py:76``).
+
+    Parameters
+    ----------
+    radec : (..., 2) float radians
+    phase_centre : (2,) float radians or None (defaults to (0, 0))
+
+    Returns
+    -------
+    (..., 2) float (l, m).
+    """
     return radec_to_lmn(radec, phase_centre)[..., :2]
 
 

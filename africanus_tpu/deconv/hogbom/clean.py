@@ -58,7 +58,7 @@ def hogbom_clean(dirty, psf, gamma=0.1, threshold="default", niter="default"):
     psf = jnp.asarray(psf)
 
     if psf.shape[0] != 2 * dirty.shape[0] or psf.shape[1] != 2 * dirty.shape[1]:
-        raise ValueError("Warning psf not right size")
+        raise ValueError("psf not right size: expected (2*nx, 2*ny)")
     if dirty.shape[0] != dirty.shape[1]:
         raise ValueError("dirty image must be square")
 
@@ -135,7 +135,7 @@ def restore(clean, psf, residuals):
     """
     from scipy import signal
 
-    log.info("Fitting 2D Gaussian")
+    log.info("fitting a 2D gaussian to the PSF peak")
     clean_beam = fit_2d_gaussian(np.asarray(psf))
     conv_model = signal.fftconvolve(np.asarray(clean), clean_beam, mode="same")
     return conv_model + np.asarray(residuals), conv_model

@@ -107,7 +107,7 @@ def im_to_vis_ri(
     frequency = jnp.asarray(frequency)
 
     if convention not in ("fourier", "casa"):
-        raise ValueError("convention not in ('fourier', 'casa')")
+        raise ValueError("convention must be 'fourier' or 'casa', not in standard set")
 
     img = cplx(image)
     if real_dtype is None:
@@ -183,7 +183,24 @@ def im_to_vis_ri(
 
 
 def im_to_vis(image, uvw, lm, frequency, convention: str = "fourier", dtype=None):
-    """Complex-dtype DFT predict: (row, chan, corr) complex array."""
+    """Direct-Fourier predict, complex output (reference
+    ``dft/kernels.py:15``): V[r,f,c] = sum_s e^{i phi(s,r,f)} I[s,f,c].
+
+    Complex-capable backends only (CPU); on TPU use :func:`im_to_vis_ri`.
+
+    Parameters
+    ----------
+    image : (src, chan, corr) float flux
+    uvw : (row, 3) float metres
+    lm : (src, 2) float direction cosines
+    frequency : (chan,) float Hz
+    convention : {"fourier", "casa"} — sign of the exponent
+    dtype : optional complex output dtype (default inferred)
+
+    Returns
+    -------
+    (row, chan, corr) complex visibilities.
+    """
     out_dtype = (
         jnp.dtype(dtype)
         if dtype is not None
@@ -226,7 +243,7 @@ def vis_to_im_ri(
     flags = jnp.asarray(flags)
 
     if convention not in ("fourier", "casa"):
-        raise ValueError("convention not in ('fourier', 'casa')")
+        raise ValueError("convention must be 'fourier' or 'casa', not in standard set")
 
     v = cplx(vis)
     if real_dtype is None:

@@ -19,13 +19,13 @@ def exponential_squared(x, xp, sigmaf, l, pspec=False):  # noqa: E741
         xp = np.asarray(xp)
         N, D = x.shape
         if D != 1:
-            raise NotImplementedError("Only 1D pspecs supported")
+            raise NotImplementedError("power spectra are only defined for 1D inputs")
         if (x != xp).any():
-            raise ValueError("pspec only defined if x = xp")
+            raise ValueError("power-spectrum mode requires x == xp")
         xf = x.squeeze()
         delx = xf[1] - xf[0]
         if not np.allclose(xf[1:] - xf[:-1], delx):
-            raise ValueError("pspec only defined on regular grid")
+            raise ValueError("power-spectrum mode requires a uniform grid")
         s = np.fft.fftshift(np.fft.fftfreq(N, d=delx))
         return jnp.asarray(
             np.sqrt(2 * np.pi * l) * sigmaf**2.0 * np.exp(-(l**2) * s**2 / 2.0)

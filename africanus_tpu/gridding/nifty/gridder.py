@@ -27,7 +27,10 @@ __all__ = ["GridderConfigWrapper", "grid_config", "grid", "degrid", "dirty",
 
 
 class GridderConfigWrapper:
-    """Gridding configuration (picklable plain data)."""
+    """Gridding configuration holder for the nifty-style API
+    (reference ``gridding/nifty/dask.py:35``): image size (nx, ny),
+    requested accuracy ``eps`` and cell sizes in arcseconds. Plain
+    picklable data — safe to embed in serialised task graphs."""
 
     def __init__(self, nx=1024, ny=1024, eps=2e-13, cell_size_x=2.0,
                  cell_size_y=2.0):
@@ -49,7 +52,16 @@ class GridderConfigWrapper:
 
 
 def grid_config(nx=1024, ny=1024, eps=2e-13, cell_size_x=2.0, cell_size_y=2.0):
-    """Create a gridder configuration (cell sizes in arcseconds)."""
+    """Create a :class:`GridderConfigWrapper` (reference
+    ``gridding/nifty/dask.py:65``).
+
+    Parameters
+    ----------
+    nx, ny : int image pixels
+    eps : float requested gridding accuracy (clamped to >= 1e-9, the
+        ES-kernel floor of this implementation)
+    cell_size_x, cell_size_y : float cell size in ARCSECONDS
+    """
     return GridderConfigWrapper(nx, ny, eps, cell_size_x, cell_size_y)
 
 
@@ -226,7 +238,23 @@ def model(image, grid_config):
 
 def degrid(grid, uvw, flags, weights, frequencies, grid_config, wmin=-1e30,
            wmax=1e30):
-    """uv grids (nu, nv, ncorr) → (row, chan, corr) visibilities."""
+    """Degrid visibilities from oversampled uv grids (reference
+    ``gridding/nifty/dask.py:495``).
+
+    Parameters
+    ----------
+    grid : (nu, nv, ncorr) complex uv grids (from :func:`grid`)
+    uvw : (row, 3) float metres
+    flags : (row, chan, corr) bool (True excluded)
+    weights : (row, chan, corr) float or None
+    frequencies : (chan,) float Hz
+    grid_config : :class:`GridderConfigWrapper`
+    wmin, wmax : float w-range row selection (|w| outside drops rows)
+
+    Returns
+    -------
+    (row, chan, corr) complex visibilities.
+    """
     gc = grid_config
     g = cplx(grid)
     flags = jnp.asarray(flags)

@@ -175,16 +175,16 @@ def gridder(
 
     if chanmap.size != wavelengths.shape[0]:
         raise ValueError(
-            "Chanmap and corresponding wavelengths must match in shape"
+            "chanmap and wavelength arrays disagree in shape"
         )
     nband = int(chanmap.max()) + 1
     nrow, nvischan, ncorr = v.shape
     if uvw.shape[1] != 3:
-        raise ValueError("UVW array must be array of tripples")
+        raise ValueError("uvw must have shape (nrow, 3)")
     if uvw.shape[0] != nrow:
-        raise ValueError("UVW array must have same number of rows as vis array")
+        raise ValueError("uvw and vis disagree on the row count")
     if nvischan != wavelengths.shape[0]:
-        raise ValueError("Chanmap must correspond to visibility channels")
+        raise ValueError("chanmap length must equal the vis channel count")
 
     W = convolution_kernel_width
     os = convolution_kernel_oversampling
@@ -273,7 +273,7 @@ def gridder(
         # conv-weight sums accumulate regardless of bounds (reference :66)
         wt_ch = jnp.zeros(nband, wj.dtype).at[bands].add(wj.sum(axis=(-2, -1)))
     else:
-        raise ValueError("Invalid convolution policy type")
+        raise ValueError("unknown convolution policy")
 
     if do_normalize:
         gre = gre / (wt_ch[:, None, None] + 1.0e-8)
@@ -383,7 +383,7 @@ def degridder(
                 (g.im[idx] * wjm).sum(axis=(-2, -1)),
             )
     else:
-        raise ValueError("Invalid convolution policy type")
+        raise ValueError("unknown convolution policy")
 
     acc = Cplx(acc.re / cw, acc.im / cw)
     vis = pol.stokes2corr(acc, stokes_conversion_policy)  # (row, chan, corr)

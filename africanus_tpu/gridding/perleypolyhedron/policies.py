@@ -74,7 +74,7 @@ def baseline_transform(uvw, ra0, dec0, ra, dec, policy_type):
         v = uvw[:, 1] - uvw[:, 2] * mi0 / ni0
         return jnp.stack([u, v, uvw[:, 2]], axis=1)
 
-    raise ValueError("Invalid baseline transform policy type")
+    raise ValueError("unknown baseline transform policy")
 
 
 def phase_transform(vis: Cplx, uvw, wavelengths, ra0, dec0, ra, dec,
@@ -144,7 +144,7 @@ def corr2stokes(vis: Cplx, policy_type) -> Cplx:
     try:
         idx, wgt = _CORR2STOKES[policy_type]
     except KeyError:
-        raise ValueError("Invalid stokes conversion")
+        raise ValueError("Invalid stokes mapping for the correlation schema")
     re = 0.0
     im = 0.0
     for i, w in zip(idx, wgt):
@@ -159,7 +159,7 @@ def stokes2corr(value: Cplx, policy_type) -> Cplx:
     try:
         wgt = _STOKES2CORR[policy_type]
     except KeyError:
-        raise ValueError("Invalid stokes conversion")
+        raise ValueError("Invalid stokes mapping for the correlation schema")
     res, ims = [], []
     for w in wgt:
         wr, wi = np.real(w), np.imag(w)

@@ -25,6 +25,8 @@ optimisation path for production grids.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -162,10 +164,20 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
                 # (re+im × 2).
                 vmem = nplanes * tpad_r * tpad_c * 4 * 4
                 if vmem <= 13 * 2**20:
+                    # register-merge width for the VPU scatter kernel
+                    # (plan_tiles_wstack merge): batches same-address
+                    # windows into one RMW per plane. MEASURED NO WIN
+                    # on v5e (11.6 -> 10.8 Mvis/s at merge 8: the fused
+                    # multi-plane kernel's RMW chains already interleave
+                    # across planes and the kernel is VPU-issue bound,
+                    # so merge only adds bucket padding) — default 1,
+                    # kept env-tunable for other toolchains/shapes.
+                    merge = int(os.environ.get(
+                        "AFRICANUS_TPU_WGRID_MERGE", "1"))
                     return pg.plan_tiles_wstack(
                         iu0, iv0, uf, vf, support, beta, nu, nv,
                         p0=iw0, wscales=kw.T, nplanes=nplanes,
-                        tile_r=tr, tile_c=tc,
+                        tile_r=tr, tile_c=tc, merge=merge,
                     )
         plane_v = np.clip((iw0[:, None] + offs), 0, nplanes - 1).ravel()
         return pg.plan_tiles(
@@ -641,7 +653,27 @@ def degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
 
 def degrid(uvw, freq, image, wgt, cellx, celly, epsilon, do_wstacking=True,
            mask=None, plan=None, use_tiles=None):
-    """Complex-dtype degrid (complex-capable backends only)."""
+    """Image -> visibilities through the w-stacking degridder, complex
+    output (reference ``gridding/wgridder/im2vis.py:65`` dirty2ms).
+    Complex-capable backends only; on TPU use :func:`degrid_ri`.
+
+    Parameters
+    ----------
+    uvw : (row, 3) float metres
+    freq : (chan,) float Hz
+    image : (nx, ny) float sky image
+    wgt : (row, chan) float weights or None
+    cellx, celly : float pixel size, radians
+    epsilon : float requested accuracy (1e-3 .. 1e-9)
+    do_wstacking : bool — w-term correction via w-planes
+    mask : optional (row, chan) bool selection
+    plan : optional precomputed plan (``make_plan``) for reuse
+    use_tiles : force/forbid the Pallas tile kernels (None = auto)
+
+    Returns
+    -------
+    (row, chan) complex visibilities.
+    """
     out = degrid_ri(uvw, freq, image, wgt, cellx, celly, epsilon,
                     do_wstacking, mask, plan=plan, use_tiles=use_tiles)
     return jax.lax.complex(out.re, out.im)

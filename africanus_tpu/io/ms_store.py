@@ -34,7 +34,17 @@ _META = "meta.json"
 
 
 class MSStore:
-    """Columnar visibility store with chunked row access."""
+    """Columnar visibility store with chunked row access — the
+    in-environment stand-in for a Measurement Set accessed via daskms
+    (reference L4 examples read/write MODEL_DATA through
+    ``daskms.xds_from_ms``; no casacore exists here).
+
+    On-disk layout: one ``.npy`` per column plus ``meta.json`` (nrow,
+    complex-column registry, JSON subtables). Complex columns are
+    stored as trailing (re, im) float pairs and materialise as
+    complex on read (or as pairs via ``read_ri``). Row ranges are
+    memory-mapped, so chunked pipelines only touch the rows they
+    stream (``iter_chunks``)."""
 
     def __init__(self, path):
         self.path = Path(path)

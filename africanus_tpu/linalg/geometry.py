@@ -86,7 +86,7 @@ class BoundingConvexHull:
         if not isinstance(mask, (list, np.ndarray)):
             raise TypeError("Mask must be list")
         if len(mask) > 0 and (not hasattr(mask[0], "__len__") or len(mask[0]) != 2):
-            raise TypeError("Mask must be a sparse mask of 2 element values")
+            raise TypeError("sparse mask entries must be (y, x) pairs")
         if self._check_mask_outofbounds:
             self._mask = copy.deepcopy(
                 [tuple(c) for c in mask if (c[1], c[0]) in self]
@@ -130,10 +130,10 @@ class BoundingConvexHull:
         ``axes``, padding out-of-bounds areas with ``oob_value``.
         Returns (padded_data * filled_mask, window_extents)."""
         if not isinstance(sel_region, BoundingConvexHull):
-            raise TypeError("Object passed in is not of type BoundingConvexHull")
+            raise TypeError("argument must be a BoundingConvexHull instance")
         if not (hasattr(axes, "__len__") and len(axes) == 2):
             raise ValueError(
-                "Expected a tupple of axes along which to slice out a region"
+                "axes must be a length-2 sequence selecting the slice plane"
             )
         axes = sorted(axes)
         minx, maxx, miny, maxy = sel_region._extent()
@@ -142,7 +142,7 @@ class BoundingConvexHull:
         nx_im = data_cube.shape[axes[1]]
         if minx > nx_im or miny > ny_im or maxx < 0 or maxy < 0:
             raise ValueError(
-                "Expected a bounding hull that is at least partially "
+                "the bounding hull must overlap the image at least "
                 "within the image"
             )
 
@@ -184,7 +184,7 @@ class BoundingConvexHull:
         """Divide mask weights by the number of regions covering each pixel
         (painter's algorithm) so overlapping facets coadd to unity."""
         if not all(isinstance(r, BoundingConvexHull) for r in regions):
-            raise TypeError("Expected a list of bounding convex hulls")
+            raise TypeError("expected a sequence of BoundingConvexHull objects")
         from collections import Counter
 
         counts = Counter()
@@ -256,7 +256,7 @@ class BoundingConvexHull:
     def overlaps_with(self, other, min_sep_dist=0.5):
         """Separating-axis collision test against another hull."""
         if not isinstance(other, BoundingConvexHull):
-            raise TypeError("rhs must be a BoundingConvexHull")
+            raise TypeError("right-hand side must be a BoundingConvexHull instance")
         normals = np.vstack([self.lnormals, other.lnormals])
         normals = normals / np.linalg.norm(normals, axis=1)[:, None]
         for n in normals:
@@ -288,13 +288,17 @@ class BoundingConvexHull:
 
 
 class BoundingBox(BoundingConvexHull):
-    """Axis-aligned box specialisation (inclusive pixel limits)."""
+    """Axis-aligned bounding box (reference ``linalg/geometry.py:453``):
+    a :class:`BoundingConvexHull` whose corners are the integer pixel
+    limits (xl, xu, yl, yu), inclusive on both ends. Supports the same
+    mask/extraction protocol plus exact box splitting via
+    :class:`BoundingBoxFactory`."""
 
     def __init__(self, xl, xu, yl, yu, name="unnamed", mask=None, **kwargs):
         if not all(
             isinstance(v, (int, np.integer)) for v in (xl, xu, yl, yu)
         ):
-            raise ValueError("Box limits must be integers")
+            raise ValueError("box limits must be integers (pixel coordinates)")
         self._box_npx = (abs(xu - xl + 1), abs(yu - yl + 1))
         super().__init__(
             [[xl, yl], [xl, yu], [xu, yu], [xu, yl]], name, mask=mask, **kwargs
@@ -325,7 +329,7 @@ class BoundingBox(BoundingConvexHull):
         if not isinstance(mask, (list, np.ndarray)):
             raise TypeError("Mask must be list")
         if len(mask) > 0 and (not hasattr(mask[0], "__len__") or len(mask[0]) != 2):
-            raise TypeError("Mask must be a sparse mask of 2 element values")
+            raise TypeError("sparse mask entries must be (y, x) pairs")
         if len(mask) == 0:
             self._mask = []
             self._mask_weights = np.ones(0)
@@ -347,14 +351,14 @@ class BoundingBox(BoundingConvexHull):
         """Stitch per-region cubes back into one contiguous cube."""
         if len(regional_data_list) != len(regions_list):
             raise TypeError(
-                "Region data list and regions lists must be lists of equal "
+                "region data and region lists must have equal "
                 "length"
             )
         if not all(isinstance(x, np.ndarray) for x in regional_data_list):
-            raise TypeError("Region data list must be a list of ndarrays")
+            raise TypeError("region data entries must be numpy arrays")
         if not all(isinstance(x, BoundingBox) for x in regions_list):
             raise TypeError(
-                "Region list must be a list of Axis Aligned Bounding Boxes"
+                "regions must be axis-aligned bounding boxes"
             )
         if len(regions_list) == 0:
             return np.empty((0,))
@@ -398,13 +402,18 @@ class BoundingBox(BoundingConvexHull):
 
 
 class BoundingBoxFactory:
+    """Constructors deriving new :class:`BoundingBox` objects from
+    existing hulls/boxes (reference ``linalg/geometry.py:610``):
+    axis-aligned wrap, padded enlargement, and subdivision into a grid
+    of child boxes."""
+
     @classmethod
     def AxisAlignedBoundingBox(cls, convex_hull_object, square=False,
                                enforce_odd=True, **kwargs):
         """Axis-aligned (optionally square / odd-sized) box around a hull."""
         if not isinstance(convex_hull_object, BoundingConvexHull):
             raise TypeError(
-                "Convex hull object passed in constructor is not of type "
+                "constructor argument must be an instance of "
                 "BoundingConvexHull"
             )
         c = convex_hull_object.corners
@@ -431,9 +440,9 @@ class BoundingBoxFactory:
     def SplitBox(cls, bounding_box_object, nsubboxes=1, **kwargs):
         """Split an axis-aligned box into an nsubboxes² grid of boxes."""
         if not isinstance(bounding_box_object, BoundingBox):
-            raise TypeError("Expected bounding box object")
+            raise TypeError("expected a BoundingBox instance")
         if not (isinstance(nsubboxes, int) and nsubboxes >= 1):
-            raise ValueError("nsubboxes must be integral type and be 1 or more")
+            raise ValueError("nsubboxes must be positive integers (1 or more)")
         c = bounding_box_object.corners
         xl, xu = int(c[:, 0].min()), int(c[:, 0].max())
         yl, yu = int(c[:, 1].min()), int(c[:, 1].max())
@@ -463,10 +472,10 @@ class BoundingBoxFactory:
     def PadBox(cls, bounding_box_object, desired_nx, desired_ny, **kwargs):
         """Pad a box to a desired size, centred on the original centre."""
         if not isinstance(bounding_box_object, BoundingBox):
-            raise TypeError("Expected bounding box object")
+            raise TypeError("expected a BoundingBox instance")
         nx, ny = bounding_box_object.box_npx
         if desired_nx - nx < 0 or desired_ny - ny < 0:
-            raise ValueError("Padded box must be bigger than original box")
+            raise ValueError("padded size must be at least the original (bigger or equal)")
         pad_left = desired_nx // 2
         pad_right = desired_nx - pad_left - 1
         pad_bottom = desired_ny // 2

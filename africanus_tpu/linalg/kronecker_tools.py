@@ -55,14 +55,29 @@ def kron_tensorvec(A, b):
 
 
 def kron_matmat(A, B):
-    """A @ B where B's columns are treated independently."""
+    """Matrix product of a Kronecker-factored square matrix with a
+    dense matrix: (kron(*A)) @ B, applied column-by-column via
+    :func:`kron_matvec` without materialising the Kronecker product
+    (reference ``linalg/kronecker_tools.py``).
+
+    Parameters
+    ----------
+    A : sequence of (ni, ni) square factors
+    B : (prod ni, k) dense right-hand sides
+
+    Returns
+    -------
+    (prod ni, k) product.
+    """
     B = jnp.asarray(B)
     cols = [kron_matvec(A, B[:, i]) for i in range(B.shape[1])]
     return jnp.stack(cols, axis=1)
 
 
 def kron_tensormat(A, B):
-    """As kron_matmat for rectangular factors."""
+    """As :func:`kron_matmat` but for rectangular Kronecker factors
+    (ni, mi): maps (prod mi, k) -> (prod ni, k) column-by-column via
+    :func:`kron_tensorvec`."""
     B = jnp.asarray(B)
     cols = [kron_tensorvec(A, B[:, i]) for i in range(B.shape[1])]
     return jnp.stack(cols, axis=1)

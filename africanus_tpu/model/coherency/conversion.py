@@ -124,7 +124,7 @@ def convert_ri(input, input_schema, output_schema, implicit_stokes: bool = False
     out_indices, out_shape = _element_indices_and_shape(output_schema)
 
     if x.shape[-len(in_shape):] != in_shape:
-        raise ValueError("Last dimension of input doesn't match input schema")
+        raise ValueError("input schema length differs from the trailing input dimension")
 
     lead = x.shape[: -len(in_shape)]
     nflat = int(np.prod(in_shape))
@@ -198,9 +198,9 @@ def _build_plan(input_schema, in_indices, in_shape, out_indices, out_shape,
 
         if best is None:
             raise MissingConversionInputs(
-                f"None of the supplied inputs '{input_schema}' can produce "
-                f"output '{okey}'. It can be produced by the following "
-                f"combinations '{list(deps.keys())}'."
+                f"no supplied input of '{input_schema}' yields output "
+                f"'{okey}'; producible from these input "
+                f"combinations: '{list(deps.keys())}'"
             )
         plan.append(best[1])
     return plan
@@ -229,7 +229,7 @@ def convert(input, input_schema, output_schema, implicit_stokes: bool = False):
     out_indices, out_shape = _element_indices_and_shape(output_schema)
 
     if input.shape[-len(in_shape):] != in_shape:
-        raise ValueError("Last dimension of input doesn't match input schema")
+        raise ValueError("input schema length differs from the trailing input dimension")
 
     # Flatten schema dims: trailing axes -> one axis indexed by flat position
     lead = input.shape[: -len(in_shape)]

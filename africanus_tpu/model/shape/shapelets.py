@@ -193,7 +193,23 @@ def shapelet_with_w_term_ri(coords, frequency, coeffs, beta, delta_lm, lm):
 def shapelet_with_w_term(
     coords, frequency, coeffs, beta, delta_lm, lm, dtype=jnp.complex128
 ):
-    """Complex-dtype wrapper of :func:`shapelet_with_w_term_ri`."""
+    """Shapelet basis evaluation including the w-term phase (complex
+    output; reference ``model/shape/shapelets.py:103``).
+
+    Parameters
+    ----------
+    coords : (row, 3) float uvw metres
+    frequency : (chan,) float Hz
+    coeffs : (src, nmax1, nmax2) float shapelet coefficients
+    beta : (src, 2) float scale parameters
+    delta_lm : (2,) float (delta_l, delta_m) pixel offsets
+    lm : (src, 2) float source positions
+    dtype : complex output dtype (default complex128)
+
+    Returns
+    -------
+    (row, chan, src) complex shapelet envelope with w-phase applied.
+    """
     out = shapelet_with_w_term_ri(coords, frequency, coeffs, beta,
                                   delta_lm, lm)
     real = jnp.finfo(jnp.dtype(dtype)).dtype

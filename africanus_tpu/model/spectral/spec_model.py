@@ -57,14 +57,14 @@ def spectral_model(stokes, spi, ref_freq, frequency, base=0):
     out_shape = (stokes.shape[0], frequency.shape[0]) + stokes.shape[1:]
 
     if stokes.ndim - 1 != spi.ndim - 2:
-        raise ValueError("Dimensions on stokes and spi don't agree")
+        raise ValueError("stokes and spi disagree on the component count")
 
     estokes = stokes if stokes.ndim == 2 else stokes[:, None]
     espi = spi if spi.ndim == 3 else spi[:, :, None]
     npol = estokes.shape[1]
 
     if espi.shape[2] != npol:
-        raise ValueError("Correlations on stokes and spi don't agree")
+        raise ValueError("stokes and spi disagree on the correlation count")
 
     bases = _canon_base(base, npol)
     nspi = espi.shape[1]

@@ -64,7 +64,7 @@ def fit_spi_components(
     elif data.dtype == jnp.float32:
         mindet = 1e-5
     else:
-        raise ValueError("Unsupported data type. Must be float32 of float64.")
+        raise ValueError("dtype must be float32 or float64")
 
     if alphai is not None:
         alpha0 = jnp.asarray(alphai)

@@ -75,13 +75,13 @@ _HEADER_COL = re.compile(r"^\s*(?P<name>.*?)(?:\s*=\s*'(?P<default>.*?)'\s*)?$")
 def _read_header(line):
     key, _, descriptor = line.partition("=")
     if key.strip() != "Format":
-        raise ValueError(f"'{key.strip()}' does not appear to be a wsclean header")
+        raise ValueError(f"'{key.strip()}' is not recognisable as a wsclean header line")
 
     names, defaults = [], []
     for col in descriptor.split(","):
         m = _HEADER_COL.search(col.strip())
         if m is None:
-            raise ValueError(f"'{col}' is not a valid column header")
+            raise ValueError(f"'{col}' is not a recognised column name")
         names.append(m.group("name"))
         defaults.append(m.group("default"))
     return names, defaults
@@ -95,19 +95,19 @@ def _sanitise(columns):
         spis = columns["SpectralIndex"]
         log_si = columns["LogarithmicSI"]
     except KeyError as e:
-        raise ValueError(f"WSClean Model File missing required column {e}")
+        raise ValueError(f"wsclean component list lacks required column {e}")
 
     for i, name in enumerate(names):
         bad = not math.isfinite(flux[i])
         if bad:
             warnings.warn(
-                f"Non-finite I {flux[i]} encountered for source {name}. "
-                f"This source model will be zeroed."
+                f"non-finite flux I {flux[i]} on source {name}; "
+                f"zeroing this component."
             )
         if not all(math.isfinite(c) for c in spis[i]):
             warnings.warn(
-                f"Non-finite SpectralIndex {spis[i]} encountered for "
-                f"source {name}. This source model will be zeroed."
+                f"non-finite spectral index {spis[i]} found on "
+                f"source {name}; zeroing this component."
             )
             bad = True
         if bad:
@@ -143,13 +143,13 @@ def load(filename):
                 break
             line_nr += 1
         if not header:
-            raise ValueError(f"'{filename}' does not contain a valid wsclean header")
+            raise ValueError(f"'{filename}' has no parseable wsclean header line")
 
         names, defaults = _read_header(header)
         try:
             converters = [_CONVERTERS[n] for n in names]
         except KeyError as e:
-            raise ValueError(f"No converter registered for column {e}")
+            raise ValueError(f"no parser is registered for column {e}")
 
         columns = {n: [] for n in names}
         for line_nr, raw in enumerate(lines, line_nr + 1):
@@ -168,10 +168,9 @@ def load(filename):
                             columns[name].append(conv())
                         except Exception as e:
                             raise ValueError(
-                                f"No value supplied for column '{name}' on "
-                                f"line {line_nr} and no default was supplied "
-                                f"either. Attempting to generate a default "
-                                f"produced the following exception {e}"
+                                f"missing value for column '{name}' on "
+                                f"line {line_nr}, no default exists, and "
+                                f"generating one failed with {e}"
                             )
                         continue
                     field = default

@@ -40,7 +40,7 @@ def spectra(I, coeffs, log_poly, ref_freq, frequency):  # noqa: E741
     frequency = jnp.asarray(frequency)
 
     if not (I.shape[0] == coeffs.shape[0] == ref_freq.shape[0]):
-        raise ValueError("first dimensions of I, coeffs and ref_freq don't match.")
+        raise ValueError("I, coeffs and ref_freq disagree on the leading dimension")
 
     ncoeff = coeffs.shape[1]
     exps = jnp.arange(1, ncoeff + 1)
@@ -64,5 +64,5 @@ def spectra(I, coeffs, log_poly, ref_freq, frequency):  # noqa: E741
     if log_poly.ndim == 0:
         return jnp.where(log_poly, logarithmic, ordinary)
     if coeffs.shape[0] != log_poly.shape[0]:
-        raise ValueError("coeffs.shape[0] != log_poly.shape[0]")
+        raise ValueError("coeffs and log_poly disagree on the leading dimension")
     return jnp.where(log_poly[:, None], logarithmic, ordinary)

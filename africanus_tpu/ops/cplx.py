@@ -78,7 +78,14 @@ class Cplx(NamedTuple):
 
 
 def cplx(x) -> Cplx:
-    """Coerce an array (real, complex, or Cplx) to a Cplx pair."""
+    """Coerce any array to a :class:`Cplx` split re/im pair.
+
+    Complex inputs split into (real, imag); real inputs pair with a
+    zero imaginary part; Cplx inputs coerce numpy leaves to jax arrays
+    (traced indexing of numpy leaves fails otherwise). This is the
+    device-side complex representation everywhere — the target TPU
+    exposes no complex dtypes (CLAUDE.md).
+    """
     if isinstance(x, Cplx):
         # coerce numpy leaves: indexing them with traced indices fails
         return Cplx(jnp.asarray(x.re), jnp.asarray(x.im))
@@ -89,7 +96,9 @@ def cplx(x) -> Cplx:
 
 
 def expi(p) -> Cplx:
-    """e^{i·p} for a real phase array p."""
+    """Unit phasor e^{i p} of a real phase array (radians), as a
+    :class:`Cplx` pair (cos p, sin p) — the pair-native analogue of
+    ``jnp.exp(1j * p)``."""
     return Cplx(jnp.cos(p), jnp.sin(p))
 
 
@@ -136,7 +145,10 @@ def cmatmul(a: Cplx, b: Cplx, einsum_spec: str | None = None,
 
 
 def to_numpy(a):
-    """Assemble a Cplx pair into a host numpy complex array."""
+    """Fetch to host: a :class:`Cplx` pair becomes a numpy complex
+    array (re + 1j*im); anything else passes through ``np.asarray``.
+    The standard way to materialise TPU pair results for comparison
+    against complex oracles."""
     import numpy as np
 
     if isinstance(a, Cplx):

@@ -306,16 +306,24 @@ def _pick_blocks(nlane, ngroups, cg, ncorr, contract_tile, n_in_planes,
     single-group step on small problems, so blocks widen until a step
     carries enough work:
 
-    - ``lane_tile`` (pixels/rows on the 128-lane axis) grows to 512
-      while the register accumulators (``n_acc`` per lane register)
-      stay within a conservative 32-vreg budget;
+    - ``lane_tile`` (pixels/rows on the 128-lane axis) grows to a
+      toolchain-safe cap while the register accumulators (``n_acc`` per
+      lane register) stay within a conservative 32-vreg budget. The cap
+      defaults to 256: 512-wide tiles wedge/time out the remote Mosaic
+      compile on this toolchain (benchmarks/RESULTS.md "tile 512:
+      compile timeout"; the round-3 driver bench died compiling them).
+      Re-probe by setting AFRICANUS_TPU_DFT_MAX_LANE_TILE.
     - ``group_block`` channel groups run per step (unrolled), bounded
       by a 32-slot unroll budget (gb*cg, Mosaic compile time) and a
       ~2 MB VMEM budget across the step's blocks.
     """
     if lane_tile is None:
+        import os
+
+        cap_lanes = int(os.environ.get(
+            "AFRICANUS_TPU_DFT_MAX_LANE_TILE", "256"))
         lane_tile = 128
-        while (lane_tile < 512 and lane_tile < nlane
+        while (lane_tile < cap_lanes and lane_tile < nlane
                and n_acc * (2 * lane_tile // 128) <= 32):
             lane_tile *= 2
     else:

@@ -733,7 +733,9 @@ def pack_shard_plans(plans):
     scale=0 / all-outside uv windows, repeating the shard's last tile id
     so output-block revisits stay contiguous), then stacked on a leading
     shard axis for use as shard_map inputs (``arrays`` override of
-    :func:`grid_tiles_pallas` / :func:`grid_tiles_wstack_pallas`).
+    :func:`grid_tiles_pallas` / :func:`grid_tiles_wstack_pallas`, and of
+    the table-mode entry points :func:`grid_tiles_table_pallas` /
+    :func:`degrid_tiles_table_pallas`).
 
     Fused w-stack plans additionally stack ``vis_slot`` (the per-shard
     packed-slot permutation, one slot per local visibility sample) so the
@@ -753,6 +755,10 @@ def pack_shard_plans(plans):
                     "nu", "nv", "nplanes", "tpad_r", "tpad_c", "group",
                     "blk")
     geo = {k: plans[0][k] for k in geo_keys}
+    if fused:
+        # register-merge width of the fused spreading kernel (absent on
+        # pre-merge plans: default 1)
+        geo["merge"] = plans[0].get("merge", 1)
     for p in plans[1:]:
         if bool(p.get("wstack_fused")) != fused:
             raise ValueError("shard plans disagree on wstack_fused format")
@@ -761,6 +767,8 @@ def pack_shard_plans(plans):
         for k in geo_keys:
             if p[k] != geo[k]:
                 raise ValueError(f"shard plans disagree on {k}")
+        if fused and p.get("merge", 1) != geo["merge"]:
+            raise ValueError("shard plans disagree on merge")
 
     if table:
         keys = TABLE_PLAN_ARRAY_KEYS
@@ -1111,7 +1119,7 @@ def degrid_tiles_table_pallas(plan, table, tiles_re, tiles_im, nvis,
 
 def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
                       wscales, nplanes, tile_r=None, tile_c=None,
-                      group=1024):
+                      group=1024, merge=1):
     """Host tile binning for the multi-plane w-stack kernel.
 
     One entry per *visibility sample* (not per touched w-plane): the
@@ -1122,6 +1130,17 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
     entry count — and the per-entry window build — by the w-support,
     and consecutive RMWs land on different planes' accumulators, so the
     serial read-modify-write chains interleave.
+
+    ``merge`` > 1 targets the kernel's remaining wall — the serial VMEM
+    read-modify-write chain per (plane, row-block) address: entries are
+    bucket-sorted by identical RMW address (tile, p0, 8-aligned row) and
+    each bucket padded to a multiple of ``merge`` with inert entries
+    (all-zero w-taps), so the kernel can accumulate every ``merge``
+    consecutive windows in vector registers and issue ONE block RMW per
+    plane per ``merge`` entries. The padding costs
+    ``mean((-count) % merge / count)`` extra window builds; dense
+    problems (many samples per (tile, plane, row) bucket) pay a few
+    percent for a ~merge× shorter RMW chain.
     """
     iu0 = np.asarray(iu0)
     iv0 = np.asarray(iv0)
@@ -1166,31 +1185,77 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
     uf_abs = (uf + (ir_all - ir_al)).astype(np.float32)
     vf_abs = (vf + ic_all).astype(np.float32)
 
-    counts = np.bincount(tile_ids, minlength=ntiles)
-    ngroups_per = np.maximum(-(-counts // group), 1)
-    group_base = np.zeros(ntiles, np.int64)
-    np.cumsum(ngroups_per[:-1], out=group_base[1:])
-    ngroups = int(ngroups_per.sum())
+    merge = int(merge)
+    if merge < 1:
+        raise ValueError(f"merge {merge} must be >= 1")
+    if merge > 1 and group % merge:
+        raise ValueError(f"group {group} must be a multiple of merge {merge}")
+
+    if merge > 1 and n:
+        # bucket-sort by shared RMW address (tile, p0, aligned row) and
+        # pad every bucket to a multiple of merge; the leading entry of
+        # each aligned merge block is then always real, so the kernel
+        # reads the block address from it
+        p64 = p0.astype(np.int64)
+        ir64 = ir_al.astype(np.int64)
+        order = np.lexsort((ir64, p64, tile_ids))
+        ts = tile_ids[order]
+        ps, irs = p64[order], ir64[order]
+        change = np.ones(n, bool)
+        change[1:] = ((ts[1:] != ts[:-1]) | (ps[1:] != ps[:-1])
+                      | (irs[1:] != irs[:-1]))
+        bstart = np.nonzero(change)[0]
+        bucket_of = np.cumsum(change) - 1
+        bcount = np.diff(np.append(bstart, n))
+        bpad_len = (-(-bcount // merge) * merge).astype(np.int64)
+        btile = ts[bstart]
+        padded_counts = np.zeros(ntiles, np.int64)
+        np.add.at(padded_counts, btile, bpad_len)
+        ngroups_per = np.maximum(-(-padded_counts // group), 1)
+        group_base = np.zeros(ntiles, np.int64)
+        np.cumsum(ngroups_per[:-1], out=group_base[1:])
+        ngroups = int(ngroups_per.sum())
+
+        b_end = np.cumsum(bpad_len)
+        b_startp = b_end - bpad_len  # padded global offsets, tile-major
+        tile_pad_start = np.zeros(ntiles, np.int64)
+        np.cumsum(padded_counts[:-1], out=tile_pad_start[1:])
+        k = (b_startp[bucket_of] - tile_pad_start[ts]
+             + np.arange(n) - bstart[bucket_of])
+        slots = np.empty(n, np.int64)
+        slots[order] = (
+            (group_base[ts] + k // group) * group + k % group
+        )
+    else:
+        merge = 1
+        counts = np.bincount(tile_ids, minlength=ntiles)
+        ngroups_per = np.maximum(-(-counts // group), 1)
+        group_base = np.zeros(ntiles, np.int64)
+        np.cumsum(ngroups_per[:-1], out=group_base[1:])
+        ngroups = int(ngroups_per.sum())
+
+        # per-entry flat slot in the (ngroups, group) packed layout —
+        # native counting-sort core when available (the numpy argsort
+        # chain dominated plan time at multi-million-sample counts)
+        from africanus_tpu import native
+
+        if native.available():
+            slots = native.tile_pack_slots(tile_ids, group_base, group,
+                                           ntiles)
+        else:
+            order = np.argsort(tile_ids, kind="stable")
+            tile_start = np.zeros(ntiles, np.int64)
+            np.cumsum(counts[:-1], out=tile_start[1:])
+            k = np.arange(n) - tile_start[tile_ids[order]]
+            slots = np.empty(n, np.int64)
+            slots[order] = (
+                (group_base[tile_ids[order]] + k // group) * group
+                + k % group
+            )
+
     group_tile = np.repeat(np.arange(ntiles, dtype=np.int64), ngroups_per)
     first = np.zeros(ngroups, np.int32)
     first[group_base] = 1
-
-    # per-entry flat slot in the (ngroups, group) packed layout — native
-    # counting-sort core when available (the numpy argsort chain dominated
-    # plan time at multi-million-sample counts)
-    from africanus_tpu import native
-
-    if native.available():
-        slots = native.tile_pack_slots(tile_ids, group_base, group, ntiles)
-    else:
-        order = np.argsort(tile_ids, kind="stable")
-        tile_start = np.zeros(ntiles, np.int64)
-        np.cumsum(counts[:-1], out=tile_start[1:])
-        k = np.arange(n) - tile_start[tile_ids[order]]
-        slots = np.empty(n, np.int64)
-        slots[order] = (
-            (group_base[tile_ids[order]] + k // group) * group + k % group
-        )
 
     sample_pack = np.zeros((ngroups, group), np.int32)
     ir_pack = np.zeros((ngroups, group), np.int32)
@@ -1216,7 +1281,7 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
         tile_r=tile_r, tile_c=tile_c, support=w, beta=float(beta),
         ntr=ntr, ntc=ntc, nu=nu, nv=nv, nplanes=nplanes,
         tpad_r=tpad_r, tpad_c=tpad_c, blk=blk,
-        ngroups=ngroups, group=group, wstack_fused=True,
+        ngroups=ngroups, group=group, merge=merge, wstack_fused=True,
         group_tile=group_tile.astype(np.int32),
         sample_pack=sample_pack, ir_loc=ir_pack,
         uf=uf_pack, vfa=vfa_pack, p0=p0_pack, wsc=wsc_pack,
@@ -1227,7 +1292,7 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
 def _grid_wstack_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
                         p0_ref, wsc_ref, vre_ref, vim_ref, out_re_ref,
                         out_im_ref, *, group, support, beta, tpad_r,
-                        tpad_c, nplanes, blk):
+                        tpad_c, nplanes, blk, merge=1):
     g = pl.program_id(0)
     half = support / 2.0
 
@@ -1243,34 +1308,71 @@ def _grid_wstack_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
         jnp.float32
     )
 
-    unroll = 8 if group % 8 == 0 else 1
+    # entries per unrolled body step: ~8 windows regardless of merge
+    # (Mosaic compile time scales with the unroll)
+    if merge > 1:
+        unroll = max(1, 8 // merge)
+        if group % (merge * unroll):
+            unroll = 1
+        step = merge * unroll
+    else:
+        unroll = 8 if group % 8 == 0 else 1
+        step = unroll
 
     def body(j, _):
         for k in range(unroll):
-            e = j * unroll + k
-            r0 = ir_ref[0, 0, e]
-            uf = uf_ref[0, 0, e]
-            vfa = vfa_ref[0, 0, e]
-            p0 = p0_ref[0, 0, e]
-            vr = vre_ref[0, 0, e]
-            vi = vim_ref[0, 0, e]
+            if merge == 1:
+                e = j * step + k
+                r0 = ir_ref[0, 0, e]
+                uf = uf_ref[0, 0, e]
+                vfa = vfa_ref[0, 0, e]
+                p0 = p0_ref[0, 0, e]
+                vr = vre_ref[0, 0, e]
+                vi = vim_ref[0, 0, e]
 
-            # window computed ONCE per sample, spread to every touched
-            # w-plane with its ES tap; planes clip to the stack edges
-            base = _es((vfa - lanes_f) / half, beta) * _es(
-                (uf - subl_f) / half, beta
-            )
-            rs = pl.ds(pl.multiple_of(r0, 8), blk)
-            for t in range(support):
-                sc = wsc_ref[0, t, e]
-                # plan_tiles_wstack guarantees p0+t in [0, nplanes)
-                p = p0 + t
-                sl = (0, p, rs, slice(None))
-                out_re_ref[sl] = out_re_ref[sl] + (sc * vr) * base
-                out_im_ref[sl] = out_im_ref[sl] + (sc * vi) * base
+                # window computed ONCE per sample, spread to every
+                # touched w-plane with its ES tap; plan_tiles_wstack
+                # guarantees p0+t in [0, nplanes)
+                base = _es((vfa - lanes_f) / half, beta) * _es(
+                    (uf - subl_f) / half, beta
+                )
+                rs = pl.ds(pl.multiple_of(r0, 8), blk)
+                for t in range(support):
+                    sc = wsc_ref[0, t, e]
+                    sl = (0, p0 + t, rs, slice(None))
+                    out_re_ref[sl] = out_re_ref[sl] + (sc * vr) * base
+                    out_im_ref[sl] = out_im_ref[sl] + (sc * vi) * base
+            else:
+                # merge consecutive entries share (p0, r0) by plan
+                # construction: accumulate their windows in registers
+                # and issue ONE block RMW per plane — the serial VMEM
+                # read-modify-write chain shrinks by ~merge while the
+                # FMA issue count stays the same
+                e0 = (j * unroll + k) * merge
+                r0 = ir_ref[0, 0, e0]
+                p0 = p0_ref[0, 0, e0]
+                rs = pl.ds(pl.multiple_of(r0, 8), blk)
+                bases = []
+                for gi in range(merge):
+                    e = e0 + gi
+                    base = _es(
+                        (vfa_ref[0, 0, e] - lanes_f) / half, beta
+                    ) * _es((uf_ref[0, 0, e] - subl_f) / half, beta)
+                    bases.append((e, base))
+                for t in range(support):
+                    accr = acci = None
+                    for e, base in bases:
+                        sc = wsc_ref[0, t, e]
+                        tr = (sc * vre_ref[0, 0, e]) * base
+                        ti = (sc * vim_ref[0, 0, e]) * base
+                        accr = tr if accr is None else accr + tr
+                        acci = ti if acci is None else acci + ti
+                    sl = (0, p0 + t, rs, slice(None))
+                    out_re_ref[sl] = out_re_ref[sl] + accr
+                    out_im_ref[sl] = out_im_ref[sl] + acci
         return 0
 
-    lax.fori_loop(0, group // unroll, body, 0, unroll=False)
+    lax.fori_loop(0, group // step, body, 0, unroll=False)
 
 
 def grid_tiles_wstack_pallas(plan, vre_flat, vim_flat, interpret=False,
@@ -1298,7 +1400,8 @@ def grid_tiles_wstack_pallas(plan, vre_flat, vim_flat, interpret=False,
 
     kernel = partial(_grid_wstack_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
-                     nplanes=nplanes, blk=plan["blk"])
+                     nplanes=nplanes, blk=plan["blk"],
+                     merge=plan.get("merge", 1))
 
     smem_vec = pl.BlockSpec((1, 1, group), lambda g, f, t: (g, 0, 0),
                             memory_space=pltpu.SMEM)

@@ -232,6 +232,11 @@ def _pp_shard_plans(uvw, wavelengths, chanmap, npix, cell, image_centre,
     if not use_tiles or convolution_policy not in _PP_TILE_POLICIES:
         return None, None
 
+    # callers check divisibility before shard_map; keep the invariant
+    # local so a future caller can't silently drop tail rows
+    if uvw.shape[0] % nshard:
+        raise ValueError(
+            f"rows {uvw.shape[0]} must divide over {nshard} shards")
     rows_per = uvw.shape[0] // nshard
     plans = [
         pp_tile_plan(uvw[s * rows_per:(s + 1) * rows_per], wavelengths,
@@ -243,6 +248,24 @@ def _pp_shard_plans(uvw, wavelengths, chanmap, npix, cell, image_centre,
     if not all(p is not None for p in plans):
         return None, None
     return pack_shard_plans(plans)
+
+
+def _pp_tile_shard_args(tile_arrays):
+    """(in_spec, device dict) for packed per-shard tile arrays, plus the
+    per-shard leading-axis unwrap used inside shard_map bodies. Shared by
+    :func:`sharded_pp_gridder` / :func:`sharded_pp_degridder`."""
+    if tile_arrays is None:
+        return None, None
+    arr_spec = {k: P("row") for k in tile_arrays}
+    tile_in = {k: jnp.asarray(a) for k, a in tile_arrays.items()}
+    return arr_spec, tile_in
+
+
+def _pp_unwrap_shard(arrs_s):
+    """Strip the size-1 shard axis pack_shard_plans stacked on."""
+    if arrs_s is None:
+        return None
+    return {k: a[0] for k, a in arrs_s.items()}
 
 
 def sharded_pp_gridder(mesh, uvw, vis, wavelengths, chanmap, npix, cell,
@@ -277,28 +300,23 @@ def sharded_pp_gridder(mesh, uvw, vis, wavelengths, chanmap, npix, cell,
     )
 
     def local(uvw_s, v_s, arrs_s):
-        if arrs_s is not None:
-            arrs_s = {k: a[0] for k, a in arrs_s.items()}
         g = gridder(uvw_s, v_s, wavelengths, chanmap, npix, cell,
                     image_centre, phase_centre, kernel, W, OS,
                     baseline_transform_policy, phase_transform_policy,
                     stokes_conversion_policy, convolution_policy,
-                    tile_plan=plan_static, tile_arrays=arrs_s)
+                    tile_plan=plan_static,
+                    tile_arrays=_pp_unwrap_shard(arrs_s))
         return Cplx(jax.lax.psum(g.re, "row"), jax.lax.psum(g.im, "row"))
 
-    if tile_arrays is None:
-        arr_spec = None
-        tile_in = None
-    else:
-        arr_spec = {k: P("row") for k in tile_arrays}
-        tile_in = {k: jnp.asarray(a) for k, a in tile_arrays.items()}
-
+    arr_spec, tile_in = _pp_tile_shard_args(tile_arrays)
     fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P("row"), Cplx(P("row"), P("row")), arr_spec),
         out_specs=Cplx(P(), P()),
-        check_vma=False,
+        # the dict-of-tile-arrays inputs break VMA inference; keep the
+        # validation on for the scatter fallback path (advisor r03)
+        check_vma=tile_arrays is None,
     )
     return fn(jnp.asarray(uvw), v, tile_in)
 
@@ -330,26 +348,20 @@ def sharded_pp_degridder(mesh, uvw, grid, wavelengths, chanmap, cell,
     )
 
     def local(uvw_s, g_rep, arrs_s):
-        if arrs_s is not None:
-            arrs_s = {k: a[0] for k, a in arrs_s.items()}
         return degridder(uvw_s, g_rep, wavelengths, chanmap, cell,
                          image_centre, phase_centre, kernel, W, OS,
                          baseline_transform_policy, phase_transform_policy,
                          stokes_conversion_policy, convolution_policy,
-                         tile_plan=plan_static, tile_arrays=arrs_s)
+                         tile_plan=plan_static,
+                         tile_arrays=_pp_unwrap_shard(arrs_s))
 
-    if tile_arrays is None:
-        arr_spec = None
-        tile_in = None
-    else:
-        arr_spec = {k: P("row") for k in tile_arrays}
-        tile_in = {k: jnp.asarray(a) for k, a in tile_arrays.items()}
-
+    arr_spec, tile_in = _pp_tile_shard_args(tile_arrays)
     fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P("row"), Cplx(P(), P()), arr_spec),
         out_specs=Cplx(P("row"), P("row")),
-        check_vma=False,
+        # see sharded_pp_gridder: validate VMA on the fallback path
+        check_vma=tile_arrays is None,
     )
     return fn(jnp.asarray(uvw), g, tile_in)

@@ -116,12 +116,24 @@ def row_sharding(mesh, ndim, row_axis=0, chan_axis=None):
 
 
 def replicated(mesh):
-    """Fully-replicated sharding (for antenna-indexed arrays)."""
+    """Fully-replicated NamedSharding over ``mesh``.
+
+    The reference requires antenna-indexed arrays to be unchunked
+    (``rime/dask_predict.py:478-489``); the mesh analogue is full
+    replication, so gather-by-antenna stays local to every device.
+    """
     return NamedSharding(mesh, PartitionSpec())
 
 
 def pad_rows(n_rows, n_shards):
-    """Rows to add so that n_rows divides evenly across n_shards."""
+    """Number of zero rows to append so ``n_rows`` divides evenly over
+    ``n_shards`` (shard_map needs equal shards; padded rows carry zero
+    visibilities/weights so reductions are unaffected).
+
+    Returns
+    -------
+    int in [0, n_shards).
+    """
     return (-n_rows) % n_shards
 
 

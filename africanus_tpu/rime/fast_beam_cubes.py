@@ -108,7 +108,7 @@ def beam_cube_dde_ri(
     beam_lw, beam_mh, beam_nud = b.shape[:3]
     corrs = b.shape[3:]
     if beam_lw < 2 or beam_mh < 2 or beam_nud < 2:
-        raise ValueError("beam_lw, beam_mh and beam_nud must be >= 2")
+        raise ValueError("each beam cube axis (lw, mh, nud) must be >= 2")
     ncorr = reduce(lambda x, y: x * y, corrs, 1)
     fb = b.reshape((beam_lw, beam_mh, beam_nud, ncorr))
 

@@ -19,7 +19,22 @@ __all__ = ["feed_rotation", "feed_rotation_ri"]
 
 
 def feed_rotation_ri(parallactic_angles, feed_type: str = "linear") -> Cplx:
-    """Pair-native feed rotation: Cplx with shape (..., 2, 2)."""
+    """Feed rotation matrices from parallactic angles (pair-native).
+
+    Linear feeds give the real rotation [[cos pa, sin pa],
+    [-sin pa, cos pa]]; circular feeds the complex phase diag
+    (e^{-i pa}, e^{i pa}) — reference ``rime/feeds.py:14``.
+
+    Parameters
+    ----------
+    parallactic_angles : (...,) float radians (any leading shape,
+        typically (time, ant))
+    feed_type : {"linear", "circular"}
+
+    Returns
+    -------
+    Cplx of shape (..., 2, 2) — split re/im feed rotation Jones.
+    """
     pa = jnp.asarray(parallactic_angles)
     if not jnp.issubdtype(pa.dtype, jnp.floating):
         raise ValueError(

@@ -31,11 +31,13 @@ _LIST_REGEX = re.compile(r"[\[\(]([^\]\)]*)[\]\)]")
 
 
 class RimeParseError(ValueError):
-    pass
+    """The RIME specification string could not be parsed (malformed
+    term tuple / polarisation block syntax)."""
 
 
 class RimeSpecificationError(ValueError):
-    pass
+    """The parsed RIME specification is semantically invalid (unknown
+    term, missing Phase/Brightness, bad stokes/correlation schema)."""
 
 
 def _parse_str_list(text):
@@ -50,7 +52,7 @@ def parse_rime(rime: str):
     bits = [s.strip() for s in rime.split(":")]
     if len(bits) != 2:
         raise RimeParseError(
-            f"RIME must be of the form "
+            f"RIME specification must look like "
             f"[Gp, (Kpq, Bpq), Gq]: [I,Q,U,V] -> [XX,XY,YX,YY]. Got {rime}."
         )
     rime_bits, polarisation_bits = bits
@@ -58,7 +60,7 @@ def parse_rime(rime: str):
     pol_bits = [s.strip() for s in polarisation_bits.split("->")]
     if len(pol_bits) != 2:
         raise RimeParseError(
-            f"Polarisation specification must be of the form "
+            f"Polarisation block must look like "
             f"[I,Q,U,V] -> [XX,XY,YX,YY]. Got {polarisation_bits}."
         )
 
@@ -108,7 +110,7 @@ class RimeSpecification:
 
         if not set(stokes).issubset(self.VALID_STOKES):
             raise RimeSpecificationError(
-                f"{stokes} contains invalid stokes parameters. "
+                f"{stokes} has unrecognised stokes parameters; "
                 f"Only {self.VALID_STOKES} are accepted"
             )
 
@@ -134,13 +136,13 @@ class RimeSpecification:
                         v = named[v]
                     except KeyError:
                         raise RimeSpecificationError(
-                            f"Can't find a type for {v!r}"
+                            f"Can't find a type matching {v!r}"
                         ) from None
                 if isinstance(v, type) and issubclass(v, Term):
                     term_map[k] = v
                 else:
                     raise RimeSpecificationError(
-                        f"Can't find a type for {v!r}"
+                        f"Can't find a type matching {v!r}"
                     )
 
         import inspect
@@ -169,9 +171,9 @@ class RimeSpecification:
 
         types_present = {type(t) for t in self.terms}
         if Phase not in types_present:
-            warnings.warn("RIME doesn't contain a standard Phase term")
+            warnings.warn("specification lacks a standard Phase term")
         if Brightness not in types_present:
-            warnings.warn("RIME doesn't contain a standard Brightness term")
+            warnings.warn("specification lacks a standard Brightness term")
 
     @staticmethod
     def _feed_type(corrs):

@@ -49,7 +49,13 @@ class TermValue:
 
 
 def hermitian(v: TermValue) -> TermValue:
-    """Conjugate transpose (intrinsics.py:70-79)."""
+    """Conjugate transpose of a term value in its packed representation.
+
+    scalar -> conj; diag -> per-element conj; full 2x2 -> conj with the
+    off-diagonal components swapped. The trace-time analogue of the
+    reference's LLVM-level hermitian intrinsic
+    (``fused/intrinsics.py:70-79``).
+    """
     c = v.comps
     if v.kind == "scalar":
         return TermValue("scalar", (c[0].conj(),))
@@ -223,7 +229,9 @@ class Brightness(Term):
 
 
 class Gaussian(Term):
-    """Gaussian amplitude term (terms/gaussian.py:9)."""
+    """Gaussian shape envelope term (scalar amplitude per
+    (src, row, chan)) driven by ``gauss_shape`` (emaj, emin, angle);
+    reference ``fused/terms/gaussian.py:9``."""
 
     ARGS = ("uvw", "chan_freq", "gauss_shape")
     SOURCE_ARGS = ("gauss_shape",)
@@ -248,17 +256,17 @@ class FeedRotation(Term):
     def __init__(self, configuration, feed_type, corrs):
         if configuration not in {"left", "right"}:
             raise ValueError(
-                f"FeedRotation configuration must be either 'left' or "
+                f"FeedRotation configuration placement must be 'left' or "
                 f"'right'. Got {configuration}"
             )
         if feed_type not in {"linear", "circular"}:
             raise ValueError(
-                f"FeedRotation feed_type must be either 'linear' or "
+                f"FeedRotation feed_type must be 'linear' or "
                 f"'circular'. Got {feed_type}"
             )
         if len(corrs) != 4:
             raise ValueError(
-                f"Four correlations required for feed rotation but "
+                f"feed rotation needs 4 correlations; got "
                 f"{corrs} were specified"
             )
         super().__init__(configuration)
@@ -310,7 +318,7 @@ class BeamCubeDDE(Term):
     def __init__(self, configuration, corrs):
         if configuration not in {"left", "right"}:
             raise ValueError(
-                f"BeamCubeDDE configuration must be either 'left' or "
+                f"BeamCubeDDE configuration placement must be 'left' or "
                 f"'right'. Got {configuration}"
             )
         super().__init__(configuration)

@@ -32,7 +32,7 @@ def _sign_for(convention):
         return -1.0
     if convention == "casa":
         return 1.0
-    raise ValueError("convention not in ('fourier', 'casa')")
+    raise ValueError("convention must be 'fourier' or 'casa', not in standard set")
 
 
 def _real_phase(lm, uvw, frequency, convention, real_dtype):

@@ -42,9 +42,9 @@ def _check_args(dde1, coh, dde2, die1, bvis, die2):
     have_dies1, have_dies2 = die1 is not None, die2 is not None
 
     if have_ddes1 ^ have_ddes2:
-        raise ValueError("Both dde1_jones and dde2_jones must be present or absent")
+        raise ValueError("dde1_jones and dde2_jones must be present or absent together")
     if have_dies1 ^ have_dies2:
-        raise ValueError("Both die1_jones and die2_jones must be present or absent")
+        raise ValueError("die1_jones and die2_jones must be present or absent together")
 
     have_ddes = have_ddes1 and have_ddes2
     have_coh = coh is not None
@@ -57,13 +57,13 @@ def _check_args(dde1, coh, dde2, die1, bvis, die2):
     if have_ddes and ndim(dde1) not in (5, 6):
         raise ValueError(f"dde1_jones.ndim {ndim(dde1)} not in (5, 6)")
     if have_ddes and ndim(dde1) != ndim(dde2):
-        raise ValueError("dde1_jones.ndim != dde2_jones.ndim")
+        raise ValueError("dde1_jones and dde2_jones rank mismatch")
     if have_coh and ndim(coh) not in (4, 5):
         raise ValueError(f"source_coh.ndim {ndim(coh)} not in (4, 5)")
     if have_dies and ndim(die1) not in (4, 5):
         raise ValueError(f"die1_jones.ndim {ndim(die1)} not in (4, 5)")
     if have_dies and ndim(die1) != ndim(die2):
-        raise ValueError("die1_jones.ndim != die2_jones.ndim")
+        raise ValueError("die1_jones and die2_jones rank mismatch")
     if have_bvis and ndim(bvis) not in (3, 4):
         raise ValueError(f"base_vis.ndim {ndim(bvis)} not in (3, 4)")
 
@@ -83,7 +83,7 @@ def _check_args(dde1, coh, dde2, die1, bvis, die2):
         sizes.append([n + 2, n + 1, n, n + 1])
     if not all(sizes[0] == s for s in sizes[1:]):
         raise ValueError(
-            "One of the following pre-conditions is broken "
+            "A rank pre-condition failed "
             "(missing values are ignored):\n"
             "dde_jones{1,2}.ndim == source_coh.ndim + 1\n"
             "dde_jones{1,2}.ndim == base_vis.ndim + 2\n"
@@ -101,7 +101,7 @@ def _check_args(dde1, coh, dde2, die1, bvis, die2):
         full = ndim(bvis) == 4
     else:
         raise ValueError(
-            "Insufficient inputs were supplied for determining the output shape"
+            "Insufficient inputs to infer the output visibility shape"
         )
 
     return have_ddes, have_coh, have_dies, have_bvis, full
@@ -243,7 +243,7 @@ def predict_vis_ri(
 
     if out is None:
         raise ValueError(
-            "Insufficient inputs were supplied for determining the output shape"
+            "Insufficient inputs to infer the output visibility shape"
         )
     return out
 
@@ -268,7 +268,7 @@ def predict_vis(
     present = [jnp.asarray(a) for a in opt if a is not None]
     if not present:
         raise ValueError(
-            "Insufficient inputs were supplied for determining the output shape"
+            "Insufficient inputs to infer the output visibility shape"
         )
     out_dtype = jnp.result_type(*(a.dtype for a in present))
     if not jnp.issubdtype(out_dtype, jnp.complexfloating):
@@ -307,7 +307,24 @@ def apply_gains_ri(time_index, antenna1, antenna2, gains1, vis, gains2) -> Cplx:
 
 
 def apply_gains(time_index, antenna1, antenna2, gains1, vis, gains2):
-    """Complex-dtype apply_gains (reference API parity)."""
+    """Apply direction-independent gains to visibilities.
+
+    ``G_p · V_pq · G_q^H`` per row — a convenience alias for
+    :func:`predict_vis` with only ``die{1,2}_jones`` and ``base_vis``
+    set (reference ``rime/predict.py:622``).
+
+    Parameters
+    ----------
+    time_index : (row,) int, index of each row's unique time
+    antenna1, antenna2 : (row,) int antenna indices
+    gains1, gains2 : (time, ant, chan, corr...) complex gains
+        (corr as 1/2/2x2 trailing dims, like predict_vis DIE terms)
+    vis : (row, chan, corr...) complex visibilities
+
+    Returns
+    -------
+    (row, chan, corr...) complex corrupted visibilities.
+    """
     return predict_vis(
         time_index,
         antenna1,

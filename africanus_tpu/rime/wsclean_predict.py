@@ -55,7 +55,7 @@ def wsclean_predict_ri(
 
     stype = np.asarray(source_type)
     if not np.all(np.isin(stype, ("POINT", "GAUSSIAN"))):
-        raise ValueError("source_type must be POINT or GAUSSIAN")
+        raise ValueError("unknown source_type; expected POINT or GAUSSIAN")
     is_gauss = jnp.asarray(stype == "GAUSSIAN")
 
     spectrum = spectra(flux, coeffs, log_poly, ref_freq, frequency)  # (src, chan)
@@ -96,7 +96,28 @@ def wsclean_predict_ri(
 def wsclean_predict(
     uvw, lm, source_type, flux, coeffs, log_poly, ref_freq, gauss_shape, frequency
 ):
-    """Complex-dtype WSClean predict: (row, chan, 1) visibilities."""
+    """Predict visibilities from a WSClean component list (complex).
+
+    Point and gaussian components with ordinary/logarithmic polynomial
+    spectra, as read by :func:`africanus_tpu.model.wsclean.load`
+    (reference ``rime/wsclean_predict.py:87``).
+
+    Parameters
+    ----------
+    uvw : (row, 3) float metres
+    lm : (src, 2) float direction cosines w.r.t. the phase centre
+    source_type : (src,) str — "POINT" or "GAUSSIAN"
+    flux : (src,) float Jy at ref_freq
+    coeffs : (src, ncoeff) float spectral coefficients
+    log_poly : (src,) bool — logarithmic (True) or ordinary polynomial
+    ref_freq : (src,) float Hz
+    gauss_shape : (src, 3) float (emaj, emin, position angle) radians
+    frequency : (chan,) float Hz
+
+    Returns
+    -------
+    (row, chan, 1) complex visibilities.
+    """
     out_dtype = jnp.result_type(
         jnp.complex64,
         *(jnp.asarray(a).dtype for a in (uvw, lm, flux, coeffs, ref_freq, frequency)),

@@ -58,28 +58,28 @@ def beam_factory(
     cdelt = extent_deg / (npix - 1)
 
     cards = [
-        ("OBSERVER", "Astronomer McAstronomerFace"),
+        ("OBSERVER", "Synthetic Beam Factory"),
         ("ORIGIN", "Artificial"),
         ("TELESCOP", "Telescope"),
         ("OBJECT", "beam"),
         ("EQUINOX", 2000.0),
         # axis 1: X (l)
-        ("CTYPE1", "X", "points right on the sky"),
+        ("CTYPE1", "X", "increases rightward on the sky"),
         ("CUNIT1", "DEG", "degrees"),
-        ("CRPIX1", crpix, "reference pixel (one relative)"),
+        ("CRPIX1", crpix, "reference pixel, 1-based"),
         ("CRVAL1", crval, "degrees"),
         ("CDELT1", cdelt, "degrees"),
         # axis 2: Y (m)
-        ("CTYPE2", "Y", "points up on the sky"),
+        ("CTYPE2", "Y", "increases upward on the sky"),
         ("CUNIT2", "DEG", "degrees"),
-        ("CRPIX2", crpix, "reference pixel (one relative)"),
+        ("CRPIX2", crpix, "reference pixel, 1-based"),
         ("CRVAL2", crval, "degrees"),
         ("CDELT2", cdelt, "degrees"),
         # axis 3: FREQ
         ("CTYPE3", "FREQ"),
-        ("CRPIX3", 1, "reference frequency position"),
-        ("CRVAL3", float(gfrequency[0]), "reference frequency"),
-        ("CDELT3", float(bandwidth_delta), "frequency step in Hz"),
+        ("CRPIX3", 1, "index of the reference frequency"),
+        ("CRVAL3", float(gfrequency[0]), "frequency at the reference pixel"),
+        ("CDELT3", float(bandwidth_delta), "channel step in Hz"),
     ]
 
     # irregular frequency grid, jittered except at the endpoints

@@ -47,9 +47,9 @@ def axis_and_sign(ax_str, default=None):
     if not ax_str:
         if default:
             return default, 1.0
-        raise ValueError("Need default if ax_str is None")
+        raise ValueError("a default is required when ax_str is None")
     if not isinstance(ax_str, str):
-        raise TypeError("ax_str must be a string")
+        raise TypeError("ax_str must be a str")
     return (ax_str[1:], -1.0) if ax_str[0] == "-" else (ax_str, 1.0)
 
 
@@ -112,11 +112,11 @@ def beam_grids(header, l_axis=None, m_axis=None):
             freq = i
 
     if l is None:
-        raise ValueError("No L/X/PX axis present in FITS header")
+        raise ValueError("FITS header lacks an L/X/PX axis")
     if m is None:
-        raise ValueError("No M/Y/PY axis present in FITS header")
+        raise ValueError("FITS header lacks an M/Y/PY axis")
     if freq is None:
-        raise ValueError("No FREQ axis present in FITS header")
+        raise ValueError("FITS header lacks a FREQ axis")
 
     l_sign = axis_and_sign(l_axis, "L")[1]
     m_sign = axis_and_sign(m_axis, "M")[1]

@@ -10,7 +10,7 @@ __all__ = ["parse_python_assigns"]
 _BUILTIN_WHITELIST = frozenset(["slice"])
 _missing = _BUILTIN_WHITELIST.difference(dir(builtins))
 if _missing:
-    raise ValueError(f"'{list(_missing)}' are not valid builtin functions.")
+    raise ValueError(f"'{list(_missing)}' are not permitted builtin callables.")
 
 
 def parse_python_assigns(assign_str):

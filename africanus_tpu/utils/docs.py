@@ -13,7 +13,10 @@ __all__ = ["DocstringTemplate", "doc_tuple_to_str", "mod_docs", "DefaultOut"]
 
 
 class DocstringTemplate(Template):
-    """string.Template with ``$(name)`` style placeholders."""
+    """``string.Template`` variant whose placeholders are written
+    ``$(name)`` — the reference's docstring-substitution convention
+    (``util/docs.py``), used to share one docstring across array-type
+    variants by substituting e.g. ``$(array_type)``."""
 
     pattern = r"""
     \$(?:
@@ -38,7 +41,10 @@ class DefaultOut:
 
 
 def mod_docs(docstring, replacements):
-    """Apply (pattern, replacement) pairs to a docstring."""
+    """Return ``docstring`` with each (pattern, replacement) pair
+    applied as a plain-text substitution — the reference's helper for
+    rewriting numpy-variant docs into dask-variant docs
+    (``util/docs.py`` mod_docs)."""
     for pattern, replacement in replacements:
         docstring = docstring.replace(pattern, replacement)
     return docstring

@@ -63,7 +63,11 @@ class EstimatingProgressBar:
 
 
 def progress(iterable, total=None, **kwargs):
-    """Iterate with an EstimatingProgressBar."""
+    """Wrap an iterable with an :class:`EstimatingProgressBar`
+    (remaining-time estimate from completed-item durations, the
+    reference's dask callback re-imagined for plain loops —
+    ``util/dask_util.py:151``). ``total`` defaults to ``len(list)``.
+    """
     items = list(iterable) if total is None else iterable
     total = len(items) if total is None else total
     bar = EstimatingProgressBar(total, **kwargs)

@@ -13,6 +13,12 @@ __all__ = ["requires_optional", "MissingPackageException"]
 
 
 class MissingPackageException(Exception):
+    """Raised when a function decorated with
+    :func:`requires_optional` is CALLED while any of its optional
+    dependencies is missing (import-time stays silent so one install
+    serves all feature subsets — reference ``util/requirements.py``).
+    """
+
     def __init__(self, fn_name, packages):
         super().__init__(
             f"{fn_name} requires installation of the following packages: "

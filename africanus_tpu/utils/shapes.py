@@ -19,9 +19,9 @@ def aggregate_chunks(chunks, max_chunks):
     singleton = len(max_chunks) == 1
 
     if len(chunks) != len(max_chunks):
-        raise ValueError("len(chunks) != len(max_chunks)")
+        raise ValueError("chunks and max_chunks differ in length")
     if not all(len(chunks[0]) == len(c) for c in chunks):
-        raise ValueError("Number of chunks do not match")
+        raise ValueError("chunk tuple lengths differ")
 
     agg = [[] for _ in max_chunks]
     counts = [0] * len(max_chunks)

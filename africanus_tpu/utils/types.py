@@ -24,7 +24,10 @@ def complex_dtype_for(*arrays):
 
 
 def real_dtype_for(*arrays):
-    """Smallest real float dtype covering every input's precision."""
+    """Smallest real floating dtype covering every input's precision
+    (complex inputs count as their component float). At least float32;
+    float64 only when an input is 64-bit — the TPU path feeds float32
+    throughout, the CPU oracle float64."""
     dtypes = []
     for a in arrays:
         dt = jnp.asarray(a).dtype

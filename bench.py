@@ -18,7 +18,9 @@ results ride in "configs".
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 import traceback
 
@@ -27,6 +29,91 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from africanus_tpu.constants import c as C_LIGHT  # noqa: E402
+
+# --- deadline harness (round-3 verdict directive 1) ------------------
+# The round-3 bench timed out compiling widened Pallas kernels and the
+# driver recorded `parsed: null`. The JSON line must ALWAYS appear:
+#  - a global wall-clock deadline (env-overridable, default 480 s from
+#    process start) is enforced by a watchdog THREAD that emits the
+#    partial JSON and _exits — signals can't interrupt a wedged remote
+#    Mosaic compile (a blocking C/HTTP call), a thread can;
+#  - SIGTERM/SIGINT (the driver's `timeout`) also emit before dying;
+#  - configs run headline-first and are soft-skipped when the remaining
+#    budget is below their historical floor, recorded as
+#    {"name": ..., "skipped": "deadline"}.
+_T0 = time.monotonic()
+_DEADLINE_S = float(os.environ.get("AFRICANUS_TPU_BENCH_DEADLINE", "480"))
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+# (name, fn-key, minimum seconds of budget to even start) in run order
+_PLAN = [
+    ("config2_rime_predict", "config2", 60.0),
+    ("config1_dft_im_to_vis", "config1", 45.0),
+    ("config4_wgridder_bda", "config4", 120.0),
+    ("config5_selfcal_loop", "config5", 60.0),
+    ("config3_beam_dde_chain", "config3", 75.0),
+]
+_STATE = {"configs": {}, "fallback": False}
+
+
+def _elapsed():
+    return time.monotonic() - _T0
+
+
+def _remaining():
+    return _DEADLINE_S - _elapsed()
+
+
+def _emit_json(reason=""):
+    """Print the ONE JSON line from whatever has completed. Idempotent;
+    callable from the watchdog thread, signal handlers, and main."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+    configs = []
+    headline = None
+    for name, _key, _floor in _PLAN:
+        res = _STATE["configs"].get(name)
+        if res is None:
+            res = dict(name=name, skipped="deadline")
+        configs.append(res)
+        if name == "config2_rime_predict" and "value" in res:
+            headline = res
+    result = {
+        "metric": "MeerKAT-64 full RIME predict (K*gauss*B 4-corr, DIE gains)",
+        "value": headline["value"] if headline else 0.0,
+        "unit": "Mvis/s",
+        "vs_baseline": headline["vs_baseline"] if headline else 0.0,
+        "baseline": "numpy-f64 vectorised single CPU (numba unavailable)",
+        "max_rel_err_vs_f64": headline["max_rel_err"] if headline else 1.0,
+        "platform": ("cpu-fallback (TPU tunnel unreachable; reduced "
+                     "shapes, not TPU numbers)")
+                    if _STATE["fallback"] else "tpu",
+        "elapsed_s": round(_elapsed(), 1),
+        "configs": configs,
+    }
+    if reason:
+        result["partial"] = reason
+    print(json.dumps(result), flush=True)
+
+
+def _watchdog():
+    """Emit + hard-exit at the deadline even if the main thread is
+    wedged inside an uninterruptible call (remote compile)."""
+    slack = _remaining()
+    if slack > 0:
+        time.sleep(slack)
+    log(f"DEADLINE {_DEADLINE_S:.0f}s hit; emitting partial JSON")
+    _emit_json(reason=f"deadline {_DEADLINE_S:.0f}s")
+    os._exit(0)
+
+
+def _on_signal(signum, frame):
+    log(f"signal {signum}; emitting partial JSON")
+    _emit_json(reason=f"signal {signum}")
+    os._exit(0)
 
 # Set by main() when the TPU backend is unreachable (the axon tunnel
 # HANGS rather than erroring when down, so a dead tunnel would
@@ -37,22 +124,27 @@ from africanus_tpu.constants import c as C_LIGHT  # noqa: E402
 FALLBACK_CPU = False
 
 
-def _probe_device(timeout_s=300.0):
+def _probe_device(timeout_s=120.0):
     """True iff the default (TPU) backend answers a tiny fetch within
     ``timeout_s``. Runs in a subprocess because backend init itself can
-    hang indefinitely on a dead tunnel."""
+    hang indefinitely on a dead tunnel. A HEALTHY tunnel cold-start
+    measures ~75 s (backend init + first compile), so 60 s would
+    false-fallback; the watchdog deadline still bounds the total."""
     import subprocess
 
     code = ("import jax, numpy as np; "
             "x = jax.jit(lambda a: a * 2)(np.float32(21.0)); "
             "assert float(np.asarray(x)) == 42.0")
-    try:
-        subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                       check=True, capture_output=True)
-        return True
-    except Exception as e:
-        log(f"TPU probe failed: {type(e).__name__}")
-        return False
+    for attempt in (1, 2):  # one retry: transient host load can push a
+        # healthy ~75 s cold-start past the limit
+        try:
+            subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, check=True,
+                           capture_output=True)
+            return True
+        except Exception as e:
+            log(f"TPU probe attempt {attempt} failed: {type(e).__name__}")
+    return False
 
 
 def log(msg):
@@ -851,9 +943,14 @@ def config5_selfcal():
 def main():
     global FALLBACK_CPU
 
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     if (os.environ.get("AFRICANUS_TPU_BENCH_CPU", "") == "1"
             or not _probe_device()):
         FALLBACK_CPU = True
+        _STATE["fallback"] = True
 
     import jax
 
@@ -864,38 +961,35 @@ def main():
         log("TPU unreachable - CPU fallback (reduced shapes; results "
             "are NOT TPU numbers)")
 
-    log(f"device: {jax.devices()[0]}")
-    configs = []
-    headline = None
-    for fn in (config1_dft, config2_predict, config3_beam,
-               config4_imaging, config5_selfcal):
-        t0 = time.perf_counter()
-        try:
-            res = fn()
-            log(f"{res['name']}: {res['value']} {res['unit']} "
-                f"({res['vs_baseline']}x baseline, "
-                f"roofline {res['roofline_frac']} ({res.get('bound', '?')}-bound), "
-                f"err {res['max_rel_err']:.2e}) "
-                f"[{time.perf_counter() - t0:.0f}s]")
-        except Exception as e:  # pragma: no cover - defensive
-            log(traceback.format_exc())
-            res = dict(name=fn.__name__, error=f"{type(e).__name__}: {e}")
-        configs.append(res)
-        if res.get("name") == "config2_rime_predict" and "value" in res:
-            headline = res
-
-    result = {
-        "metric": "MeerKAT-64 full RIME predict (K*gauss*B 4-corr, DIE gains)",
-        "value": headline["value"] if headline else 0.0,
-        "unit": "Mvis/s",
-        "vs_baseline": headline["vs_baseline"] if headline else 0.0,
-        "baseline": "numpy-f64 vectorised single CPU (numba unavailable)",
-        "max_rel_err_vs_f64": headline["max_rel_err"] if headline else 1.0,
-        "platform": ("cpu-fallback (TPU tunnel unreachable; reduced "
-                     "shapes, not TPU numbers)") if FALLBACK_CPU else "tpu",
-        "configs": configs,
-    }
-    print(json.dumps(result))
+    log(f"device: {jax.devices()[0]} "
+        f"(deadline {_DEADLINE_S:.0f}s, {_remaining():.0f}s left)")
+    fns = {"config1": config1_dft, "config2": config2_predict,
+           "config3": config3_beam, "config4": config4_imaging,
+           "config5": config5_selfcal}
+    try:
+        for name, key, floor in _PLAN:
+            left = _remaining()
+            if left < floor:
+                log(f"{name}: skipped (needs ~{floor:.0f}s, "
+                    f"{left:.0f}s left)")
+                _STATE["configs"][name] = dict(
+                    name=name, skipped="deadline")
+                continue
+            t0 = time.perf_counter()
+            try:
+                res = fns[key]()
+                log(f"{res['name']}: {res['value']} {res['unit']} "
+                    f"({res['vs_baseline']}x baseline, roofline "
+                    f"{res['roofline_frac']} "
+                    f"({res.get('bound', '?')}-bound), "
+                    f"err {res['max_rel_err']:.2e}) "
+                    f"[{time.perf_counter() - t0:.0f}s]")
+            except Exception as e:  # pragma: no cover - defensive
+                log(traceback.format_exc())
+                res = dict(name=name, error=f"{type(e).__name__}: {e}")
+            _STATE["configs"][name] = res
+    finally:
+        _emit_json()
 
 
 if __name__ == "__main__":

@@ -33,6 +33,88 @@ from africanus_tpu.utils.debug import (  # noqa: E402
 )
 
 
+# --- fast/slow tiers -------------------------------------------------
+# The full suite is ~28 min on a 1-vCPU box; the heavy parity sweeps
+# below (measured >5 s each, ~70% of the wall) are marked `slow` and
+# excluded by default (pyproject addopts -m "not slow"). Run them with
+# `pytest -m slow` (round-end / CI full pass); `pytest -m ""` runs both.
+# Every kernel keeps at least one fast oracle test.
+SLOW_TESTS = {
+    # test_wgridder.py
+    "test_pallas_multi_corr_tiles_match_per_corr",
+    "test_grid_degrid_adjoint_identity",
+    "test_awkward_grid_size_falls_back_to_scatter",
+    "test_dirty_vs_explicit",
+    "test_dirty_f32_accuracy_bound",
+    "test_model_vs_explicit",
+    "test_pallas_tile_gridding_matches_scatter",
+    # test_parallel.py
+    "test_sharded_pp_tiles_matches_local",
+    "test_sharded_dirty_pallas_tiles",
+    "test_sharded_pp_gridder_matches_local",
+    "test_sharded_residual_matches_local",
+    "test_sharded_dirty_and_psf",
+    "test_sharded_residual_vis_and_gauss_newton",
+    "test_sharded_degrid_matches_local",
+    "test_sharded_rime_predict_2d_mesh",
+    "test_sharded_im_to_vis",
+    "test_sharded_vis_to_im",
+    # test_plan_caches.py
+    "test_sharded_imaging_does_not_mutate_cached_plan",
+    # test_fused_rime.py
+    "test_fused_nonblocked_compensation_f32",
+    "test_fused_rime_chunk_sweep",
+    "test_fused_rime_beam_term",
+    # test_bda_mapping_synth.py
+    "test_bda_mapper_synthesized",
+    "test_bda_mapper_auto_corrs_single_channel",
+    # test_pallas_grid.py
+    "test_wstack_mxu_grid_matches_scatter",
+    "test_wstack_fused_matches_virtual_samples",
+    "test_2d_mxu_grid_degrid_match_scatter",
+    "test_grid_tiles_wide_support_oracle",
+    "test_grid_tiles_wrap_oracle",
+    "test_grid_tiles_planes_and_scale",
+    # test_dft.py
+    "test_im_to_vis_pallas_matches_einsum",
+    "test_pallas_dft_block_policy_sweep",
+    "test_im_to_vis_pallas_forward",
+    "test_vis_to_im_pallas_chan_groups",
+    "test_vis_to_im_pallas_matches_einsum",
+    "test_symmetric_covariance",
+    "test_pallas_dft_vs_literal_numpy_oracle",
+    # test_dfloat.py
+    "test_compensated_sum_beats_plain_f32",
+    "test_compensated_sum_axes_and_odd_lengths",
+    # test_wgridder_sweep.py (whole-module heavy sweeps)
+    "test_adjointness",
+    "test_residual_consistency",
+    "test_dirty_band_sweep",
+    "test_model_band_sweep",
+    "test_dirty_double_accum",
+    # test_beam.py
+    "test_beam_cube_dde_pallas_chan_invariant",
+    "test_beam_cube_dde_pallas_out_of_cube_freqs",
+    "test_beam_cube_dde_parity",
+    # test_examples.py
+    "test_selfcal_ms_store_example",
+    "test_more_examples",
+    "test_predict_to_ms_store_example",
+    # misc
+    "test_hogbom_converges_on_gridded_psf",
+    "test_checkpoint_roundtrip",
+    "test_shapelet_w_term",
+    "test_zernike_dde_parity",
+    "test_wcorrection_faceting_backward",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(autouse=True)
 def _nan_sanitizer():
     """Opt-in NaN sanitizer (AFRICANUS_TPU_DEBUG_NANS=1): every jitted

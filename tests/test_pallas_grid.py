@@ -214,10 +214,12 @@ def test_degrid_tiles_spot_oracle(rng):
         assert_allclose(np.asarray(o_re)[i], acc, rtol=2e-4, atol=2e-5)
 
 
-def test_wstack_fused_matches_virtual_samples(rng):
+@pytest.mark.parametrize("merge", [1, 4])
+def test_wstack_fused_matches_virtual_samples(rng, merge):
     """The multi-plane w-stack kernel (one entry per sample spreading to
     all touched planes) must reproduce the per-plane virtual-sample
-    formulation exactly (interpret mode)."""
+    formulation exactly (interpret mode), with and without the
+    register-merge RMW batching."""
     import jax.numpy as jnp
     from africanus_tpu.ops.pallas_grid import (
         assemble_wstack_tiles, grid_tiles_wstack_pallas, plan_tiles_wstack,
@@ -256,7 +258,7 @@ def test_wstack_fused_matches_virtual_samples(rng):
     # fused formulation: one entry per sample
     plan_new = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
                                  p0=iw0, wscales=kw.T, nplanes=nplanes,
-                                 group=64)
+                                 group=64, merge=merge)
     t2_re, t2_im = grid_tiles_wstack_pallas(
         plan_new, jnp.asarray(vre), jnp.asarray(vre) * 0.0, interpret=True
     )
@@ -455,3 +457,56 @@ def test_2d_mxu_grid_degrid_match_scatter(rng):
                     atol=3e-5)
     assert_allclose(np.asarray(x_im), np.asarray(o_im), rtol=2e-4,
                     atol=3e-5)
+
+
+def test_wstack_merge_plan_invariants(rng):
+    """Merged plans must make every aligned merge-block of entries share
+    one RMW address (tile, p0, row block) with a REAL leading entry, and
+    place every real sample exactly once."""
+    from africanus_tpu.ops.pallas_grid import plan_tiles_wstack
+
+    w, beta = 6, 2.3 * 6
+    nu = nv = 64
+    nplanes = 12
+    n = 777
+    merge = 4
+    iu0, iv0, uf, vf = _problem(rng, n, nu, nv)
+    wpos = rng.uniform(w / 2, nplanes - w / 2 - 1, n)
+    iw0 = np.floor(wpos).astype(np.int64) - (w // 2 - 1)
+    offs = np.arange(w)
+    kw = es_np((wpos[:, None] - (iw0[:, None] + offs)) / (w / 2.0), beta)
+
+    plan = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                             p0=iw0, wscales=kw.T, nplanes=nplanes,
+                             group=64, merge=merge)
+    assert plan["merge"] == merge
+    group = plan["group"]
+    sp = plan["sample_pack"].reshape(-1)
+    irp = plan["ir_loc"].reshape(-1)
+    p0p = plan["p0"].reshape(-1)
+    wscp = plan["wsc"]  # (ngroups, w, group)
+
+    # every real sample appears exactly once at its vis_slot
+    slots = plan["vis_slot"]
+    assert len(np.unique(slots)) == n
+    assert (sp[slots] == np.arange(n)).all()
+
+    # per aligned merge block: constant (p0, ir) and a real lead (inert
+    # fill entries carry all-zero w-taps)
+    real = np.zeros(sp.size, bool)
+    real[slots] = True
+    nblocks = sp.size // merge
+    p0b = p0p.reshape(nblocks, merge)
+    irb = irp.reshape(nblocks, merge)
+    realb = real.reshape(nblocks, merge)
+    taps = np.moveaxis(wscp, 1, 2).reshape(nblocks, merge, w)
+    any_real = realb.any(axis=1)
+    # the kernel reads the block's RMW address from its LEAD entry: every
+    # real entry must share (p0, ir) with the lead (inert fill entries
+    # keep defaults but have all-zero taps, so their address is unread)
+    assert ((p0b == p0b[:, :1]) | ~realb).all()
+    assert ((irb == irb[:, :1]) | ~realb).all()
+    # blocks containing any real entry lead with a real entry
+    assert realb[any_real, 0].all()
+    # inert entries contribute nothing (zero taps)
+    assert not taps[~realb].any()

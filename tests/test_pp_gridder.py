@@ -41,7 +41,7 @@ def test_stokes_policies_roundtrip(rng):
     back = policies.corr2stokes(corr, "I_FROM_XXXYYXYY")
     assert_allclose(np.asarray(back.re), np.asarray(v.re), rtol=1e-12)
 
-    with pytest.raises(ValueError, match="Invalid stokes conversion"):
+    with pytest.raises(ValueError, match="Invalid stokes mapping"):
         policies.corr2stokes(corr, "BOGUS")
     assert policies.ncorr_out("XXYY_FROM_I") == 2
 

@@ -75,22 +75,30 @@ def _problem(nrow, nchan, nx, cell, precision, seed=420):
 @pmp("precision", ("single", "double"))
 @pmp("epsilon", (1e-3, 1e-4))
 @pmp("weighted", (False, True))
-def test_dirty_band_sweep(ny, nchan, nband, precision, epsilon, weighted):
+@pmp("wstacking", (True, False))
+def test_dirty_band_sweep(ny, nchan, nband, precision, epsilon, weighted,
+                          wstacking):
     """Per-band dirty reaches the requested epsilon against the explicit
-    w-aware DFT across band splits, precisions and weights (reference
-    test_gridder, test_wgridder.py:48-110)."""
+    w-aware DFT across band splits, precisions, weights and the
+    w-stacking toggle (reference test_gridder, test_wgridder.py:48-110;
+    the reference sweeps do_wstacking the same way). Without w-stacking
+    the oracle drops the w phase term, matching ducc0 semantics."""
     if nband > nchan:
         pytest.skip("nband > nchan")
     nx, fov, nrow = 16, 5.0, 400
     cell = fov * np.pi / 180 / nx
     freq, uvw, vis, wgt = _problem(nrow, nchan, nx, cell, precision)
+    if not wstacking:
+        # planar-array limit: the no-wstacking gridder is only exact
+        # for w == 0, like the reference's test problems
+        uvw[:, 2] = 0.0
     if not weighted:
         wgt = None
     fbi, fbc = _bands(nchan, nband)
 
     img = np.asarray(
         dirty(uvw, freq, vis, fbi, fbc, nx, ny, cell, weights=wgt,
-              epsilon=epsilon, do_wstacking=True)
+              epsilon=epsilon, do_wstacking=wstacking)
     )
     assert img.shape == (fbi.size, nx, ny)
     ref = np.stack(
@@ -152,13 +160,18 @@ def test_adjointness(fov, nrow, nchan, nband, precision):
 
 @pmp("precision", ("single", "double"))
 @pmp("nband", (1, 2))
-def test_residual_consistency(precision, nband):
+@pmp("weighted", (False, True))
+@pmp("wstacking", (True, False))
+def test_residual_consistency(precision, nband, weighted, wstacking):
     """residual() == dirty(vis) − dirty(degrid(image)) to epsilon
-    (reference test_residual, test_wgridder.py:205-275)."""
+    (reference test_residual, test_wgridder.py:205-275), across weights
+    and the w-stacking toggle."""
     nx, ny, fov, nrow, nchan = 24, 24, 1.0, 500, 4
     cell = fov * np.pi / 180 / nx
     freq, uvw, vis, wgt = _problem(nrow, nchan, nx, cell, precision,
                                    seed=21)
+    if not weighted:
+        wgt = None
     fbi, fbc = _bands(nchan, nband)
     rng = np.random.default_rng(22)
     image = rng.normal(size=(fbi.size, nx, ny)).astype(
@@ -167,15 +180,15 @@ def test_residual_consistency(precision, nband):
 
     res = np.asarray(
         residual(uvw, freq, image, vis, fbi, fbc, cell, weights=wgt,
-                 epsilon=1e-4, do_wstacking=True)
+                 epsilon=1e-4, do_wstacking=wstacking)
     )
     mvis = np.asarray(
         model(uvw, freq, image, fbi, fbc, cell, epsilon=1e-4,
-              do_wstacking=True)
+              do_wstacking=wstacking)
     )
     ref = np.asarray(
         dirty(uvw, freq, vis - mvis, fbi, fbc, nx, ny, cell, weights=wgt,
-              epsilon=1e-4, do_wstacking=True)
+              epsilon=1e-4, do_wstacking=wstacking)
     )
     tol = 1e-4 if precision == "double" else 1e-3
     assert _l2error(res, ref) < tol
@@ -214,3 +227,97 @@ def test_hessian_consistency(precision):
     # probe: <x, H x> >= 0
     quad = float(np.sum(image.astype(np.float64) * hess))
     assert quad > -1e-6 * np.abs(hess).max()
+
+
+def explicit_degridder(uvw, freq, image, nx, ny, cellx, celly):
+    """Forward of :func:`explicit_gridder`: image -> vis by direct
+    w-aware DFT (reference test_wgridder.py degridder oracle)."""
+    x, y = np.meshgrid(
+        *[-s / 2 + np.arange(s) for s in (nx, ny)], indexing="ij"
+    )
+    x = x * cellx
+    y = y * celly
+    eps = x**2 + y**2
+    nm1 = -eps / (np.sqrt(1.0 - eps) + 1.0)
+    phase = (freq[None, :, None, None] / C) * (
+        x[None, None] * uvw[:, 0, None, None, None]
+        + y[None, None] * uvw[:, 1, None, None, None]
+        - uvw[:, 2, None, None, None] * nm1[None, None]
+    )
+    return (image[None, None] * np.exp(-2j * np.pi * phase)).sum(
+        axis=(2, 3)
+    )
+
+
+@pmp("precision", ("single", "double"))
+@pmp("epsilon", (1e-3, 1e-4))
+@pmp("nband", (1, 2))
+@pmp("wstacking", (True, False))
+def test_model_band_sweep(precision, epsilon, nband, wstacking):
+    """Per-band degrid (model) tracks the requested epsilon against the
+    explicit w-aware forward DFT. This EXCEEDS the reference's coverage
+    — its suite only exercises dirty2ms through the adjointness identity
+    (test_wgridder.py:125) — so the bound is 2·epsilon: the ES kernel's
+    truncation constant is direction-dependent and the forward direction
+    measures ~1.45× the adjoint's at epsilon 1e-4."""
+    nx, ny, fov, nrow, nchan = 16, 20, 2.0, 400, 4
+    cell = fov * np.pi / 180 / nx
+    freq, uvw, _, _ = _problem(nrow, nchan, nx, cell, precision, seed=41)
+    if not wstacking:
+        uvw[:, 2] = 0.0
+    fbi, fbc = _bands(nchan, nband)
+    rng = np.random.default_rng(42)
+    image = rng.normal(size=(fbi.size, nx, ny)).astype(
+        np.float32 if precision == "single" else np.float64
+    )
+
+    mvis = np.asarray(
+        model(uvw, freq, image, fbi, fbc, cell, epsilon=epsilon,
+              do_wstacking=wstacking)
+    )
+    ref = np.concatenate(
+        [
+            explicit_degridder(uvw, freq[i : i + c], image[b], nx, ny,
+                               cell, cell)
+            for b, (i, c) in enumerate(zip(fbi, fbc))
+        ],
+        axis=1,
+    )
+    floor = 3e-5 if precision == "single" else 0.0
+    assert _l2error(mvis, ref) <= max(2 * epsilon, floor)
+
+
+@pmp("wstacking", (True, False))
+@pmp("weighted", (False, True))
+def test_dirty_double_accum(wstacking, weighted):
+    """``double_accum=True`` on the f32 path lands within a few f32
+    ulps of the full-f64 computation — strictly closer than the plain
+    f32 accumulation (reference double_precision_accumulation leg,
+    vis2im.py:55-71)."""
+    nx = ny = 16
+    fov, nrow, nchan = 2.0, 600, 3
+    cell = fov * np.pi / 180 / nx
+    freq, uvw, vis, wgt = _problem(nrow, nchan, nx, cell, "single",
+                                   seed=51)
+    if not wstacking:
+        uvw[:, 2] = 0.0
+    if not weighted:
+        wgt = None
+    fbi, fbc = _bands(nchan, 1)
+
+    kw = dict(weights=wgt, epsilon=1e-4, do_wstacking=wstacking)
+    img32 = np.asarray(dirty(uvw, freq, vis, fbi, fbc, nx, ny, cell,
+                             **kw))
+    img_da = np.asarray(dirty(uvw, freq, vis, fbi, fbc, nx, ny, cell,
+                              double_accum=True, **kw))
+    img64 = np.asarray(
+        dirty(uvw.astype(np.float64), freq.astype(np.float64),
+              vis.astype(np.complex128),
+              fbi, fbc, nx, ny, cell,
+              weights=None if wgt is None else wgt.astype(np.float64),
+              epsilon=1e-4, do_wstacking=wstacking)
+    )
+    e_da = _l2error(img_da.astype(np.float64), img64)
+    e_32 = _l2error(img32.astype(np.float64), img64)
+    assert e_da <= e_32 + 1e-12
+    assert e_da < 3e-6

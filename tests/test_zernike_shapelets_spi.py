@@ -214,7 +214,7 @@ def test_fit_spi_components(rng):
     assert_allclose(out[2], i0_true, rtol=1e-4)
     assert np.all(out[1] >= 0) and np.all(out[3] >= 0)
 
-    with pytest.raises(ValueError, match="float32 of float64"):
+    with pytest.raises(ValueError, match="float32 or float64"):
         fit_spi_components(data.astype(np.int32), weights, freqs, freq0)
 
 
