@@ -45,15 +45,30 @@ _T0 = time.monotonic()
 _DEADLINE_S = float(os.environ.get("AFRICANUS_TPU_BENCH_DEADLINE", "480"))
 _EMIT_LOCK = threading.Lock()
 _EMITTED = False
-# (name, fn-key, minimum seconds of budget to even start) in run order
+# (name, fn-key, floor, cap) in run order. ``floor`` is the minimum
+# remaining budget to even start; ``cap`` is the per-config hard time
+# box (~2x the idle-box wall time) — one config wedged by a tunnel
+# outage or host load must not starve the rest (that exact failure
+# produced a 476 s config 2 + four deadline-skips on 2026-08-19).
 _PLAN = [
-    ("config2_rime_predict", "config2", 60.0),
-    ("config1_dft_im_to_vis", "config1", 45.0),
-    ("config4_wgridder_bda", "config4", 120.0),
-    ("config5_selfcal_loop", "config5", 60.0),
-    ("config3_beam_dde_chain", "config3", 75.0),
+    ("config2_rime_predict", "config2", 60.0, 170.0),
+    ("config1_dft_im_to_vis", "config1", 45.0, 95.0),
+    ("config4_wgridder_bda", "config4", 120.0, 200.0),
+    ("config5_selfcal_loop", "config5", 60.0, 110.0),
+    ("config3_beam_dde_chain", "config3", 75.0, 140.0),
 ]
 _STATE = {"configs": {}, "fallback": False}
+# Config names whose worker thread overran its time box. The thread
+# itself may be wedged in an uninterruptible tunnel call; flagging the
+# name makes every later _fetch/_time_host inside it raise, so an
+# abandoned config that eventually unwedges cannot run its remaining
+# timing loops concurrently with (and so distort) later configs.
+_ABANDONED = set()
+_TLS = threading.local()
+
+
+class _Abandoned(Exception):
+    """Raised inside an abandoned config's thread at its next barrier."""
 
 
 def _elapsed():
@@ -74,7 +89,7 @@ def _emit_json(reason=""):
         _EMITTED = True
     configs = []
     headline = None
-    for name, _key, _floor in _PLAN:
+    for name, _key, _floor, _cap in _PLAN:
         res = _STATE["configs"].get(name)
         if res is None:
             res = dict(name=name, skipped="deadline")
@@ -151,8 +166,22 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _check_abandoned():
+    name = getattr(_TLS, "config", None)
+    if name in _ABANDONED:
+        raise _Abandoned(name)
+
+
+def _phase(msg):
+    """Per-phase stderr breadcrumb so a timed-out config is diagnosable
+    from the log tail (which phase ate the budget)."""
+    name = getattr(_TLS, "config", "")
+    log(f"  [{_elapsed():6.1f}s] {name}: {msg}")
+
+
 def _fetch(x):
     """The only reliable device barrier on the axon backend."""
+    _check_abandoned()
     return float(np.asarray(x))
 
 
@@ -160,10 +189,12 @@ def _time_jit(fn, *args, reps=10):
     """Seconds/call: reps amortised inside one jit, result fetched."""
     from africanus_tpu.utils.profiling import measure
 
+    _check_abandoned()
     return measure(fn, *args, reps=reps)
 
 
 def _time_host(fn, reps=3):
+    _check_abandoned()
     fn()  # warm
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -237,6 +268,7 @@ def config1_dft():
 
     cpu_dt, want = _time_host(np_dft)
     cpu_rate = nrow * nchan * ncorr / cpu_dt / 1e6
+    _phase("cpu baseline done")
 
     # frequency stays a trace-time constant (the f64 grid): the fused
     # DFT kernel's exact rotation-recurrence mode needs concrete values
@@ -248,6 +280,7 @@ def config1_dft():
         *dargs)
     got = np.asarray(out.re) + 1j * np.asarray(out.im)
     err = float(np.abs(got - want).max() / np.abs(want).max())
+    _phase("compile + accuracy done")
 
     dt = _time_jit(lambda img, u, lmx: im_to_vis_ri(img, u, lmx, freq).re,
                    *args32)
@@ -336,6 +369,7 @@ def config2_predict():
         for a in args
     )
     cpu_dt, _ = _time_host(lambda: np_predict(*cargs), reps=2)
+    _phase("cpu baseline done")
     nrow = args[1].shape[0]
     cpu_rate = nrow * cpu_nchan * NCORR / cpu_dt / 1e6
 
@@ -347,6 +381,7 @@ def config2_predict():
     # error). The window keeps the oracle cost bounded.
     acc_step = _predict_step if FALLBACK_CPU else _predict_step_pallas
     out = jax.jit(acc_step)(*jax.device_put(f32args))
+    _phase("step compile dispatched")
     R, CC = 256, 8
     got = (np.asarray(out.re)[:R, :CC] + 1j * np.asarray(out.im)[:R, :CC])
     ti64, a1_, a2_, lm64, uvw64, freq64, st64, spi64, rf64, gs64, gp64 = (
@@ -359,6 +394,7 @@ def config2_predict():
                       freq64[:CC], st64, spi64, rf64, gs64,
                       gp64[:, :, :CC, :])
     err = float(np.abs(got - want).max() / np.abs(want).max())
+    _phase("accuracy window done")
 
     dargs = jax.device_put(f32args)
 
@@ -378,6 +414,7 @@ def config2_predict():
         return c
 
     _fetch(loop(*dargs))
+    _phase("timing loop compiled")
     t0 = time.perf_counter()
     _fetch(loop(*dargs))
     dt = (time.perf_counter() - t0) / REPS
@@ -488,6 +525,7 @@ def config3_beam():
 
     cpu_dt, want = _time_host(np_chain, reps=1)
     cpu_rate = nsamp / cpu_dt / 1e6
+    _phase("cpu baseline done")
 
     beam_ri = Cplx(jnp.asarray(beam.real.astype(f32)),
                    jnp.asarray(beam.imag.astype(f32)))
@@ -517,6 +555,7 @@ def config3_beam():
     err = float(np.abs(got - want).max() / np.abs(want).max())
 
     dt = _time_jit(lambda pa_t: chain(pa_t).re, pa.astype(f32))
+    _phase("fast-path chain timed")
     rate = nsamp / dt / 1e6
 
     # secondary legs (round-3 verdict: "the bench should not only
@@ -533,6 +572,7 @@ def config3_beam():
             chan_invariant=True,
         ).re
     tvar_dt = _time_jit(chain_tvar, pa.astype(f32), reps=5)
+    _phase("time-varying chain timed")
     tvar_rate = nsamp / tvar_dt / 1e6
     # (b) genuinely per-chan pointing errors forfeit it -> general path
     pe_pc = rng.normal(scale=1e-4, size=(ntime, nant, nchan, 2)).astype(f32)
@@ -544,6 +584,7 @@ def config3_beam():
             chan_invariant=False,
         ).re
     gen_dt = _time_jit(chain_general, pa.astype(f32), reps=3)
+    _phase("general-path canary timed")
     gen_rate = nsamp / gen_dt / 1e6
     # Fast-path accounting. The MXU kernel touches only nud·(s·t·a)
     # samples; the per-(chan, sample) work is the XLA stages, which are
@@ -631,6 +672,7 @@ def config4_imaging():
         return np.fft.ifft2(g, axes=(1, 2)).real.sum(0)
 
     cpu_dt, _ = _time_host(np_grid, reps=1)
+    _phase("cpu baseline done")
     cpu_rate = sub * nchan / cpu_dt / 1e6
 
     from africanus_tpu.gridding.wgridder.core import make_plan
@@ -651,12 +693,14 @@ def config4_imaging():
     make_plan(uvw32, freq32, nx, ny, cell, cell, 1e-4, True,
               use_tiles=use_tiles)  # content-cache hit (selfcal steady state)
     plan_cached_dt = time.perf_counter() - t0
+    _phase("plans built")
     dt = measure(
         lambda v: grid_adjoint(uvw32, freq32, v, None, nx, ny, cell,
                                cell, 1e-4, True, plan=plan),
         v32, reps=3,
     )
     rate = nvis / dt / 1e6
+    _phase("dirty timed")
 
     # the other half of every major cycle: fused multi-plane degrid on
     # the same plan (round-3 addition; ref im2vis.py:65)
@@ -669,6 +713,7 @@ def config4_imaging():
         jnp.asarray(image32), reps=3,
     )
     degrid_rate = nvis / degrid_dt / 1e6
+    _phase("degrid timed")
 
     # accuracy: small-problem dirty vs the explicit w-aware DFT (the
     # reference's own oracle, gridding/wgridder/tests/test_wgridder.py)
@@ -728,6 +773,7 @@ def config4_imaging():
                   visibilities=visb, decorrelation=0.98)
         _fetch(jnp.asarray(out.visibilities.re).ravel()[0])
 
+    _phase("accuracy done")
     run_bda()  # compile warm-up
     bda_reps = 5
     t0 = time.perf_counter()
@@ -846,6 +892,7 @@ def config5_selfcal():
     dt = _time_jit(lambda d: jnp.asarray(selfcal_step(d))[None], data,
                    reps=3)
     rate_iter = nvis * gn_iters / dt / 1e6
+    _phase("selfcal step timed")
 
     # CPU numpy baseline: the SAME loop structure (GN solve + adjoint-DFT
     # residual image + CLEAN + re-predict) on a row subset, scaled —
@@ -910,6 +957,7 @@ def config5_selfcal():
 
     cpu_dt, _ = _time_host(np_loop, reps=1)
     cpu_dt = cpu_dt * scale
+    _phase("cpu baseline done")
     cpu_rate = nvis * gn_iters / cpu_dt / 1e6
 
     # accuracy: solved baseline gain products must match the truth
@@ -940,6 +988,48 @@ def config5_selfcal():
     )
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: populated by the pre-round
+    verification run, so the driver's run skips most Mosaic compiles
+    (measured 50 s -> 15 s on the fused predict kernel). Works on the
+    axon backend (cache files verified written + hit)."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "AFRICANUS_TPU_BENCH_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # pragma: no cover - older jax fallback
+        log(f"compile cache unavailable: {type(e).__name__}: {e}")
+
+
+def _run_config(name, fn):
+    """Run one config's body in the calling (worker) thread."""
+    _TLS.config = name
+    t0 = time.perf_counter()
+    try:
+        res = fn()
+        log(f"{res['name']}: {res['value']} {res['unit']} "
+            f"({res['vs_baseline']}x baseline, roofline "
+            f"{res['roofline_frac']} "
+            f"({res.get('bound', '?')}-bound), "
+            f"err {res['max_rel_err']:.2e}) "
+            f"[{time.perf_counter() - t0:.0f}s]")
+    except _Abandoned:
+        return  # result already recorded as timed out by main
+    except Exception as e:  # pragma: no cover - defensive
+        log(traceback.format_exc())
+        res = dict(name=name, error=f"{type(e).__name__}: {e}")
+    if name not in _ABANDONED:
+        _STATE["configs"][name] = res
+
+
 def main():
     global FALLBACK_CPU
 
@@ -960,6 +1050,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         log("TPU unreachable - CPU fallback (reduced shapes; results "
             "are NOT TPU numbers)")
+    _enable_compile_cache()
 
     log(f"device: {jax.devices()[0]} "
         f"(deadline {_DEADLINE_S:.0f}s, {_remaining():.0f}s left)")
@@ -967,27 +1058,27 @@ def main():
            "config3": config3_beam, "config4": config4_imaging,
            "config5": config5_selfcal}
     try:
-        for name, key, floor in _PLAN:
-            left = _remaining()
-            if left < floor:
+        for i, (name, key, floor, cap) in enumerate(_PLAN):
+            # reserve at least the floors of the configs still to run
+            # (plus emission slack) so the current one cannot starve
+            # them even within the global deadline
+            reserve = sum(f for _n, _k, f, _c in _PLAN[i + 1:]) * 0.25
+            budget = min(cap, _remaining() - reserve - 10.0)
+            if budget < floor:
                 log(f"{name}: skipped (needs ~{floor:.0f}s, "
-                    f"{left:.0f}s left)")
+                    f"{_remaining():.0f}s left, {budget:.0f}s grantable)")
                 _STATE["configs"][name] = dict(
                     name=name, skipped="deadline")
                 continue
-            t0 = time.perf_counter()
-            try:
-                res = fns[key]()
-                log(f"{res['name']}: {res['value']} {res['unit']} "
-                    f"({res['vs_baseline']}x baseline, roofline "
-                    f"{res['roofline_frac']} "
-                    f"({res.get('bound', '?')}-bound), "
-                    f"err {res['max_rel_err']:.2e}) "
-                    f"[{time.perf_counter() - t0:.0f}s]")
-            except Exception as e:  # pragma: no cover - defensive
-                log(traceback.format_exc())
-                res = dict(name=name, error=f"{type(e).__name__}: {e}")
-            _STATE["configs"][name] = res
+            worker = threading.Thread(
+                target=_run_config, args=(name, fns[key]), daemon=True)
+            worker.start()
+            worker.join(budget)
+            if worker.is_alive():
+                _ABANDONED.add(name)
+                log(f"{name}: ABANDONED after {budget:.0f}s time box")
+                _STATE["configs"][name] = dict(
+                    name=name, skipped=f"timeout {budget:.0f}s")
     finally:
         _emit_json()
 
