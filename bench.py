@@ -877,7 +877,14 @@ def config5_selfcal():
             ),
             axis=-1,
         ).reshape(-1, 2).astype(f32)
-        im = vis_to_im_ri(resid, uvw, grid_lm, freq, flag)
+        # the CLEAN input is the corr-summed dirty image, and
+        # Σ_c Re(e^{iφ}V_c) = Re(e^{iφ}Σ_c V_c): summing correlations
+        # BEFORE the adjoint DFT is exact and halves the kernel's
+        # accumulator footprint (ncorr 2 -> 1 doubles the channel-group
+        # width, halving the per-group phasor overhead)
+        resid_i = Cplx(resid.re.sum(-1, keepdims=True),
+                       resid.im.sum(-1, keepdims=True))
+        im = vis_to_im_ri(resid_i, uvw, grid_lm, freq, flag[..., :1])
         dirty = im.sum(axis=(1, 2)).reshape(npx, npx) / nvis
         # 3. Hogbom CLEAN minor cycles on the residual image
         # hogbom's psf-window convention centres at (npx-1, npx-1)
