@@ -149,10 +149,21 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
             # plane of one tile in VMEM: shrink the tile until the
             # budget fits, else fall back to the virtual-sample plan.
             tc = pg.choose_tile(nv, 128 - 2 * support)
-            # tile_r 128 measured best for the degridder (256-row tiles
-            # double-buffer 2x the VMEM and lost ~30%); the gridder is
-            # insensitive to tile_r
-            for target_r in (128, 256, 64):
+            if pg.WSTACK_USE_MXU:
+                # MXU matmul route: per-entry cost is nwin·tpad_r·tpad_c
+                # so SMALL row tiles win — tr32/group512 measured 17.2
+                # Mvis/s @13 s compile vs tr128/group1024's 16.4 @217 s
+                # (1024² grid, 200k samples, 14 planes); tr16 loses to
+                # group-count overhead (8.3). Small tiles also shrink
+                # the VMEM-per-plane footprint ~3x, so deep stacks fit
+                # unblocked.
+                tr_targets, group = (32, 64, 16), 512
+            else:
+                # VPU scatter route, tile_r 128 measured best for the
+                # degridder (256-row tiles double-buffer 2x the VMEM and
+                # lost ~30%); the gridder is insensitive to tile_r
+                tr_targets, group = (128, 256, 64), 1024
+            for target_r in tr_targets:
                 tr = pg.choose_tile(nu, target_r)
                 if support > min(tr, tc):
                     continue
@@ -177,8 +188,29 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
                     return pg.plan_tiles_wstack(
                         iu0, iv0, uf, vf, support, beta, nu, nv,
                         p0=iw0, wscales=kw.T, nplanes=nplanes,
-                        tile_r=tr, tile_c=tc, merge=merge,
+                        tile_r=tr, tile_c=tc, group=group, merge=merge,
                     )
+            # the whole stack fits no tile size: plane-blocked MXU
+            # plan — VMEM holds one depth-P w-block per tile instead of
+            # all nplanes, so deep stacks keep full-size tiles. The
+            # largest 8-multiple P that fits minimises the
+            # boundary-duplication fraction ((support-1)/P of entries).
+            if pg.WSTACK_USE_MXU:
+                for target_r in tr_targets:
+                    tr = pg.choose_tile(nu, target_r)
+                    if support > min(tr, tc):
+                        continue
+                    _, tpad_r, tpad_c = pg.tile_pad_geometry(
+                        tr, tc, support)
+                    pmax = (13 * 2**20) // (tpad_r * tpad_c * 16)
+                    P = min((pmax // 8) * 8, -(-nplanes // 8) * 8)
+                    if P >= support:
+                        return pg.plan_tiles_wstack(
+                            iu0, iv0, uf, vf, support, beta, nu, nv,
+                            p0=iw0, wscales=kw.T, nplanes=nplanes,
+                            tile_r=tr, tile_c=tc, group=group,
+                            plane_block=P,
+                        )
         plane_v = np.clip((iw0[:, None] + offs), 0, nplanes - 1).ravel()
         return pg.plan_tiles(
             np.repeat(iu0, support), np.repeat(iv0, support),

@@ -82,10 +82,20 @@ TILES_USE_MXU = True
 
 
 def wstack_use_mxu(plan):
-    """True when the MXU matmul route should serve this fused plan."""
-    return (WSTACK_USE_MXU
-            and plan.get("wstack_fused", False)
-            and plan["nplanes"] <= 3 * plan["support"])
+    """True when the MXU matmul route should serve this fused plan.
+
+    The route's cost multiplier is the per-group plane-loop depth:
+    ``nwin`` (the sorted plan's w-window, ≈ support + group-boundary
+    spread) when window metadata is present, the whole stack otherwise.
+    Deep w-stacks therefore stay on the MXU as long as the plan was
+    built with ``sort_planes``. Plane-blocked plans are MXU-only by
+    construction (the scatter kernels reject them)."""
+    if not plan.get("wstack_fused", False):
+        return False
+    if "plane_block" in plan:
+        return True
+    depth = plan.get("nwin", plan["nplanes"])
+    return WSTACK_USE_MXU and depth <= 3 * plan["support"]
 
 
 def tiles_use_mxu(plan):
@@ -106,9 +116,10 @@ PLAN_ARRAY_KEYS = ("first", "group_tile", "ir_loc", "uf", "vfa", "scale",
                    "sample_pack")
 
 # fused w-stack plan format (plan_tiles_wstack): one entry per sample,
-# per-plane taps in wsc; vis_slot is appended by pack_shard_plans
+# per-plane taps in wsc, per-group w-window base in pbase; vis_slot is
+# appended by pack_shard_plans
 WSTACK_PLAN_ARRAY_KEYS = ("first", "group_tile", "ir_loc", "uf", "vfa",
-                          "p0", "wsc", "sample_pack")
+                          "p0", "wsc", "pbase", "sample_pack")
 
 # table-mode plan format (plan_tiles_table): quantized taps read from a
 # shared oversampled kernel table (Perley-polyhedron AA kernels)
@@ -759,6 +770,22 @@ def pack_shard_plans(plans):
         # register-merge width of the fused spreading kernel (absent on
         # pre-merge plans: default 1)
         geo["merge"] = plans[0].get("merge", 1)
+        # static plane-window depth for the MXU kernels: the max over
+        # shards; every shard's pbase is re-clamped against it below so
+        # windows stay in-stack (window metadata only survives packing
+        # when every shard carries it)
+        if all("nwin" in p and "pbase" in p for p in plans):
+            geo["nwin"] = max(p["nwin"] for p in plans)
+        # plane-blocked format must agree across shards (checked with
+        # the other geometry below)
+        if "plane_block" in plans[0]:
+            geo["plane_block"] = plans[0]["plane_block"]
+            geo["nblk"] = plans[0]["nblk"]
+        for p in plans[1:]:
+            if (p.get("plane_block"), p.get("nblk")) != (
+                    geo.get("plane_block"), geo.get("nblk")):
+                raise ValueError(
+                    "shard plans disagree on plane_block format")
     for p in plans[1:]:
         if bool(p.get("wstack_fused")) != fused:
             raise ValueError("shard plans disagree on wstack_fused format")
@@ -774,6 +801,8 @@ def pack_shard_plans(plans):
         keys = TABLE_PLAN_ARRAY_KEYS
     elif fused:
         keys = WSTACK_PLAN_ARRAY_KEYS
+        if "nwin" not in geo:  # a shard lacks window metadata
+            keys = tuple(k for k in keys if k != "pbase")
     else:
         keys = PLAN_ARRAY_KEYS
     ng_max = max(p["ngroups"] for p in plans)
@@ -781,6 +810,15 @@ def pack_shard_plans(plans):
     for p in plans:
         pad = ng_max - p["ngroups"]
         for k in keys:
+            if k == "pbase":
+                # a shard planned with a shallower nwin than the packed
+                # max could otherwise index past the stack (or block)
+                cap = geo.get("plane_block") or geo["nplanes"]
+                a = np.minimum(p[k], np.int32(cap - geo["nwin"]))
+                a = np.maximum(a, np.int32(0))
+                arrays[k].append(np.concatenate(
+                    [a, np.zeros(pad, a.dtype)]) if pad else a)
+                continue
             a = p[k]
             if pad:
                 if k == "first":
@@ -794,7 +832,9 @@ def pack_shard_plans(plans):
                     tail = np.zeros((pad,) + a.shape[1:], a.dtype)
                 a = np.concatenate([a, tail], axis=0)
             arrays[k].append(a)
-    if fused:
+    if fused and all("vis_slot" in p for p in plans):
+        # plane-blocked plans with boundary duplicates drop vis_slot;
+        # the degrid unpack then scatter-adds over sample_pack instead
         nvis = {p["vis_slot"].shape[0] for p in plans}
         if len(nvis) != 1:
             raise ValueError("fused shard plans must cover equal sample "
@@ -1119,7 +1159,8 @@ def degrid_tiles_table_pallas(plan, table, tiles_re, tiles_im, nvis,
 
 def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
                       wscales, nplanes, tile_r=None, tile_c=None,
-                      group=1024, merge=1):
+                      group=1024, merge=1, sort_planes=True,
+                      plane_block=None):
     """Host tile binning for the multi-plane w-stack kernel.
 
     One entry per *visibility sample* (not per touched w-plane): the
@@ -1130,6 +1171,30 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
     entry count — and the per-entry window build — by the w-support,
     and consecutive RMWs land on different planes' accumulators, so the
     serial read-modify-write chains interleave.
+
+    ``sort_planes`` (default) orders entries by (tile, p0) so every
+    packed group spans a narrow w-plane window; the plan then carries a
+    per-group window base ``pbase`` (ngroups,) and the static window
+    depth ``nwin`` = max over groups of (p0·max − pbase + support),
+    which lets the MXU matmul kernels contract ``nwin`` ≈ support
+    planes per group instead of the whole stack (the plane loop is the
+    route's cost multiplier on deep w-stacks). The numpy composite-key
+    argsort replaces the native counting-sort core on this path.
+
+    ``plane_block`` = P partitions the w-axis into depth-P blocks and
+    bins entries by (uv-tile, plane-block): the padded output becomes
+    (ntr·ntc·nblk, P, tpad_r, tpad_c) so device memory per kernel step
+    is independent of the stack depth — the route that keeps deep
+    w-stacks (nplanes ≫ 3·support) on large tiles instead of shrinking
+    them against the VMEM budget. An entry whose w-window straddles a
+    block boundary is DUPLICATED into both blocks with complementary
+    zero-masked taps (expected duplication (support−1)/P); plans with
+    duplicates drop ``vis_slot`` (a sample then owns two packed slots)
+    and the degrid unpack takes the gather+sum path instead. Packed
+    ``p0`` is block-relative (may be negative on the upper duplicate —
+    its sub-block taps are zero-masked). Plane-blocked plans are served
+    by the MXU kernels only (the per-entry scatter kernel would index
+    out-of-block planes); requires merge == 1.
 
     ``merge`` > 1 targets the kernel's remaining wall — the serial VMEM
     read-modify-write chain per (plane, row-block) address: entries are
@@ -1191,6 +1256,46 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
     if merge > 1 and group % merge:
         raise ValueError(f"group {group} must be a multiple of merge {merge}")
 
+    if plane_block is not None:
+        P = int(plane_block)
+        if merge > 1:
+            raise ValueError("plane_block requires merge == 1")
+        if P < w:
+            raise ValueError(f"plane_block {P} must be >= support {w}")
+        nblk = max(-(-nplanes // P), 1)
+        pblk = p0.astype(np.int64) // P
+        rel = (p0 - pblk * P).astype(np.int64)
+        straddle = np.nonzero(rel + w > P)[0]
+        dup = np.concatenate([np.arange(n, dtype=np.int64), straddle])
+        e_pblk = np.concatenate([pblk, pblk[straddle] + 1])
+        e_p0 = np.concatenate([rel, rel[straddle] - P])
+        offs_w = np.arange(w)[:, None]
+        e_wsc = wscales[:, dup].copy()  # (w, n2)
+        # lower copy keeps in-block taps, upper copy the spill-over
+        e_wsc[:, :n] *= (rel[None, :] + offs_w) < P
+        if straddle.size:
+            e_wsc[:, n:] *= (e_p0[None, n:] + offs_w) >= 0
+        okey = tile_ids[dup] * np.int64(nblk) + e_pblk
+        nkeys = ntiles * nblk
+        # effective tap windows, clipped to the block
+        win_lo = np.maximum(e_p0, 0)
+        win_hi = np.minimum(e_p0 + w, P)
+        cap = P
+        has_dups = bool(straddle.size)
+        e_ir, e_uf, e_vfa = ir_al[dup], uf_abs[dup], vf_abs[dup]
+        e_orig = dup.astype(np.int32)
+        n_e = n + straddle.size
+    else:
+        P = nblk = None
+        okey, nkeys, cap = tile_ids, ntiles, nplanes
+        e_p0 = p0.astype(np.int64)
+        win_lo, win_hi = e_p0, e_p0 + w
+        e_wsc = wscales
+        has_dups = False
+        e_ir, e_uf, e_vfa = ir_al, uf_abs, vf_abs
+        e_orig = np.arange(n, dtype=np.int32)
+        n_e = n
+
     if merge > 1 and n:
         # bucket-sort by shared RMW address (tile, p0, aligned row) and
         # pad every bucket to a multiple of merge; the leading entry of
@@ -1228,32 +1333,50 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
         )
     else:
         merge = 1
-        counts = np.bincount(tile_ids, minlength=ntiles)
+        counts = np.bincount(okey, minlength=nkeys)
         ngroups_per = np.maximum(-(-counts // group), 1)
-        group_base = np.zeros(ntiles, np.int64)
+        group_base = np.zeros(nkeys, np.int64)
         np.cumsum(ngroups_per[:-1], out=group_base[1:])
         ngroups = int(ngroups_per.sum())
 
-        # per-entry flat slot in the (ngroups, group) packed layout —
-        # native counting-sort core when available (the numpy argsort
-        # chain dominated plan time at multi-million-sample counts)
-        from africanus_tpu import native
-
-        if native.available():
-            slots = native.tile_pack_slots(tile_ids, group_base, group,
-                                           ntiles)
-        else:
-            order = np.argsort(tile_ids, kind="stable")
-            tile_start = np.zeros(ntiles, np.int64)
-            np.cumsum(counts[:-1], out=tile_start[1:])
-            k = np.arange(n) - tile_start[tile_ids[order]]
-            slots = np.empty(n, np.int64)
+        if (sort_planes and nplanes > 1) or plane_block is not None:
+            # order entries by (out-block, p0) so each packed group
+            # covers a narrow w-plane window: the MXU kernels then loop
+            # over plan["nwin"] ≈ support planes from a per-group base
+            # instead of the whole stack, which keeps the matmul route
+            # engaged on deep w-stacks (wstack_use_mxu). e_p0 can be
+            # -w+1 on plane-block upper duplicates: bias before keying.
+            order = np.argsort(okey * np.int64(cap + w)
+                               + (e_p0 + w), kind="stable")
+            key_start = np.zeros(nkeys, np.int64)
+            np.cumsum(counts[:-1], out=key_start[1:])
+            k = np.arange(n_e) - key_start[okey[order]]
+            slots = np.empty(n_e, np.int64)
             slots[order] = (
-                (group_base[tile_ids[order]] + k // group) * group
+                (group_base[okey[order]] + k // group) * group
                 + k % group
             )
+        else:
+            # per-entry flat slot in the (ngroups, group) packed layout —
+            # native counting-sort core when available (the numpy argsort
+            # chain dominated plan time at multi-million-sample counts)
+            from africanus_tpu import native
 
-    group_tile = np.repeat(np.arange(ntiles, dtype=np.int64), ngroups_per)
+            if native.available():
+                slots = native.tile_pack_slots(okey, group_base,
+                                               group, nkeys)
+            else:
+                order = np.argsort(okey, kind="stable")
+                key_start = np.zeros(nkeys, np.int64)
+                np.cumsum(counts[:-1], out=key_start[1:])
+                k = np.arange(n_e) - key_start[okey[order]]
+                slots = np.empty(n_e, np.int64)
+                slots[order] = (
+                    (group_base[okey[order]] + k // group) * group
+                    + k % group
+                )
+
+    group_tile = np.repeat(np.arange(nkeys, dtype=np.int64), ngroups_per)
     first = np.zeros(ngroups, np.int32)
     first[group_base] = 1
 
@@ -1264,29 +1387,54 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
     p0_pack = np.zeros((ngroups, group), np.int32)
     wsc_pack = np.zeros((ngroups, w, group), np.float32)
 
-    sample_pack.reshape(-1)[slots] = np.arange(n, dtype=np.int32)
-    ir_pack.reshape(-1)[slots] = ir_al
-    uf_pack.reshape(-1)[slots] = uf_abs
-    vfa_pack.reshape(-1)[slots] = vf_abs
-    p0_pack.reshape(-1)[slots] = p0.astype(np.int32)
+    sample_pack.reshape(-1)[slots] = e_orig
+    ir_pack.reshape(-1)[slots] = e_ir
+    uf_pack.reshape(-1)[slots] = e_uf
+    vfa_pack.reshape(-1)[slots] = e_vfa
+    p0_pack.reshape(-1)[slots] = e_p0.astype(np.int32)
     # (g, t, s) flattens to (g*w + t)*group + s
     g_of, s_of = slots // group, slots % group
     wflat = wsc_pack.reshape(-1)
     for t in range(w):
-        wflat[(g_of * w + t) * group + s_of] = wscales[t]
+        wflat[(g_of * w + t) * group + s_of] = e_wsc[t]
+
+    # per-group w-window metadata for the MXU kernels: padded slots must
+    # not contribute, so min/max over real entries' (clipped) tap
+    # windows only
+    pmin_f = np.full(ngroups * group, np.int64(cap), np.int64)
+    pmax_f = np.full(ngroups * group, -1, np.int64)
+    pmin_f[slots] = win_lo
+    pmax_f[slots] = win_hi
+    pmin_g = pmin_f.reshape(ngroups, group).min(axis=1)
+    pmax_g = pmax_f.reshape(ngroups, group).max(axis=1)
+    empty = pmax_g < 0
+    span = np.where(empty, min(w, cap),
+                    pmax_g - np.minimum(pmin_g, pmax_g))
+    nwin = int(min(span.max(), cap)) if n else min(w, cap)
+    nwin = max(nwin, 1)
+    pbase = np.where(empty, 0, np.minimum(pmin_g, cap - nwin))
 
     blk, tpad_r, tpad_c = tile_pad_geometry(tile_r, tile_c, w)
 
-    return dict(
+    out = dict(
         tile_r=tile_r, tile_c=tile_c, support=w, beta=float(beta),
         ntr=ntr, ntc=ntc, nu=nu, nv=nv, nplanes=nplanes,
         tpad_r=tpad_r, tpad_c=tpad_c, blk=blk,
         ngroups=ngroups, group=group, merge=merge, wstack_fused=True,
+        nwin=nwin,
         group_tile=group_tile.astype(np.int32),
         sample_pack=sample_pack, ir_loc=ir_pack,
         uf=uf_pack, vfa=vfa_pack, p0=p0_pack, wsc=wsc_pack,
-        first=first, vis_slot=slots,
+        pbase=pbase.astype(np.int32),
+        first=first,
     )
+    if plane_block is not None:
+        out["plane_block"] = P
+        out["nblk"] = nblk
+    if not has_dups:
+        # a duplicate-free plan keeps the pure-gather degrid inverse
+        out["vis_slot"] = slots
+    return out
 
 
 def _grid_wstack_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
@@ -1386,6 +1534,12 @@ def grid_tiles_wstack_pallas(plan, vre_flat, vim_flat, interpret=False,
     Returns padded tiles (re, im): (ntr·ntc, nplanes, tpad_r, tpad_c);
     assemble with :func:`assemble_wstack_tiles`.
     """
+    if "plane_block" in plan:
+        raise ValueError(
+            "plane-blocked plans are MXU-route only (block-relative p0 "
+            "would index out-of-block planes in the scatter kernel); "
+            "use grid_tiles_wstack_mxu"
+        )
     w = plan["support"]
     group, ngroups = plan["group"], plan["ngroups"]
     ntiles = plan["ntr"] * plan["ntc"]
@@ -1444,12 +1598,21 @@ def grid_tiles_wstack_pallas(plan, vre_flat, vim_flat, interpret=False,
 
 
 def assemble_wstack_tiles(out_re, out_im, plan):
-    """Fold (ntr·ntc, nplanes, tpad_r, tpad_c) tiles to (nplanes, nu, nv)
-    via the plane-major :func:`assemble_tiles` machinery."""
+    """Fold (ntr·ntc, nplanes, tpad_r, tpad_c) tiles — or the
+    plane-blocked (ntr·ntc·nblk, plane_block, …) layout — to
+    (nplanes, nu, nv) via the plane-major :func:`assemble_tiles`
+    machinery."""
     ntsp = plan["ntr"] * plan["ntc"]
     npl = plan["nplanes"]
+    P = plan.get("plane_block")
 
     def rearrange(x):
+        if P:
+            # (ntsp·nblk, P, r, c) -> (ntsp, nblk·P, r, c) -> clip the
+            # plane padding (every group's window stays in its block,
+            # so the blocked planes simply concatenate)
+            x = x.reshape(ntsp, plan["nblk"] * P,
+                          plan["tpad_r"], plan["tpad_c"])[:, :npl]
         return jnp.moveaxis(x, 1, 0).reshape(
             npl * ntsp, plan["tpad_r"], plan["tpad_c"]
         )
@@ -1459,15 +1622,25 @@ def assemble_wstack_tiles(out_re, out_im, plan):
 
 def extract_wstack_tiles(grid_re, grid_im, plan):
     """Padded-tile views of a (nplanes, nu, nv) grid pair in the fused
-    w-stack layout (ntr·ntc, nplanes, tpad_r, tpad_c), ready for
-    :func:`degrid_tiles_wstack_pallas`."""
+    w-stack layout (ntr·ntc, nplanes, tpad_r, tpad_c) — or, for
+    plane-blocked plans, (ntr·ntc·nblk, plane_block, …) with the plane
+    axis zero-padded to nblk·plane_block — ready for the w-stack
+    degridders."""
     ntsp = plan["ntr"] * plan["ntc"]
     npl = plan["nplanes"]
+    P = plan.get("plane_block")
 
     def rearrange(x):  # (npl·ntsp, r, c) plane-major -> tile-major
-        return jnp.moveaxis(
+        x = jnp.moveaxis(
             x.reshape(npl, ntsp, plan["tpad_r"], plan["tpad_c"]), 0, 1
         )
+        if P:
+            pad = plan["nblk"] * P - npl
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            x = x.reshape(ntsp * plan["nblk"], P,
+                          plan["tpad_r"], plan["tpad_c"])
+        return x
 
     return rearrange(_unfold(grid_re, plan)), rearrange(_unfold(grid_im, plan))
 
@@ -1539,6 +1712,12 @@ def degrid_tiles_wstack_pallas(plan, tiles_re, tiles_im, nvis,
 
     Returns flat (nvis,) re/im model visibilities.
     """
+    if "plane_block" in plan:
+        raise ValueError(
+            "plane-blocked plans are MXU-route only (block-relative p0 "
+            "would index out-of-block planes in the gather kernel); "
+            "use degrid_tiles_wstack_mxu"
+        )
     w = plan["support"]
     group, ngroups = plan["group"], plan["ngroups"]
     nplanes = plan["nplanes"]
@@ -1589,16 +1768,16 @@ def degrid_tiles_wstack_pallas(plan, tiles_re, tiles_im, nvis,
     vals_re = vals_re.reshape(-1)
     vals_im = vals_im.reshape(-1)
 
-    if arrays is plan or "vis_slot" in arrays:
+    if "vis_slot" in arrays:
         # one entry per sample: the packed slots are a permutation — the
         # inverse is a pure gather (pack_shard_plans stacks per-shard
         # vis_slot so the sharded path keeps it too)
-        sel = jnp.asarray(arrays["vis_slot"] if arrays is not plan
-                          else plan["vis_slot"])
+        sel = jnp.asarray(arrays["vis_slot"])
         return vals_re[sel], vals_im[sel]
-    # traced per-shard arrays without a slot table: each sample owns
-    # exactly one slot, inert padding slots carry zero values (their uv
-    # window is all-zero), so a one-hit scatter-add reconstructs them
+    # no slot table (traced per-shard arrays, or a plane-blocked plan
+    # whose boundary duplicates give a sample two slots): padding and
+    # duplicate slots carry zero/partial values, so a scatter-add over
+    # owning samples reconstructs them
     sample = jnp.asarray(arrays["sample_pack"]).reshape(-1)
     out_re = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_re)
     out_im = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_im)
@@ -1631,10 +1810,24 @@ def degrid_tiles_wstack_pallas(plan, tiles_re, tiles_im, nvis,
 # ---------------------------------------------------------------------------
 
 
-def _grid_wstack_mxu_kernel(first_ref, gtile_ref, urow_ref, vfa_ref,
-                            p0_ref, wsc_ref, vre_ref, vim_ref,
+def _wstack_window(plan, arrays, ngroups):
+    """(nwin, pbase) plane-window metadata for the MXU w-stack kernels.
+
+    Plans built with ``sort_planes`` carry a per-group window base and a
+    static window depth; plans without the metadata (sort_planes=False
+    or legacy caches) fall back to the full stack (pbase 0, nwin =
+    nplanes), which is the pre-window behaviour."""
+    nwin = plan.get("nwin")
+    pbase = arrays.get("pbase")
+    if nwin is None or pbase is None:
+        return plan["nplanes"], jnp.zeros(ngroups, jnp.int32)
+    return int(nwin), jnp.asarray(pbase).astype(jnp.int32)
+
+
+def _grid_wstack_mxu_kernel(first_ref, gtile_ref, pbase_ref, urow_ref,
+                            vfa_ref, p0_ref, wsc_ref, vre_ref, vim_ref,
                             out_re_ref, out_im_ref, *, group, support,
-                            beta, tpad_r, tpad_c, nplanes,
+                            beta, tpad_r, tpad_c, nwin,
                             precision=lax.Precision.HIGHEST):
     g = pl.program_id(0)
     half = support / 2.0
@@ -1661,16 +1854,20 @@ def _grid_wstack_mxu_kernel(first_ref, gtile_ref, urow_ref, vfa_ref,
     )
     tapc_t = _es((vfa - tc_iota) / half, beta)          # (tpad_c, S)
 
-    p0 = p0_ref[0]                            # (1, S) int32
-    p_iota = lax.broadcasted_iota(jnp.int32, (nplanes, group), 0)
-    wt = jnp.zeros((nplanes, group), jnp.float32)
+    # plane loop runs over the group's nwin-deep w-window starting at
+    # pbase (plan_tiles_wstack sort_planes): taps are placed at
+    # window-relative positions, padded entries carry all-zero wsc
+    pb = pbase_ref[g]
+    p0 = p0_ref[0] - pb                       # (1, S) window-relative
+    p_iota = lax.broadcasted_iota(jnp.int32, (nwin, group), 0)
+    wt = jnp.zeros((nwin, group), jnp.float32)
     for t in range(support):
         wt = wt + jnp.where(p0 + t == p_iota, wsc_ref[0, t:t + 1, :], 0.0)
-    wv_re = wt * vre_ref[0]                   # (nplanes, S)
+    wv_re = wt * vre_ref[0]                   # (nwin, S)
     wv_im = wt * vim_ref[0]
 
     dims = (((1,), (1,)), ((), ()))           # contract over samples
-    for p in range(nplanes):
+    for p in range(nwin):
         rm_re = tapr_t * wv_re[p:p + 1, :]
         rm_im = tapr_t * wv_im[p:p + 1, :]
         acc_re = lax.dot_general(
@@ -1681,8 +1878,9 @@ def _grid_wstack_mxu_kernel(first_ref, gtile_ref, urow_ref, vfa_ref,
             rm_im, tapc_t, dims, precision=precision,
             preferred_element_type=jnp.float32,
         )
-        out_re_ref[0, p] += acc_re
-        out_im_ref[0, p] += acc_im
+        sl = (0, pb + p)
+        out_re_ref[sl] += acc_re
+        out_im_ref[sl] += acc_im
 
 
 def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
@@ -1692,12 +1890,14 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
     Same plan, inputs and padded-tile output format as
     :func:`grid_tiles_wstack_pallas`; the spreading runs as per-plane
     (tpad_r, S) @ (S, tpad_c) outer-product dots instead of per-sample
-    scatter RMW. Assemble with :func:`assemble_wstack_tiles`.
+    scatter RMW. Plane-blocked plans come out as
+    (ntr·ntc·nblk, plane_block, tpad_r, tpad_c). Assemble with
+    :func:`assemble_wstack_tiles` either way.
     """
     w = plan["support"]
     group, ngroups = plan["group"], plan["ngroups"]
-    ntiles = plan["ntr"] * plan["ntc"]
-    nplanes = plan["nplanes"]
+    ntiles = plan["ntr"] * plan["ntc"] * plan.get("nblk", 1)
+    nplanes = plan.get("plane_block") or plan["nplanes"]
     tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
     if arrays is None:
         arrays = plan
@@ -1707,22 +1907,23 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
     vim = vim_flat[sample_pack].astype(jnp.float32)
     urow = (jnp.asarray(arrays["ir_loc"]).astype(jnp.float32)
             + jnp.asarray(arrays["uf"]))
+    nwin, pbase = _wstack_window(plan, arrays, ngroups)
 
     kernel = partial(_grid_wstack_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
-                     nplanes=nplanes,
+                     nwin=nwin,
                      precision=precision or lax.Precision.HIGHEST)
 
-    vec = pl.BlockSpec((1, 1, group), lambda g, f, t: (g, 0, 0),
+    vec = pl.BlockSpec((1, 1, group), lambda g, f, t, pb: (g, 0, 0),
                        memory_space=pltpu.VMEM)
-    wsc_spec = pl.BlockSpec((1, w, group), lambda g, f, t: (g, 0, 0),
+    wsc_spec = pl.BlockSpec((1, w, group), lambda g, f, t, pb: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, nplanes, tpad_r, tpad_c),
-                            lambda g, f, t: (t[g], 0, 0, 0),
+                            lambda g, f, t, pb: (t[g], 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # first, group_tile
+        num_scalar_prefetch=3,  # first, group_tile, pbase
         grid=(ngroups,),
         in_specs=[vec, vec, vec, wsc_spec, vec, vec],
         out_specs=[out_spec, out_spec],
@@ -1743,6 +1944,7 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
     )(
         jnp.asarray(arrays["first"]),
         jnp.asarray(arrays["group_tile"]),
+        pbase,
         urow[:, None, :],
         jnp.asarray(arrays["vfa"])[:, None, :],
         jnp.asarray(arrays["p0"]).astype(jnp.int32)[:, None, :],
@@ -1752,11 +1954,12 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
     )
 
 
-def _degrid_wstack_mxu_kernel(gtile_ref, urow_ref, vfa_ref, p0_ref,
-                              wsc_ref, tre_ref, tim_ref, out_re_ref,
-                              out_im_ref, *, group, support, beta,
-                              tpad_r, tpad_c, nplanes,
+def _degrid_wstack_mxu_kernel(gtile_ref, pbase_ref, urow_ref, vfa_ref,
+                              p0_ref, wsc_ref, tre_ref, tim_ref,
+                              out_re_ref, out_im_ref, *, group, support,
+                              beta, tpad_r, tpad_c, nwin,
                               precision=lax.Precision.HIGHEST):
+    g = pl.program_id(0)
     half = support / 2.0
 
     urow = urow_ref[0]                        # (1, S)
@@ -1770,22 +1973,24 @@ def _degrid_wstack_mxu_kernel(gtile_ref, urow_ref, vfa_ref, p0_ref,
     )
     tapc_t = _es((vfa - tc_iota) / half, beta)          # (tpad_c, S)
 
-    p0 = p0_ref[0]                            # (1, S) int32
-    p_iota = lax.broadcasted_iota(jnp.int32, (nplanes, group), 0)
-    wt = jnp.zeros((nplanes, group), jnp.float32)
+    # gather only the group's nwin-deep w-window (see the grid kernel)
+    pb = pbase_ref[g]
+    p0 = p0_ref[0] - pb                       # (1, S) window-relative
+    p_iota = lax.broadcasted_iota(jnp.int32, (nwin, group), 0)
+    wt = jnp.zeros((nwin, group), jnp.float32)
     for t in range(support):
         wt = wt + jnp.where(p0 + t == p_iota, wsc_ref[0, t:t + 1, :], 0.0)
 
     dims = (((1,), (0,)), ((), ()))           # (tpad_r, tpad_c) @ (tpad_c, S)
     acc_re = jnp.zeros((1, group), jnp.float32)
     acc_im = jnp.zeros((1, group), jnp.float32)
-    for p in range(nplanes):
+    for p in range(nwin):
         m_re = lax.dot_general(
-            tre_ref[0, p], tapc_t, dims, precision=precision,
+            tre_ref[(0, pb + p)], tapc_t, dims, precision=precision,
             preferred_element_type=jnp.float32,
         )                                     # (tpad_r, S)
         m_im = lax.dot_general(
-            tim_ref[0, p], tapc_t, dims, precision=precision,
+            tim_ref[(0, pb + p)], tapc_t, dims, precision=precision,
             preferred_element_type=jnp.float32,
         )
         e_re = jnp.sum(tapr_t * m_re, axis=0, keepdims=True)   # (1, S)
@@ -1803,35 +2008,39 @@ def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
     Per plane the whole group's windows are gathered as (tpad_r, tpad_c)
     @ (tpad_c, S) dots with samples kept on lanes, then reduced against
     the row taps — same inputs/outputs/slot permutation as the scatter
-    formulation.
+    formulation. Plane-blocked plans read
+    (ntr·ntc·nblk, plane_block, …) tiles (:func:`extract_wstack_tiles`)
+    and return per-sample sums via the sample scatter-add (duplicated
+    boundary entries each carry their partial taps).
     """
     w = plan["support"]
     group, ngroups = plan["group"], plan["ngroups"]
-    nplanes = plan["nplanes"]
+    nplanes = plan.get("plane_block") or plan["nplanes"]
     tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
     if arrays is None:
         arrays = plan
 
     urow = (jnp.asarray(arrays["ir_loc"]).astype(jnp.float32)
             + jnp.asarray(arrays["uf"]))
+    nwin, pbase = _wstack_window(plan, arrays, ngroups)
 
     kernel = partial(_degrid_wstack_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
-                     nplanes=nplanes,
+                     nwin=nwin,
                      precision=precision or lax.Precision.HIGHEST)
 
-    vec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
+    vec = pl.BlockSpec((1, 1, group), lambda g, t, pb: (g, 0, 0),
                        memory_space=pltpu.VMEM)
-    wsc_spec = pl.BlockSpec((1, w, group), lambda g, t: (g, 0, 0),
+    wsc_spec = pl.BlockSpec((1, w, group), lambda g, t, pb: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((1, nplanes, tpad_r, tpad_c),
-                             lambda g, t: (t[g], 0, 0, 0),
+                             lambda g, t, pb: (t[g], 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
+    out_spec = pl.BlockSpec((1, 1, group), lambda g, t, pb: (g, 0, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # group_tile
+        num_scalar_prefetch=2,  # group_tile, pbase
         grid=(ngroups,),
         in_specs=[vec, vec, vec, wsc_spec, tile_spec, tile_spec],
         out_specs=[out_spec, out_spec],
@@ -1849,6 +2058,7 @@ def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
         interpret=interpret,
     )(
         jnp.asarray(arrays["group_tile"]),
+        pbase,
         urow[:, None, :],
         jnp.asarray(arrays["vfa"])[:, None, :],
         jnp.asarray(arrays["p0"]).astype(jnp.int32)[:, None, :],
@@ -1860,9 +2070,8 @@ def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
     vals_re = vals_re.reshape(-1)
     vals_im = vals_im.reshape(-1)
 
-    if arrays is plan or "vis_slot" in arrays:
-        sel = jnp.asarray(arrays["vis_slot"] if arrays is not plan
-                          else plan["vis_slot"])
+    if "vis_slot" in arrays:
+        sel = jnp.asarray(arrays["vis_slot"])
         return vals_re[sel], vals_im[sel]
     sample = jnp.asarray(arrays["sample_pack"]).reshape(-1)
     out_re = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_re)

@@ -510,3 +510,149 @@ def test_wstack_merge_plan_invariants(rng):
     assert realb[any_real, 0].all()
     # inert entries contribute nothing (zero taps)
     assert not taps[~realb].any()
+
+
+def test_wstack_window_metadata_and_deep_stack(rng):
+    """sort_planes plans must carry valid per-group w-windows (every
+    entry's support window inside [pbase, pbase+nwin) ⊆ [0, nplanes)),
+    keep the MXU route engaged on a DEEP stack (nwin ≈ support while
+    nplanes ≫ 3·support), and the windowed MXU kernels must match the
+    per-sample scatter/gather route there."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.pallas_grid import (
+        assemble_wstack_tiles, degrid_tiles_wstack_mxu,
+        degrid_tiles_wstack_pallas, extract_wstack_tiles,
+        grid_tiles_wstack_mxu, grid_tiles_wstack_pallas,
+        pack_shard_plans, plan_tiles_wstack, wstack_use_mxu,
+    )
+
+    w, beta = 6, 2.3 * 6
+    nu = nv = 64
+    nplanes = 40  # deep: the old nplanes ≤ 3·support gate would refuse
+    n = 300
+    iu0, iv0, uf, vf = _problem(rng, n, nu, nv)
+    wpos = rng.uniform(w / 2, nplanes - w / 2 - 1, n)
+    iw0 = np.floor(wpos).astype(np.int64) - (w // 2 - 1)
+    offs = np.arange(w)
+    kw = es_np((wpos[:, None] - (iw0[:, None] + offs)) / (w / 2.0), beta)
+    vre = rng.normal(size=n).astype(np.float32)
+    vim = rng.normal(size=n).astype(np.float32)
+
+    plan = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                             p0=iw0, wscales=kw.T, nplanes=nplanes,
+                             group=64)
+
+    # window invariants, checked per packed entry
+    nwin, pbase = plan["nwin"], plan["pbase"]
+    assert wstack_use_mxu(plan) and nwin <= 3 * w
+    gidx = plan["vis_slot"] // plan["group"]
+    assert (pbase[gidx] <= iw0).all()
+    assert (iw0 + w <= pbase[gidx] + nwin).all()
+    assert (pbase >= 0).all() and pbase.max() + nwin <= nplanes
+
+    t_re, t_im = grid_tiles_wstack_pallas(plan, jnp.asarray(vre),
+                                          jnp.asarray(vim), interpret=True)
+    ref_re, ref_im = assemble_wstack_tiles(t_re, t_im, plan)
+    m_re, m_im = grid_tiles_wstack_mxu(plan, jnp.asarray(vre),
+                                       jnp.asarray(vim), interpret=True)
+    got_re, got_im = assemble_wstack_tiles(m_re, m_im, plan)
+    assert_allclose(np.asarray(got_re), np.asarray(ref_re), rtol=2e-5,
+                    atol=2e-5)
+    assert_allclose(np.asarray(got_im), np.asarray(ref_im), rtol=2e-5,
+                    atol=2e-5)
+
+    g = rng.normal(size=(nplanes, nu, nv)).astype(np.float32)
+    gi = rng.normal(size=(nplanes, nu, nv)).astype(np.float32)
+    tre, tim = extract_wstack_tiles(jnp.asarray(g), jnp.asarray(gi), plan)
+    o_re, o_im = degrid_tiles_wstack_pallas(plan, tre, tim, n,
+                                            interpret=True)
+    d_re, d_im = degrid_tiles_wstack_mxu(plan, tre, tim, n,
+                                         interpret=True)
+    assert_allclose(np.asarray(d_re), np.asarray(o_re), rtol=2e-4,
+                    atol=3e-5)
+    assert_allclose(np.asarray(d_im), np.asarray(o_im), rtol=2e-4,
+                    atol=3e-5)
+
+    # shard packing: window metadata survives, pbase stays in-stack
+    # against the packed (max) nwin
+    half = n // 2
+    plan_a = plan_tiles_wstack(iu0[:half], iv0[:half], uf[:half],
+                               vf[:half], w, beta, nu, nv, p0=iw0[:half],
+                               wscales=kw[:half].T, nplanes=nplanes,
+                               group=64)
+    plan_b = plan_tiles_wstack(iu0[half:], iv0[half:], uf[half:],
+                               vf[half:], w, beta, nu, nv, p0=iw0[half:],
+                               wscales=kw[half:].T, nplanes=nplanes,
+                               group=64)
+    static, arrays = pack_shard_plans([plan_a, plan_b])
+    assert static["nwin"] == max(plan_a["nwin"], plan_b["nwin"])
+    assert arrays["pbase"].shape[0] == 2
+    assert (arrays["pbase"] >= 0).all()
+    assert arrays["pbase"].max() + static["nwin"] <= nplanes
+
+
+def test_wstack_plane_blocked_matches_unblocked(rng):
+    """Plane-blocked plans (depth-P w-blocks, boundary-straddling
+    entries duplicated with complementary zero-masked taps) must
+    reproduce the unblocked MXU route's grid and degrid results on a
+    deep stack, through assembly/extraction and the sample scatter-add
+    unpack (vis_slot is dropped when duplicates exist)."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.pallas_grid import (
+        assemble_wstack_tiles, degrid_tiles_wstack_mxu,
+        extract_wstack_tiles, grid_tiles_wstack_mxu, plan_tiles_wstack,
+        wstack_use_mxu,
+    )
+
+    w, beta = 6, 2.3 * 6
+    nu = nv = 64
+    nplanes = 40
+    n = 400
+    iu0, iv0, uf, vf = _problem(rng, n, nu, nv)
+    wpos = rng.uniform(w / 2, nplanes - w / 2 - 1, n)
+    iw0 = np.floor(wpos).astype(np.int64) - (w // 2 - 1)
+    offs = np.arange(w)
+    kw = es_np((wpos[:, None] - (iw0[:, None] + offs)) / (w / 2.0), beta)
+    vre = rng.normal(size=n).astype(np.float32)
+    vim = rng.normal(size=n).astype(np.float32)
+
+    ref_plan = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                                 p0=iw0, wscales=kw.T, nplanes=nplanes,
+                                 group=64)
+    blk_plan = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                                 p0=iw0, wscales=kw.T, nplanes=nplanes,
+                                 group=64, plane_block=16)
+    assert blk_plan["plane_block"] == 16 and blk_plan["nblk"] == 3
+    assert wstack_use_mxu(blk_plan)
+    assert "vis_slot" not in blk_plan  # duplicates exist at this density
+    # every packed window stays inside its block
+    assert blk_plan["nwin"] <= 16
+    assert blk_plan["pbase"].min() >= 0
+    assert blk_plan["pbase"].max() + blk_plan["nwin"] <= 16
+
+    r_re, r_im = grid_tiles_wstack_mxu(ref_plan, jnp.asarray(vre),
+                                       jnp.asarray(vim), interpret=True)
+    ref_re, ref_im = assemble_wstack_tiles(r_re, r_im, ref_plan)
+    b_re, b_im = grid_tiles_wstack_mxu(blk_plan, jnp.asarray(vre),
+                                       jnp.asarray(vim), interpret=True)
+    got_re, got_im = assemble_wstack_tiles(b_re, b_im, blk_plan)
+    assert np.asarray(got_re).shape == np.asarray(ref_re).shape
+    assert_allclose(np.asarray(got_re), np.asarray(ref_re), rtol=2e-5,
+                    atol=2e-5)
+    assert_allclose(np.asarray(got_im), np.asarray(ref_im), rtol=2e-5,
+                    atol=2e-5)
+
+    g = rng.normal(size=(nplanes, nu, nv)).astype(np.float32)
+    gi = rng.normal(size=(nplanes, nu, nv)).astype(np.float32)
+    rt_re, rt_im = extract_wstack_tiles(jnp.asarray(g), jnp.asarray(gi),
+                                        ref_plan)
+    bt_re, bt_im = extract_wstack_tiles(jnp.asarray(g), jnp.asarray(gi),
+                                        blk_plan)
+    o_re, o_im = degrid_tiles_wstack_mxu(ref_plan, rt_re, rt_im, n,
+                                         interpret=True)
+    d_re, d_im = degrid_tiles_wstack_mxu(blk_plan, bt_re, bt_im, n,
+                                         interpret=True)
+    assert_allclose(np.asarray(d_re), np.asarray(o_re), rtol=2e-4,
+                    atol=5e-5)
+    assert_allclose(np.asarray(d_im), np.asarray(o_im), rtol=2e-4,
+                    atol=5e-5)
