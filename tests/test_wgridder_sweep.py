@@ -26,17 +26,24 @@ def _l2error(a, b):
     )
 
 
-def explicit_gridder(uvw, freq, ms, wgt, nx, ny, cellx, celly):
+def explicit_gridder(uvw, freq, ms, wgt, nx, ny, cellx, celly,
+                     apply_w=True):
     """Vectorised w-aware explicit DFT oracle (reference loop semantics,
-    test_wgridder.py:14-45)."""
+    test_wgridder.py:14-45). ``apply_w=False`` matches the reference's
+    no-w-correction limit: nm1 = 0 and NO 1/n factor (test_wgridder.py
+    :26-31) — the do_wstacking=False gridder semantics."""
     x, y = np.meshgrid(
         *[-s / 2 + np.arange(s) for s in (nx, ny)], indexing="ij"
     )
     x = x * cellx
     y = y * celly
     eps = x**2 + y**2
-    nm1 = -eps / (np.sqrt(1.0 - eps) + 1.0)
-    n = nm1 + 1
+    if apply_w:
+        nm1 = -eps / (np.sqrt(1.0 - eps) + 1.0)
+        n = nm1 + 1
+    else:
+        nm1 = np.zeros_like(eps)
+        n = 1.0
     w = ms if wgt is None else ms * wgt
     phase = (freq[None, :, None, None] / C) * (
         x[None, None] * uvw[:, 0, None, None, None]
@@ -106,7 +113,7 @@ def test_dirty_band_sweep(ny, nchan, nband, precision, epsilon, weighted,
             explicit_gridder(
                 uvw, freq[i : i + c], vis[:, i : i + c],
                 None if wgt is None else wgt[:, i : i + c],
-                nx, ny, cell, cell,
+                nx, ny, cell, cell, apply_w=wstacking,
             )
             for i, c in zip(fbi, fbc)
         ]
