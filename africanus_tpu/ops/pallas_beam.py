@@ -42,7 +42,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["beam_interp_pallas", "prepare_beam_slabs"]
+__all__ = ["beam_interp_pallas", "beam_blend_fr_pallas",
+           "prepare_beam_slabs"]
 
 
 def _round_up(x, m):
@@ -244,3 +245,152 @@ def beam_interp_pallas(slabs, lw, mh, ncorr, vl, vm, gc0, gc1, wlo,
     )
     # (nchan, nlanes, 1, nsamp_p) -> (nlanes, nchan, nsamp)
     return jnp.moveaxis(res[:, :, 0, :nsamp], 0, 1)
+
+
+def _blend_fr_kernel(gc0_ref, wlo_ref, raw_ref, fre_ref, fim_ref,
+                     out_re_ref, out_im_ref, *, ncorr, nud, s_tile,
+                     c_tile, have_feed):
+    """One (sample_tile, chan_tile) output block of the fused epilogue.
+
+    blend(raw, freq weights) → amplitude-preserving norm → optional
+    E·F 2x2 feed rotation, all VMEM-resident: HBM sees only the tiny
+    inputs and the final (2C, s_tile, c_tile) output blocks.
+    """
+    k3 = 3 * ncorr
+
+    # two-hot frequency-blend weights (nud, c_tile) from the per-chan
+    # lower-slab index/weight vectors (freq_grid_interp layout)
+    gc0 = gc0_ref[0, :]                      # (c_tile,) int32
+    wlo = wlo_ref[0, :]                      # (c_tile,) f32
+    ni = lax.broadcasted_iota(jnp.int32, (nud, c_tile), 0)
+    wc = jnp.where(ni == gc0[None, :], wlo[None, :], 0.0) + jnp.where(
+        ni == gc0[None, :] + 1, (1.0 - wlo)[None, :], 0.0
+    )
+
+    # blend: (3C·S, nud) @ (nud, c_tile) on the MXU — one dot for all
+    # re/im/amp planes of the sample tile
+    lhs = raw_ref[...].reshape(k3 * s_tile, nud)
+    blend = lax.dot_general(
+        lhs, wc, (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).reshape(k3, s_tile, c_tile)
+
+    # reference normalisation: phase from the complex interpolant,
+    # amplitude from the interpolated |value| (fast_beam_cubes.py:224)
+    e_re, e_im = [], []
+    for c in range(ncorr):
+        sre = blend[c]
+        sim = blend[ncorr + c]
+        amp = blend[2 * ncorr + c]
+        div = jnp.sqrt(sre * sre + sim * sim)
+        norm = jnp.where(div == 0.0, amp,
+                         amp / jnp.where(div == 0.0, 1.0, div))
+        e_re.append(sre * norm)
+        e_im.append(sim * norm)
+
+    if not have_feed:
+        for c in range(ncorr):
+            out_re_ref[c] = e_re[c]
+            out_im_ref[c] = e_im[c]
+        return
+
+    # E·F per sample: F entries are per-sample (sublane) columns
+    # broadcast along the chan lanes. corr index c = 2i+j row-major.
+    for i in range(2):
+        for k in range(2):
+            acc_re = jnp.zeros((s_tile, c_tile), jnp.float32)
+            acc_im = jnp.zeros((s_tile, c_tile), jnp.float32)
+            for j in range(2):
+                er, ei = e_re[2 * i + j], e_im[2 * i + j]
+                fr = fre_ref[2 * j + k]      # (s_tile, 1)
+                fi = fim_ref[2 * j + k]
+                acc_re += er * fr - ei * fi
+                acc_im += er * fi + ei * fr
+            out_re_ref[2 * i + k] = acc_re
+            out_im_ref[2 * i + k] = acc_im
+
+
+def beam_blend_fr_pallas(raw, gc0, wlo, feed=None, s_tile=8,
+                         c_tile=512, interpret=False):
+    """Fused frequency blend + normalisation [+ feed rotation].
+
+    The chan-invariant beam fast path interpolates each cube slab once
+    (``beam_interp_pallas(..., normalize=False)`` → (3C, nud, nsamp))
+    and then expands to (…, chan) — in XLA that expansion is ~10+
+    HBM passes over (C·nsamp·chan)-sized arrays (blend einsum, norm,
+    concat, layout moves, feed-rotation einsums). This kernel fuses
+    them: HBM traffic is one write of the (2C, nsamp, chan) output.
+
+    Parameters
+    ----------
+    raw : (3C, nsamp, nud) f32 — per-slab re/im/amp interpolants
+        (``beam_interp_pallas`` output transposed; nud on lanes).
+    gc0 : (chan,) int32 lower slab index; wlo : (chan,) f32 its weight.
+    feed : None or Cplx with (nsamp, 2, 2) components — a per-sample
+        feed-rotation Jones (time/ant-indexed F expanded to samples);
+        when given the output is E·F (2x2 complex matmul per sample).
+    ncorr is fixed at 4 (2x2 Jones) when feed is given.
+
+    Returns
+    -------
+    (out_re, out_im): each (C, nsamp, chan) f32.
+    """
+    k3, nsamp, nud = raw.shape
+    ncorr = k3 // 3
+    nchan = gc0.shape[0]
+    have_feed = feed is not None
+    if have_feed and ncorr != 4:
+        raise ValueError("feed rotation requires 2x2 (ncorr=4) beams")
+
+    ns_p = _round_up(nsamp, s_tile)
+    nc_p = _round_up(nchan, c_tile)
+    if ns_p != nsamp:
+        raw = jnp.pad(raw, ((0, 0), (0, ns_p - nsamp), (0, 0)))
+    if nc_p != nchan:
+        gc0 = jnp.pad(gc0, (0, nc_p - nchan))
+        wlo = jnp.pad(wlo, (0, nc_p - nchan))
+
+    if have_feed:
+        fre = feed.re.reshape(nsamp, 4).T.reshape(4, nsamp, 1)
+        fim = feed.im.reshape(nsamp, 4).T.reshape(4, nsamp, 1)
+        if ns_p != nsamp:
+            fre = jnp.pad(fre, ((0, 0), (0, ns_p - nsamp), (0, 0)))
+            fim = jnp.pad(fim, ((0, 0), (0, ns_p - nsamp), (0, 0)))
+    else:
+        # inert stand-ins (static flag skips the reads; 1-lane blocks)
+        fre = jnp.zeros((4, s_tile, 1), jnp.float32)
+        fim = fre
+
+    kernel = partial(_blend_fr_kernel, ncorr=ncorr, nud=nud,
+                     s_tile=s_tile, c_tile=c_tile, have_feed=have_feed)
+
+    chan_vec = pl.BlockSpec((1, c_tile), lambda s, c: (0, c),
+                            memory_space=pltpu.VMEM)
+    raw_spec = pl.BlockSpec((k3, s_tile, nud), lambda s, c: (0, s, 0),
+                            memory_space=pltpu.VMEM)
+    fidx = (lambda s, c: (0, s, 0)) if have_feed else (
+        lambda s, c: (0, 0, 0))
+    f_spec = pl.BlockSpec((4, s_tile, 1), fidx, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ncorr, s_tile, c_tile),
+                            lambda s, c: (0, s, c),
+                            memory_space=pltpu.VMEM)
+
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(ns_p // s_tile, nc_p // c_tile),
+        in_specs=[chan_vec, chan_vec, raw_spec, f_spec, f_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((ncorr, ns_p, nc_p), jnp.float32),
+            jax.ShapeDtypeStruct((ncorr, ns_p, nc_p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(gc0, jnp.int32).reshape(1, -1),
+        jnp.asarray(wlo, jnp.float32).reshape(1, -1),
+        raw.astype(jnp.float32),
+        fre.astype(jnp.float32),
+        fim.astype(jnp.float32),
+    )
+    return out_re[:, :nsamp, :nchan], out_im[:, :nsamp, :nchan]

@@ -11,6 +11,7 @@ from africanus_tpu.rime.transform import transform_sources
 from africanus_tpu.rime.fast_beam_cubes import (
     beam_cube_dde,
     beam_cube_dde_ri,
+    beam_cube_dde_fr_ri,
     freq_grid_interp,
 )
 from africanus_tpu.rime.zernike import zernike_dde, zernike_dde_ri
@@ -29,6 +30,7 @@ __all__ = [
     "transform_sources",
     "beam_cube_dde",
     "beam_cube_dde_ri",
+    "beam_cube_dde_fr_ri",
     "freq_grid_interp",
     "zernike_dde",
     "zernike_dde_ri",

@@ -25,7 +25,8 @@ from jax import lax
 
 from africanus_tpu.ops.cplx import Cplx, cplx
 
-__all__ = ["beam_cube_dde", "beam_cube_dde_ri", "freq_grid_interp"]
+__all__ = ["beam_cube_dde", "beam_cube_dde_ri",
+           "beam_cube_dde_fr_ri", "freq_grid_interp"]
 
 log = logging.getLogger(__name__)
 
@@ -79,6 +80,7 @@ def beam_cube_dde_ri(
     use_pallas: bool | None = None,
     interpret: bool = False,
     chan_invariant: bool | None = None,
+    _feed: Cplx | None = None,
 ) -> Cplx:
     """Pair-native beam cube DDE.
 
@@ -92,6 +94,10 @@ def beam_cube_dde_ri(
     point_errors : (time, ant, chan, 2) array
     antenna_scaling : (ant, chan, 2) array
     frequency : (chan,) array
+    _feed : optional Cplx (time, ant, 2, 2) feed-rotation Jones — when
+        given the result is E·F (requires a 2x2 beam); the Pallas
+        chan-invariant path fuses the product into its epilogue kernel
+        (use :func:`beam_cube_dde_fr_ri`).
 
     Returns
     -------
@@ -110,6 +116,8 @@ def beam_cube_dde_ri(
     if beam_lw < 2 or beam_mh < 2 or beam_nud < 2:
         raise ValueError("each beam cube axis (lw, mh, nud) must be >= 2")
     ncorr = reduce(lambda x, y: x * y, corrs, 1)
+    if _feed is not None and ncorr != 4:
+        raise ValueError("feed-rotation fusion requires a 2x2 beam")
     fb = b.reshape((beam_lw, beam_mh, beam_nud, ncorr))
 
     lower_l, upper_l = ext[0, 0], ext[0, 1]
@@ -194,6 +202,8 @@ def beam_cube_dde_ri(
             chan_inv, beam_lw, beam_mh, fb.shape[2], ncorr,
         )
         if chan_inv:
+            from africanus_tpu.ops.pallas_beam import beam_blend_fr_pallas
+
             nud_total = fb.shape[2]
             nsamp = s * t * a
             vl1 = vl[..., 0].reshape(1, nsamp)
@@ -206,24 +216,26 @@ def beam_cube_dde_ri(
                 idx, idx, np.ones(nud_total, np.float32),
                 interpret=interpret, normalize=False,
             )  # (3C, nud, nsamp) bilinear per slab
-            # per-channel frequency blend as a two-hot matmul over the
-            # tiny nud axis (trace-friendly; gathers would be slow)
-            slab_ax = jnp.arange(nud_total)[None, :]
-            wc = jnp.where(
-                slab_ax == gc0[:, None], nud[:, None], 0.0
-            ) + jnp.where(slab_ax == gc1[:, None], inv_nud[:, None], 0.0)
-            blend = jnp.einsum(
-                "kns,cn->kcs", raw, wc,
-                precision=lax.Precision.HIGHEST,
-            )
-            sre = blend[:ncorr]  # (C, chan, nsamp)
-            sim = blend[ncorr : 2 * ncorr]
-            amp = blend[2 * ncorr :]
-            div = jnp.sqrt(sre * sre + sim * sim)
-            norm = jnp.where(
-                div == 0.0, amp, amp / jnp.where(div == 0.0, 1.0, div)
-            )
-            res = jnp.concatenate([sre * norm, sim * norm], axis=0)
+            # fused per-channel frequency blend + normalisation
+            # [+ feed rotation]: one kernel write instead of ~10 XLA
+            # HBM passes (blend einsum, norm, concat, feed einsums)
+            feed_s = None
+            if _feed is not None:
+                feed_s = Cplx(
+                    jnp.broadcast_to(_feed.re[None], (s, t, a, 2, 2)
+                                     ).reshape(nsamp, 2, 2),
+                    jnp.broadcast_to(_feed.im[None], (s, t, a, 2, 2)
+                                     ).reshape(nsamp, 2, 2),
+                )
+            out_re, out_im = beam_blend_fr_pallas(
+                raw.transpose(0, 2, 1), gc0, nud, feed=feed_s,
+                interpret=interpret,
+            )  # (C, nsamp, chan)
+            out_re = jnp.moveaxis(out_re.reshape(ncorr, s, t, a, f),
+                                  0, -1)
+            out_im = jnp.moveaxis(out_im.reshape(ncorr, s, t, a, f),
+                                  0, -1)
+            return Cplx(out_re, out_im).reshape(shape + corrs)
         else:
             vlk = jnp.moveaxis(vl, 3, 0).reshape(f, -1)
             vmk = jnp.moveaxis(vm, 3, 0).reshape(f, -1)
@@ -235,7 +247,8 @@ def beam_cube_dde_ri(
         res = jnp.moveaxis(res, 1, 4)  # (2C, s, t, a, chan)
         out_re = jnp.moveaxis(res[:ncorr], 0, -1)  # (s,t,a,chan,C)
         out_im = jnp.moveaxis(res[ncorr:], 0, -1)
-        return Cplx(out_re, out_im).reshape(shape + corrs)
+        return _apply_feed(Cplx(out_re, out_im).reshape(shape + corrs),
+                           _feed, corrs)
 
     gl0 = jnp.floor(vl).astype(jnp.int32)
     gm0 = jnp.floor(vm).astype(jnp.int32)
@@ -278,7 +291,61 @@ def beam_cube_dde_ri(
     norm = jnp.where(div == 0.0, absc, absc / jnp.where(div == 0.0, 1.0, div))
     out = Cplx(sum_re * norm, sum_im * norm)
 
-    return out.reshape(shape + corrs)
+    return _apply_feed(out.reshape(shape + corrs), _feed, corrs)
+
+
+def _apply_feed(e, feed, corrs):
+    """E·F on the XLA paths (per-(time, ant) 2x2 complex matmul)."""
+    if feed is None:
+        return e
+    shape = e.re.shape[:4]
+    e4 = Cplx(e.re.reshape(shape + (2, 2)), e.im.reshape(shape + (2, 2)))
+    spec = "stafij,tajk->stafik"
+    hp = lax.Precision.HIGHEST
+    re = (jnp.einsum(spec, e4.re, feed.re, precision=hp)
+          - jnp.einsum(spec, e4.im, feed.im, precision=hp))
+    im = (jnp.einsum(spec, e4.re, feed.im, precision=hp)
+          + jnp.einsum(spec, e4.im, feed.re, precision=hp))
+    return Cplx(re.reshape(shape + corrs), im.reshape(shape + corrs))
+
+
+def beam_cube_dde_fr_ri(
+    beam,
+    beam_lm_extents,
+    beam_freq_map,
+    lm,
+    parallactic_angles,
+    point_errors,
+    antenna_scaling,
+    frequency,
+    feed_type: str = "linear",
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+    chan_invariant: bool | None = None,
+) -> Cplx:
+    """Fused beam DDE × feed rotation: E(s,t,a,ν)·F(t,a) in one pass.
+
+    The reference composes these as separate kernels
+    (fast_beam_cubes.py:58 then feeds.py feed_rotation, multiplied in
+    the predict chain); on TPU the 2x2 complex product is fused into
+    the beam epilogue kernel on the chan-invariant fast path
+    (ops/pallas_beam.py beam_blend_fr_pallas), avoiding a full
+    (src, time, ant, chan, 2, 2) round-trip through HBM.
+
+    Same arguments as :func:`beam_cube_dde_ri` plus ``feed_type``
+    ("linear" or "circular"); the beam must be 2x2 (or flat-4)
+    correlated. Returns Cplx (src, time, ant, chan, 2, 2)-shaped like
+    the input beam's correlation axes.
+    """
+    from africanus_tpu.rime.feeds import feed_rotation_ri
+
+    f = feed_rotation_ri(jnp.asarray(parallactic_angles), feed_type)
+    return beam_cube_dde_ri(
+        beam, beam_lm_extents, beam_freq_map, lm, parallactic_angles,
+        point_errors, antenna_scaling, frequency,
+        use_pallas=use_pallas, interpret=interpret,
+        chan_invariant=chan_invariant, _feed=f,
+    )
 
 
 def beam_cube_dde(

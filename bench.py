@@ -444,8 +444,8 @@ def config3_beam():
     import jax
     import jax.numpy as jnp
     from africanus_tpu.ops.cplx import Cplx
-    from africanus_tpu.rime.fast_beam_cubes import beam_cube_dde_ri
-    from africanus_tpu.rime.feeds import feed_rotation_ri
+    from africanus_tpu.rime.fast_beam_cubes import (
+        beam_cube_dde_fr_ri, beam_cube_dde_ri)
 
     lw = mh = 129
     nud = 8
@@ -534,21 +534,17 @@ def config3_beam():
              freq.astype(f32))
 
     def chain(pa_t):
-        e = beam_cube_dde_ri(
+        # fused E·F: the Pallas chan-invariant path folds the frequency
+        # blend, normalisation and the 2x2 feed-rotation product into
+        # one epilogue kernel (beam_blend_fr_pallas); the CPU fallback
+        # runs the same math as XLA einsums (_apply_feed)
+        e = beam_cube_dde_fr_ri(
             beam_ri, argsf[0], argsf[1], argsf[2], pa_t, argsf[4],
-            argsf[5], argsf[6], use_pallas=None, chan_invariant=True,
+            argsf[5], argsf[6], feed_type="linear", use_pallas=None,
+            chan_invariant=True,
         )
-        e4 = Cplx(e.re.reshape(e.re.shape[:4] + (2, 2)),
-                  e.im.reshape(e.im.shape[:4] + (2, 2)))
-        f = feed_rotation_ri(pa_t, "linear")
-        # E · F per (s,t,a,chan): 2x2 complex matmuls
-        spec = "stafij,tajk->stafik"
-        hp = jax.lax.Precision.HIGHEST
-        re = (jnp.einsum(spec, e4.re, f.re, precision=hp)
-              - jnp.einsum(spec, e4.im, f.im, precision=hp))
-        im = (jnp.einsum(spec, e4.re, f.im, precision=hp)
-              + jnp.einsum(spec, e4.im, f.re, precision=hp))
-        return Cplx(re, im)
+        return Cplx(e.re.reshape(e.re.shape[:4] + (2, 2)),
+                    e.im.reshape(e.im.shape[:4] + (2, 2)))
 
     out = jax.jit(chain)(jnp.asarray(pa.astype(f32)))
     got = np.asarray(out.re) + 1j * np.asarray(out.im)
@@ -586,19 +582,21 @@ def config3_beam():
     gen_dt = _time_jit(chain_general, pa.astype(f32), reps=3)
     _phase("general-path canary timed")
     gen_rate = nsamp / gen_dt / 1e6
-    # Fast-path accounting. The MXU kernel touches only nud·(s·t·a)
-    # samples; the per-(chan, sample) work is the XLA stages, which are
-    # multi-PASS HBM traffic over ~(nsamp · lanes · 4 B) arrays:
-    #   blend einsum writes 3C, norm reads 3C writes 2C, layout moves
-    #   read+write 2C each, feed-rotation einsums read 2·2C write 2C —
-    # ~21C f32 lane-passes per sample. Intensity ~1 flop/byte → the
-    # binding wall is HBM, and the fraction below is the achieved
-    # bandwidth fraction, not a flop fraction.
+    # Fast-path accounting. The interp kernel touches only nud·(s·t·a)
+    # samples; the per-(chan, sample) stages — frequency blend,
+    # normalisation, feed rotation — are FUSED into one epilogue kernel
+    # (ops/pallas_beam.py beam_blend_fr_pallas) whose HBM traffic is a
+    # single (2C, nsamp) write, plus the (C, nsamp, chan) →
+    # (s,t,a,chan,C) layout transpose (read+write ×2C). ~6C f32
+    # lane-passes per sample (was ~21C unfused: blend einsum 3C, norm
+    # 5C, concat/layout 4C each, feed einsums 6C). Intensity ~1
+    # flop/byte → the binding wall is HBM, and the fraction below is
+    # the achieved bandwidth fraction, not a flop fraction.
     flops = (nud * nsrc * ntime * nant * 2 * 136 * 1664
              + nsamp * (3 * ncorr * 2 * nud      # blend MACs
                         + 8 * ncorr              # norm (sqrt ~8 slots)
                         + 2 * ncorr * 2 * 2 * 2))  # feed 2x2 cplx MACs
-    lane_passes = (3 + 3 + 2 + 2 + 2 + 2 + 2 + 2) * ncorr  # see above
+    lane_passes = (2 + 2 + 2) * ncorr  # kernel write + transpose r/w
     bytes_ = 4 * (nsamp * lane_passes + lw * mh * nud * ncorr * 3)
     frac, bound = _roofline_info(dt, flops, bytes_)
     return dict(

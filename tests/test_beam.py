@@ -351,3 +351,70 @@ def test_beam_cube_dde_pen_and_paper(rng):
     assert_allclose(ddes.squeeze(), want, rtol=1e-6)
     # the reference's golden number for this seed
     assert_allclose(ddes.squeeze(), 0.470255 + 0.4786j, atol=1e-6)
+
+
+def test_beam_cube_dde_fr_fused_matches_composition(rng, beam_setup):
+    """beam_cube_dde_fr_ri (fused E·F) equals beam_cube_dde_ri followed
+    by an explicit feed-rotation 2x2 product — on the XLA path AND on
+    the Pallas chan-invariant path (interpret), for both feed types."""
+    from africanus_tpu.ops.cplx import to_numpy
+    from africanus_tpu.rime.fast_beam_cubes import (
+        beam_cube_dde_fr_ri, beam_cube_dde_ri)
+    from africanus_tpu.rime.feeds import feed_rotation_ri
+
+    beam, extents, freq_map = beam_setup
+    nsrc, ntime, nants, nchan = 3, 2, 3, 6
+    lm = rng.uniform(-0.015, 0.015, (nsrc, 2))
+    pa = rng.uniform(-np.pi, np.pi, (ntime, nants))
+    pe = np.zeros((ntime, nants, nchan, 2))
+    ascale = np.ones((nants, nchan, 2))
+    freq = np.linspace(freq_map[0], freq_map[-1], nchan)
+    args = (beam, extents, freq_map, lm, pa, pe, ascale, freq)
+
+    for feed_type in ("linear", "circular"):
+        e = to_numpy(beam_cube_dde_ri(*args, use_pallas=False))
+        f = to_numpy(feed_rotation_ri(pa, feed_type))
+        want = np.einsum("stafij,tajk->stafik",
+                         e.reshape(nsrc, ntime, nants, nchan, 2, 2), f)
+        got_xla = to_numpy(
+            beam_cube_dde_fr_ri(*args, feed_type=feed_type,
+                                use_pallas=False)
+        ).reshape(want.shape)
+        assert_allclose(got_xla, want, rtol=1e-5, atol=1e-6)
+        got_fused = to_numpy(
+            beam_cube_dde_fr_ri(*args, feed_type=feed_type,
+                                use_pallas=True, interpret=True)
+        ).reshape(want.shape)
+        assert_allclose(got_fused, want, rtol=1e-5, atol=1e-6)
+
+
+def test_beam_cube_dde_fr_general_path_applies_feed(rng, beam_setup):
+    """Per-chan pointing errors force the general (non-chan-invariant)
+    path; the feed product must still be applied there."""
+    from africanus_tpu.ops.cplx import to_numpy
+    from africanus_tpu.rime.fast_beam_cubes import (
+        beam_cube_dde_fr_ri, beam_cube_dde_ri)
+    from africanus_tpu.rime.feeds import feed_rotation_ri
+
+    beam, extents, freq_map = beam_setup
+    nsrc, ntime, nants, nchan = 2, 2, 2, 4
+    lm = rng.uniform(-0.015, 0.015, (nsrc, 2))
+    pa = rng.uniform(-np.pi, np.pi, (ntime, nants))
+    pe = rng.normal(scale=1e-4, size=(ntime, nants, nchan, 2))
+    ascale = np.ones((nants, nchan, 2))
+    freq = np.linspace(freq_map[0], freq_map[-1], nchan)
+    args = (beam, extents, freq_map, lm, pa, pe, ascale, freq)
+
+    e = to_numpy(beam_cube_dde_ri(*args, use_pallas=False))
+    f = to_numpy(feed_rotation_ri(pa, "linear"))
+    want = np.einsum("stafij,tajk->stafik",
+                     e.reshape(nsrc, ntime, nants, nchan, 2, 2), f)
+    got = to_numpy(
+        beam_cube_dde_fr_ri(*args, use_pallas=True, interpret=True,
+                            chan_invariant=False)
+    ).reshape(want.shape)
+    assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    got_np = to_numpy(
+        beam_cube_dde_fr_ri(*args, use_pallas=False)
+    ).reshape(want.shape)
+    assert_allclose(got_np, want, rtol=1e-5, atol=1e-6)
