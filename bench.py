@@ -139,27 +139,43 @@ def _on_signal(signum, frame):
 FALLBACK_CPU = False
 
 
-def _probe_device(timeout_s=120.0):
+def _probe_device(timeout_s=120.0, reserve_s=200.0):
     """True iff the default (TPU) backend answers a tiny fetch within
     ``timeout_s``. Runs in a subprocess because backend init itself can
     hang indefinitely on a dead tunnel. A HEALTHY tunnel cold-start
     measures ~75 s (backend init + first compile), so 60 s would
-    false-fallback; the watchdog deadline still bounds the total."""
+    false-fallback.
+
+    The axon tunnel cycles through multi-minute outages, and a
+    CPU-fallback capture is near-worthless — so on failure keep
+    retrying as long as ``reserve_s`` of the global deadline remains;
+    only then concede to the CPU fallback. reserve 200 s captures the
+    headline configs with a warm cache (a full warm TPU run measures
+    ~250 s; later configs soft-skip under the per-config floors) — a
+    partial TPU capture beats a complete CPU one."""
     import subprocess
 
     code = ("import jax, numpy as np; "
             "x = jax.jit(lambda a: a * 2)(np.float32(21.0)); "
             "assert float(np.asarray(x)) == 42.0")
-    for attempt in (1, 2):  # one retry: transient host load can push a
-        # healthy ~75 s cold-start past the limit
+    attempt = 0
+    while True:
+        attempt += 1
+        budget = min(timeout_s, _remaining() - reserve_s)
+        if budget < 10.0:
+            log(f"TPU probe: giving up after {attempt - 1} attempts "
+                f"({_remaining():.0f}s left < reserve {reserve_s:.0f}s)")
+            return False
         try:
             subprocess.run([sys.executable, "-c", code],
-                           timeout=timeout_s, check=True,
+                           timeout=budget, check=True,
                            capture_output=True)
             return True
         except Exception as e:
-            log(f"TPU probe attempt {attempt} failed: {type(e).__name__}")
-    return False
+            log(f"TPU probe attempt {attempt} failed: "
+                f"{type(e).__name__} ({_remaining():.0f}s left)")
+        if _remaining() - reserve_s > 30.0:
+            time.sleep(min(20.0, _remaining() - reserve_s))
 
 
 def log(msg):
