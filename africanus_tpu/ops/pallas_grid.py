@@ -1866,21 +1866,26 @@ def _grid_wstack_mxu_kernel(first_ref, gtile_ref, pbase_ref, urow_ref,
     wv_re = wt * vre_ref[0]                   # (nwin, S)
     wv_im = wt * vim_ref[0]
 
+    # ONE stacked dot for the whole w-window: per-plane (tpad_r, S)
+    # lhs rows run the MXU at tpad_r/128 utilization (tpad_r is 48 at
+    # the default tile), so stack the planes into (nwin·tpad_r, S)
     dims = (((1,), (1,)), ((), ()))           # contract over samples
+    rm_re = (tapr_t[None] * wv_re[:, None, :]).reshape(
+        nwin * tpad_r, group)
+    rm_im = (tapr_t[None] * wv_im[:, None, :]).reshape(
+        nwin * tpad_r, group)
+    acc_re = lax.dot_general(
+        rm_re, tapc_t, dims, precision=precision,
+        preferred_element_type=jnp.float32,
+    )                                         # (nwin·tpad_r, tpad_c)
+    acc_im = lax.dot_general(
+        rm_im, tapc_t, dims, precision=precision,
+        preferred_element_type=jnp.float32,
+    )
     for p in range(nwin):
-        rm_re = tapr_t * wv_re[p:p + 1, :]
-        rm_im = tapr_t * wv_im[p:p + 1, :]
-        acc_re = lax.dot_general(
-            rm_re, tapc_t, dims, precision=precision,
-            preferred_element_type=jnp.float32,
-        )
-        acc_im = lax.dot_general(
-            rm_im, tapc_t, dims, precision=precision,
-            preferred_element_type=jnp.float32,
-        )
         sl = (0, pb + p)
-        out_re_ref[sl] += acc_re
-        out_im_ref[sl] += acc_im
+        out_re_ref[sl] += acc_re[p * tpad_r : (p + 1) * tpad_r]
+        out_im_ref[sl] += acc_im[p * tpad_r : (p + 1) * tpad_r]
 
 
 def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
@@ -1981,22 +1986,24 @@ def _degrid_wstack_mxu_kernel(gtile_ref, pbase_ref, urow_ref, vfa_ref,
     for t in range(support):
         wt = wt + jnp.where(p0 + t == p_iota, wsc_ref[0, t:t + 1, :], 0.0)
 
-    dims = (((1,), (0,)), ((), ()))           # (tpad_r, tpad_c) @ (tpad_c, S)
-    acc_re = jnp.zeros((1, group), jnp.float32)
-    acc_im = jnp.zeros((1, group), jnp.float32)
-    for p in range(nwin):
-        m_re = lax.dot_general(
-            tre_ref[(0, pb + p)], tapc_t, dims, precision=precision,
-            preferred_element_type=jnp.float32,
-        )                                     # (tpad_r, S)
-        m_im = lax.dot_general(
-            tim_ref[(0, pb + p)], tapc_t, dims, precision=precision,
-            preferred_element_type=jnp.float32,
-        )
-        e_re = jnp.sum(tapr_t * m_re, axis=0, keepdims=True)   # (1, S)
-        e_im = jnp.sum(tapr_t * m_im, axis=0, keepdims=True)
-        acc_re = acc_re + wt[p:p + 1, :] * e_re
-        acc_im = acc_im + wt[p:p + 1, :] * e_im
+    # ONE stacked dot for the whole w-window (see the grid kernel): the
+    # nwin tile planes concatenate along rows, (nwin·tpad_r, tpad_c) @
+    # (tpad_c, S), and the per-plane row-tap reduction becomes a single
+    # weighted column-sum against wt[p]·tapr[r] stacked the same way
+    dims = (((1,), (0,)), ((), ()))           # (…, tpad_c) @ (tpad_c, S)
+    t_re = tre_ref[0, pl.ds(pb, nwin)].reshape(nwin * tpad_r, tpad_c)
+    t_im = tim_ref[0, pl.ds(pb, nwin)].reshape(nwin * tpad_r, tpad_c)
+    m_re = lax.dot_general(
+        t_re, tapc_t, dims, precision=precision,
+        preferred_element_type=jnp.float32,
+    )                                         # (nwin·tpad_r, S)
+    m_im = lax.dot_general(
+        t_im, tapc_t, dims, precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    a_st = (wt[:, None, :] * tapr_t[None]).reshape(nwin * tpad_r, group)
+    acc_re = jnp.sum(a_st * m_re, axis=0, keepdims=True)      # (1, S)
+    acc_im = jnp.sum(a_st * m_im, axis=0, keepdims=True)
     out_re_ref[...] = acc_re[:, None, :]
     out_im_ref[...] = acc_im[:, None, :]
 

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from africanus_tpu.ops.cplx import Cplx
 
-__all__ = ["predict_kb_pallas"]
+__all__ = ["predict_kb_pallas", "predict_kb_pallas_srclane"]
 
 
 def _predict_kernel(*refs, src_block, have_env, compensated,
@@ -260,3 +260,154 @@ def predict_kb_pallas(phase_dot, u1, v1, freq, scaled_freq, b: Cplx,
         b.im.astype(jnp.float32).transpose(2, 0, 1),
     )
     return Cplx(out_re.transpose(1, 2, 0), out_im.transpose(1, 2, 0))
+
+
+def _predict_srclane_kernel(freq_ref, sfreq_ref, dot_ref, dlo_ref,
+                            u1_ref, v1_ref, b8_ref, out_ref, *,
+                            chan_tile, ncorr, have_env, compensated,
+                            precision):
+    """One (row_tile, chan_tile·2C) output block; sources on lanes.
+
+    The dual of :func:`_predict_kernel`'s layout: phases/envelopes are
+    computed on (row, src) tiles per channel and the source contraction
+    is a REAL MXU dot (row, src) @ (src, 2C) — replacing the VPU
+    per-correlation multiply-sum that dominates the row/chan-tile
+    kernel's issue budget. The channel loop is unrolled (dynamic lane
+    slicing of the output is unsupported on Mosaic).
+    """
+    from africanus_tpu.ops.dfloat import _r, split as df_split
+
+    j0 = pl.program_id(1) * chan_tile
+    dot = dot_ref[...]                        # (TR, S)
+    if compensated:
+        dlo = dlo_ref[...]
+        dhh, dhl = df_split(dot)
+    if have_env:
+        u1 = u1_ref[...]
+        v1 = v1_ref[...]
+    twoc = 2 * ncorr
+    dims = (((1,), (0,)), ((), ()))           # (TR,S) @ (S,2C)
+
+    for j in range(chan_tile):
+        f = freq_ref[0, j0 + j]
+        if compensated:
+            fhh, fhl = df_split(f)
+            p = _r(dot * f)                   # (TR, S) cycles (rounded)
+            e = _r(_r(
+                _r(_r(dhh * fhh) - p)
+                + _r(dhh * fhl)
+                + _r(dhl * fhh)
+            ) + _r(dhl * fhl))
+            e = _r(e + _r(dlo * f))
+            p = (2.0 * jnp.pi) * _r(_r(p - jnp.round(p)) + e)
+        else:
+            p = dot * f
+        kre = jnp.cos(p)
+        kim = jnp.sin(p)
+        if have_env:
+            sf = sfreq_ref[0, j0 + j]
+            fu = u1 * sf
+            fv = v1 * sf
+            env = jnp.exp(-(fu * fu + fv * fv))
+            kre = kre * env
+            kim = kim * env
+        b8 = b8_ref[j]                        # (S, 2C) = [re·C | im·C]
+        d1 = lax.dot_general(kre, b8, dims, precision=precision,
+                             preferred_element_type=jnp.float32)
+        d2 = lax.dot_general(kim, b8, dims, precision=precision,
+                             preferred_element_type=jnp.float32)
+        out_re = d1[:, :ncorr] - d2[:, ncorr:]          # (TR, C)
+        out_im = d1[:, ncorr:] + d2[:, :ncorr]
+        out_ref[:, j * twoc : (j + 1) * twoc] = jnp.concatenate(
+            [out_re, out_im], axis=1
+        )
+
+
+def predict_kb_pallas_srclane(phase_dot, u1, v1, freq, scaled_freq,
+                              b: Cplx, row_tile=128, chan_tile=16,
+                              precision=None, interpret=False):
+    """Fused K[×env]×B predict with sources on lanes (MXU contraction).
+
+    Same contract as :func:`predict_kb_pallas` (reference
+    rime/predict.py:199-252 hot loop); the (src,) axis is padded to a
+    lane multiple and contracted on the MXU per channel, so the
+    per-correlation accumulation leaves the VPU issue budget entirely.
+    Measured intent: the row/chan-tile kernel spends ~36% of its
+    roofline slots on the VPU multiply-sum this dot replaces.
+
+    Returns Cplx (row, chan, corr) visibilities. nrow % row_tile and
+    nchan % chan_tile must be 0 (pad rows/chans); sources are padded
+    internally with zero flux.
+    """
+    compensated = isinstance(phase_dot, (tuple, list))
+    if compensated:
+        phase_dot, phase_dot_lo = phase_dot
+    else:
+        phase_dot_lo = None
+    nsrc, nrow = phase_dot.shape
+    nchan = freq.shape[0]
+    ncorr = b.re.shape[2]
+    have_env = u1 is not None
+    twoc = 2 * ncorr
+
+    if nrow % row_tile or nchan % chan_tile:
+        raise ValueError(
+            f"shapes (row={nrow}, chan={nchan}) must be divisible by "
+            f"(row_tile={row_tile}, chan_tile={chan_tile})"
+        )
+    s_pad = (-nsrc) % 128
+
+    def padT(a):  # (src, row) -> (row, src_padded)
+        a = a.astype(jnp.float32).T
+        return jnp.pad(a, ((0, 0), (0, s_pad))) if s_pad else a
+
+    dotT = padT(phase_dot)
+    dloT = padT(phase_dot_lo) if compensated else dotT  # inert stand-in
+    u1T = padT(u1) if have_env else dotT                # inert stand-in
+    v1T = padT(v1) if have_env else dotT
+    S = nsrc + s_pad
+
+    # (chan, S, 2C) channel-major brightness, [re·C | im·C] lanes
+    b8 = jnp.concatenate(
+        [b.re.astype(jnp.float32), b.im.astype(jnp.float32)], axis=2
+    ).transpose(1, 0, 2)
+    if s_pad:
+        b8 = jnp.pad(b8, ((0, 0), (0, s_pad), (0, 0)))
+
+    kernel = partial(
+        _predict_srclane_kernel, chan_tile=chan_tile, ncorr=ncorr,
+        have_env=have_env, compensated=compensated,
+        precision=precision or lax.Precision.HIGHEST,
+    )
+
+    grid = (nrow // row_tile, nchan // chan_tile)
+    sr = pl.BlockSpec((row_tile, S), lambda i, j: (i, 0),
+                      memory_space=pltpu.VMEM)
+    chan_smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    b_spec = pl.BlockSpec((chan_tile, S, twoc), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((row_tile, chan_tile * twoc),
+                            lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[chan_smem, chan_smem, sr, sr, sr, sr, b_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nrow, nchan * twoc), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nsrc * nrow * nchan * (4 * ncorr + 8),
+            bytes_accessed=4 * (4 * nsrc * nrow + 2 * nchan
+                                + 2 * nsrc * nchan * ncorr
+                                + nrow * nchan * twoc),
+            transcendentals=3 * nsrc * nrow * nchan,
+        ),
+    )(
+        freq.astype(jnp.float32).reshape(1, -1),
+        scaled_freq.astype(jnp.float32).reshape(1, -1),
+        dotT, dloT, u1T, v1T, b8,
+    )
+    out = out.reshape(nrow, nchan, twoc)
+    return Cplx(out[:, :, :ncorr], out[:, :, ncorr:])

@@ -117,3 +117,56 @@ def test_pallas_predict_shape_validation(problem):
     with pytest.raises(ValueError, match="divisible"):
         pp.predict_kb_pallas(dot[:, :100], u1[:, :100], v1[:, :100],
                              freq, sf, b)
+
+
+def test_srclane_matches_einsum(problem):
+    """The sources-on-lanes MXU kernel matches the einsum oracle and
+    the row/chan-tile kernel (envelope + point paths, non-multiple
+    source count exercising the lane padding)."""
+    dot, u1, v1, freq, sf, b = problem
+    S = dot.shape[0] - 3  # non-multiple source count
+    dot, u1, v1 = dot[:S], u1[:S], v1[:S]
+    b = Cplx(b.re[:S], b.im[:S])
+    args = (jnp.asarray(dot), jnp.asarray(u1), jnp.asarray(v1),
+            jnp.asarray(freq), jnp.asarray(sf))
+    ref = einsum_oracle(*args, b)
+    scale = np.abs(np.asarray(ref.re)).max()
+    out = pp.predict_kb_pallas_srclane(dot, u1, v1, freq, sf, b,
+                                       chan_tile=16, interpret=True)
+    assert_allclose(np.asarray(out.re), np.asarray(ref.re),
+                    atol=1e-5 * scale)
+    assert_allclose(np.asarray(out.im), np.asarray(ref.im),
+                    atol=1e-5 * scale)
+    # point-source path
+    out_p = pp.predict_kb_pallas_srclane(dot, None, None, freq, sf, b,
+                                         chan_tile=16, interpret=True)
+    ref_p = einsum_oracle(args[0], None, None, args[3], args[4], b)
+    scale = np.abs(np.asarray(ref_p.re)).max()
+    assert_allclose(np.asarray(out_p.re), np.asarray(ref_p.re),
+                    atol=1e-5 * scale)
+
+
+def test_srclane_compensated_matches_rowchan(rng):
+    """Compensated (two-float mod-1 cycle) phases agree between the two
+    kernel layouts at realistic delay magnitudes (~1e4 rad phases)."""
+    from africanus_tpu.rime.phase import phase_dot_cycles
+
+    S, R, F, C = 8, 128, 32, 4
+    lm = rng.uniform(-0.02, 0.02, (S, 2)).astype(np.float32)
+    uvw = rng.uniform(-1000.0, 1000.0, (R, 3)).astype(np.float32)
+    freq = np.linspace(0.856e9, 1.712e9, F).astype(np.float32)
+    sf = (freq * 1e-12).astype(np.float32)
+    b = Cplx(rng.normal(size=(S, F, C)).astype(np.float32),
+             rng.normal(size=(S, F, C)).astype(np.float32))
+    dot = phase_dot_cycles(lm, uvw)
+
+    out_a = pp.predict_kb_pallas(dot, None, None, freq, sf, b,
+                                 row_tile=128, chan_tile=32,
+                                 interpret=True)
+    out_b = pp.predict_kb_pallas_srclane(dot, None, None, freq, sf, b,
+                                         chan_tile=16, interpret=True)
+    scale = np.abs(np.asarray(out_a.re)).max()
+    assert_allclose(np.asarray(out_b.re), np.asarray(out_a.re),
+                    atol=2e-6 * scale)
+    assert_allclose(np.asarray(out_b.im), np.asarray(out_a.im),
+                    atol=2e-6 * scale)
