@@ -452,3 +452,49 @@ def test_sharded_residual_vis_and_gauss_newton(rng):
         return c[:, a1u] * np.conj(c[:, a2u])
 
     assert_allclose(prods(gs), prods(gl), rtol=1e-8, atol=1e-8)
+
+
+def test_chan_sharded_beam_fr_invariance(rng):
+    """The fused beam DDE × feed rotation is sharding-transparent over
+    the channel axis: per-chan tables (freq, pointing errors, antenna
+    scaling) shard cleanly, the cube and geometry replicate, and each
+    shard's chan-invariant fast path matches the unsharded result (the
+    reference's dask beam layer chunks chan the same way)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from africanus_tpu.rime.fast_beam_cubes import beam_cube_dde_fr_ri
+
+    mesh = make_mesh((4,), ("chan",), strict=False)
+    nsrc, ntime, nants, nchan, nud = 3, 2, 3, 16, 4
+    lw = mh = 8
+    beam = (rng.normal(size=(lw, mh, nud, 2, 2))
+            + 1j * rng.normal(size=(lw, mh, nud, 2, 2)))
+    beam_ri = Cplx(beam.real.astype(np.float32),
+                   beam.imag.astype(np.float32))
+    extents = np.array([[-0.02, 0.02], [-0.02, 0.02]], np.float32)
+    fmap = np.linspace(0.9e9, 1.6e9, nud).astype(np.float32)
+    freq = np.linspace(fmap[0], fmap[-1], nchan).astype(np.float32)
+    lm = rng.uniform(-0.015, 0.015, (nsrc, 2)).astype(np.float32)
+    pa = rng.uniform(-np.pi, np.pi, (ntime, nants)).astype(np.float32)
+    pe = np.zeros((ntime, nants, nchan, 2), np.float32)
+    asc = np.ones((nants, nchan, 2), np.float32)
+
+    def full():
+        return beam_cube_dde_fr_ri(beam_ri, extents, fmap, lm, pa, pe,
+                                   asc, freq, use_pallas=False)
+
+    def shard_fn(pe_s, asc_s, freq_s):
+        return beam_cube_dde_fr_ri(beam_ri, extents, fmap, lm, pa,
+                                   pe_s, asc_s, freq_s,
+                                   use_pallas=False,
+                                   chan_invariant=True)
+
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, None, "chan"), P(None, "chan"), P("chan")),
+        out_specs=P(None, None, None, "chan"),
+    )
+    want = to_numpy(full())
+    got = to_numpy(sharded(pe, asc, freq))
+    assert_allclose(got, want, rtol=1e-5, atol=1e-6)
