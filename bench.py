@@ -155,9 +155,25 @@ def _probe_device(timeout_s=120.0, reserve_s=200.0):
     partial TPU capture beats a complete CPU one."""
     import subprocess
 
-    code = ("import jax, numpy as np; "
-            "x = jax.jit(lambda a: a * 2)(np.float32(21.0)); "
-            "assert float(np.asarray(x)) == 42.0")
+    # the probe subprocess uses the SAME persistent compile cache as the
+    # bench: after the first-ever probe its trivial program is a cache
+    # hit, so a degraded-but-alive tunnel (remote compiles taking
+    # minutes) cannot fail the probe — observed 2026-08-19: three 120 s
+    # probe failures while a queued kernel sweep ran fine moments later
+    cache_dir = os.environ.get(
+        "AFRICANUS_TPU_BENCH_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    code = (
+        "import jax, numpy as np; "
+        f"jax.config.update('jax_compilation_cache_dir', {cache_dir!r}); "
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs',"
+        " 0.0); "
+        "jax.config.update('jax_persistent_cache_min_entry_size_bytes',"
+        " -1); "
+        "x = jax.jit(lambda a: a * 2)(np.float32(21.0)); "
+        "assert float(np.asarray(x)) == 42.0")
     attempt = 0
     while True:
         attempt += 1
