@@ -856,8 +856,12 @@ def config5_selfcal():
     rng = np.random.default_rng(5)
     f32 = np.float32
     nant, ntime, nchan, nsrc, ncorr = 197, 2, 16, 20, 2
+    gn_iters_cfg = 10
     if FALLBACK_CPU:
-        nant = 64
+        # 64 antennas still overran the 110 s config box on the 1-vCPU
+        # fallback (observed three times 2026-08-19); shrink further —
+        # fallback numbers are labeled non-TPU either way
+        nant, nchan, nsrc, gn_iters_cfg = 32, 8, 10, 5
     a1u, a2u = np.triu_indices(nant, 1)
     nrow = a1u.size * ntime
     a1 = np.tile(a1u, ntime).astype(np.int32)
@@ -871,7 +875,7 @@ def config5_selfcal():
     image = rng.uniform(0.1, 1.0, (nsrc, nchan, ncorr)).astype(f32)
     true_phase = rng.uniform(-0.5, 0.5,
                              (ntime, nant, nchan, 1, ncorr)).astype(f32)
-    gn_iters = 10
+    gn_iters = gn_iters_cfg
 
     @jax.jit
     def make_data(image, uvw, lm, freq, phase):
@@ -938,7 +942,7 @@ def config5_selfcal():
     m_np = np.asarray(model2.re[:, :, 0, :]) + 1j * np.asarray(
         model2.im[:, :, 0, :]
     )
-    sub_bl = 800  # rows per time chunk in the CPU subset
+    sub_bl = min(800, int(tbc[0]))  # rows per time chunk in the CPU subset
     keep = np.concatenate(
         [np.arange(tbi[t], tbi[t] + sub_bl) for t in range(ntime)]
     )
