@@ -28,6 +28,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The sources-on-lanes predict kernel matches the rowchan default's
+# throughput (both TRANSC-bound, ~±2%) but Mosaic-compiles in ~7 s vs
+# ~66 s — the rowchan compile is the single biggest reason a bench run
+# straddles an axon-tunnel outage window and loses its headline config
+# (observed 2026-08-20 00:18: config2 abandoned at its 170 s box while
+# the compile was still in flight). Read at trace time by
+# __graft_entry__._predict_step_pallas; respect an explicit override.
+os.environ.setdefault("AFRICANUS_TPU_PREDICT_KERNEL", "srclane")
+
 from africanus_tpu.constants import c as C_LIGHT  # noqa: E402
 
 # --- deadline harness (round-3 verdict directive 1) ------------------
@@ -51,18 +60,20 @@ _EMITTED = False
 # outage or host load must not starve the rest (that exact failure
 # produced a 476 s config 2 + four deadline-skips on 2026-08-19).
 _PLAN = [
-    ("config2_rime_predict", "config2", 60.0, 170.0),
-    ("config1_dft_im_to_vis", "config1", 45.0, 95.0),
-    ("config4_wgridder_bda", "config4", 120.0, 200.0),
-    ("config5_selfcal_loop", "config5", 60.0, 110.0),
-    ("config3_beam_dde_chain", "config3", 75.0, 140.0),
+    ("config2_rime_predict", "config2", 40.0, 120.0),
+    ("config1_dft_im_to_vis", "config1", 20.0, 70.0),
+    ("config4_wgridder_bda", "config4", 80.0, 180.0),
+    ("config5_selfcal_loop", "config5", 25.0, 90.0),
+    ("config3_beam_dde_chain", "config3", 50.0, 140.0),
 ]
 _STATE = {"configs": {}, "fallback": False}
-# Config names whose worker thread overran its time box. The thread
+# Run tokens whose worker thread overran its time box. The thread
 # itself may be wedged in an uninterruptible tunnel call; flagging the
-# name makes every later _fetch/_time_host inside it raise, so an
-# abandoned config that eventually unwedges cannot run its remaining
-# timing loops concurrently with (and so distort) later configs.
+# TOKEN (one fresh object per run attempt, not the config name) makes
+# every later _fetch/_time_host inside that attempt raise, so an
+# abandoned attempt that eventually unwedges cannot run its remaining
+# timing loops concurrently with (and so distort) later configs — while
+# a RETRY of the same config under a new token stays live.
 _ABANDONED = set()
 _TLS = threading.local()
 
@@ -199,9 +210,8 @@ def log(msg):
 
 
 def _check_abandoned():
-    name = getattr(_TLS, "config", None)
-    if name in _ABANDONED:
-        raise _Abandoned(name)
+    if getattr(_TLS, "token", None) in _ABANDONED:
+        raise _Abandoned(getattr(_TLS, "config", "?"))
 
 
 def _phase(msg):
@@ -232,6 +242,62 @@ def _time_host(fn, reps=3):
     for _ in range(reps):
         out = fn()
     return (time.perf_counter() - t0) / reps, out
+
+
+_BASELINE_CACHE_DIR = os.environ.get(
+    "AFRICANUS_TPU_BENCH_BASELINE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".bench_cache"),
+)
+
+
+def _cached_baseline(name, shape_key, fn, reps=3, want_out=False,
+                     extra_src=()):
+    """_time_host with a content-keyed disk cache.
+
+    The CPU float64 baselines are pure functions of fixed-seed inputs,
+    yet recomputing them burns 60-100 s of the bench's wall budget on
+    this 1-vCPU box — time the TPU legs need to survive a tunnel-outage
+    window. Key = config name + shapes + the baseline function's source
+    hash (editing the baseline math invalidates). The oracle OUTPUT is
+    cached too (``want_out``) where a config uses it for the accuracy
+    check, at full float64/complex128 fidelity via .npy."""
+    import hashlib
+    import inspect
+
+    src = ""
+    for f in (fn,) + tuple(extra_src):
+        try:
+            src += inspect.getsource(f)
+        except (OSError, TypeError):  # pragma: no cover - REPL defs
+            src += repr(f)
+    key = hashlib.sha256(
+        f"{name}|{shape_key}|{reps}|{src}".encode()).hexdigest()[:24]
+    base = os.path.join(_BASELINE_CACHE_DIR, f"{name}-{key}")
+    meta_p, out_p = base + ".json", base + ".npy"
+    try:
+        with open(meta_p) as f:
+            meta = json.load(f)
+        if want_out:
+            out = np.load(out_p)
+            _phase(f"cpu baseline loaded from cache ({meta['dt']:.1f}s "
+                   "when measured)")
+            return meta["dt"], out
+        _phase(f"cpu baseline loaded from cache ({meta['dt']:.1f}s "
+               "when measured)")
+        return meta["dt"], None
+    except Exception:
+        pass
+    dt, out = _time_host(fn, reps=reps)
+    try:
+        os.makedirs(_BASELINE_CACHE_DIR, exist_ok=True)
+        if want_out and isinstance(out, np.ndarray):
+            np.save(out_p, out)
+        with open(meta_p, "w") as f:
+            json.dump({"dt": dt}, f)
+    except Exception as e:  # pragma: no cover - disk full etc.
+        log(f"baseline cache write failed: {type(e).__name__}: {e}")
+    return dt, out
 
 
 # v5e VPU: 8x128 f32 lanes x ~0.94 GHz x 2 (FMA) ~ 2e12 flop/s; a
@@ -298,7 +364,9 @@ def config1_dft():
         K = np.cos(p) + 1j * np.sin(p)
         return np.einsum("srf,sfc->rfc", K, image.astype(complex))
 
-    cpu_dt, want = _time_host(np_dft)
+    cpu_dt, want = _cached_baseline(
+        "config1", (nsrc, nant, ntime, nchan, ncorr), np_dft,
+        want_out=True)
     cpu_rate = nrow * nchan * ncorr / cpu_dt / 1e6
     _phase("cpu baseline done")
 
@@ -400,7 +468,9 @@ def config2_predict():
          (a[:cpu_nchan] if a.ndim == 1 and a.shape[0] == NCHAN else a))
         for a in args
     )
-    cpu_dt, _ = _time_host(lambda: np_predict(*cargs), reps=2)
+    cpu_dt, _ = _cached_baseline(
+        "config2", (NSRC, NANT, NTIME, cpu_nchan, NCORR),
+        lambda: np_predict(*cargs), reps=2, extra_src=(np_predict,))
     _phase("cpu baseline done")
     nrow = args[1].shape[0]
     cpu_rate = nrow * cpu_nchan * NCORR / cpu_dt / 1e6
@@ -555,7 +625,9 @@ def config3_beam():
         e22 = e.reshape(shape + (2, 2))
         return np.einsum("stafij,tajk->stafik", e22, fr)
 
-    cpu_dt, want = _time_host(np_chain, reps=1)
+    cpu_dt, want = _cached_baseline(
+        "config3", (nsrc, ntime, nant, nchan, lw, mh, nud, ncorr),
+        np_chain, reps=1, want_out=True)
     cpu_rate = nsamp / cpu_dt / 1e6
     _phase("cpu baseline done")
 
@@ -701,7 +773,11 @@ def config4_imaging():
                     )
         return np.fft.ifft2(g, axes=(1, 2)).real.sum(0)
 
-    cpu_dt, _ = _time_host(np_grid, reps=1)
+    # keyed on the quantities that set np_grid's cost (it reads only
+    # uvw[:sub]); nrow itself differs between fallback and TPU shapes
+    # but does not enter the baseline
+    cpu_dt, _ = _cached_baseline(
+        "config4", (sub, nchan, nx, ny), np_grid, reps=1)
     _phase("cpu baseline done")
     cpu_rate = sub * nchan / cpu_dt / 1e6
 
@@ -996,7 +1072,9 @@ def config5_selfcal():
         np.einsum("srf,sfc->rfc", K, image.astype(complex))
         return img
 
-    cpu_dt, _ = _time_host(np_loop, reps=1)
+    cpu_dt, _ = _cached_baseline(
+        "config5", (nant, ntime, nchan, nsrc, ncorr, gn_iters, npx,
+                    sub_bl), np_loop, reps=1)
     cpu_dt = cpu_dt * scale
     _phase("cpu baseline done")
     cpu_rate = nvis * gn_iters / cpu_dt / 1e6
@@ -1050,9 +1128,10 @@ def _enable_compile_cache():
         log(f"compile cache unavailable: {type(e).__name__}: {e}")
 
 
-def _run_config(name, fn):
+def _run_config(name, fn, token):
     """Run one config's body in the calling (worker) thread."""
     _TLS.config = name
+    _TLS.token = token
     t0 = time.perf_counter()
     try:
         res = fn()
@@ -1067,7 +1146,7 @@ def _run_config(name, fn):
     except Exception as e:  # pragma: no cover - defensive
         log(traceback.format_exc())
         res = dict(name=name, error=f"{type(e).__name__}: {e}")
-    if name not in _ABANDONED:
+    if token not in _ABANDONED:
         _STATE["configs"][name] = res
 
 
@@ -1098,28 +1177,47 @@ def main():
     fns = {"config1": config1_dft, "config2": config2_predict,
            "config3": config3_beam, "config4": config4_imaging,
            "config5": config5_selfcal}
+    def attempt(name, key, floor, cap, reserve):
+        """One boxed run of a config. True iff it finished in its box."""
+        budget = min(cap, _remaining() - reserve - 10.0)
+        if budget < floor:
+            log(f"{name}: skipped (needs ~{floor:.0f}s, "
+                f"{_remaining():.0f}s left, {budget:.0f}s grantable)")
+            _STATE["configs"].setdefault(
+                name, dict(name=name, skipped="deadline"))
+            return False
+        token = object()
+        worker = threading.Thread(
+            target=_run_config, args=(name, fns[key], token), daemon=True)
+        worker.start()
+        worker.join(budget)
+        if worker.is_alive():
+            _ABANDONED.add(token)
+            log(f"{name}: ABANDONED after {budget:.0f}s time box")
+            _STATE["configs"].setdefault(
+                name, dict(name=name, skipped=f"timeout {budget:.0f}s"))
+            return False
+        return True
+
     try:
         for i, (name, key, floor, cap) in enumerate(_PLAN):
             # reserve at least the floors of the configs still to run
             # (plus emission slack) so the current one cannot starve
             # them even within the global deadline
             reserve = sum(f for _n, _k, f, _c in _PLAN[i + 1:]) * 0.25
-            budget = min(cap, _remaining() - reserve - 10.0)
-            if budget < floor:
-                log(f"{name}: skipped (needs ~{floor:.0f}s, "
-                    f"{_remaining():.0f}s left, {budget:.0f}s grantable)")
-                _STATE["configs"][name] = dict(
-                    name=name, skipped="deadline")
-                continue
-            worker = threading.Thread(
-                target=_run_config, args=(name, fns[key]), daemon=True)
-            worker.start()
-            worker.join(budget)
-            if worker.is_alive():
-                _ABANDONED.add(name)
-                log(f"{name}: ABANDONED after {budget:.0f}s time box")
-                _STATE["configs"][name] = dict(
-                    name=name, skipped=f"timeout {budget:.0f}s")
+            attempt(name, key, floor, cap, reserve)
+        # retry pass: a config skipped or abandoned above (typically a
+        # compile that straddled a tunnel-outage window) gets one more
+        # boxed attempt with whatever deadline budget remains — the
+        # in-flight remote compile usually completed meanwhile, so the
+        # retry is a warm dispatch. setdefault above keeps the first
+        # failure recorded if the retry also dies.
+        for name, key, floor, cap in _PLAN:
+            res = _STATE["configs"].get(name, {})
+            if "skipped" in res and _remaining() > floor + 15.0:
+                log(f"{name}: retrying ({_remaining():.0f}s left)")
+                _STATE["configs"].pop(name, None)
+                attempt(name, key, floor, cap, reserve=0.0)
     finally:
         _emit_json()
 
