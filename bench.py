@@ -77,6 +77,75 @@ _STATE = {"configs": {}, "fallback": False}
 _ABANDONED = set()
 _TLS = threading.local()
 
+# --- last-TPU-capture cache (round-4 verdict directive 1a) -----------
+# The axon tunnel cycles through 10-40 min outages; a driver run that
+# lands inside one produces a near-worthless CPU-fallback capture and
+# zeroes out the round's verified evidence. Every config that completes
+# on the REAL TPU is therefore persisted (git-hash + timestamp stamped)
+# to this file, and the emitted JSON carries the most recent stamped
+# capture under the explicitly-labeled "last_tpu_capture" field whenever
+# the live run fell back to CPU or lost configs to the deadline. Cached
+# numbers are NEVER substituted into the live fields.
+_TPU_CAPTURE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    ".bench_cache", "last_tpu_capture.json",
+)
+
+
+def _git_head():
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip()
+    except Exception:  # pragma: no cover - git absent
+        return "unknown"
+
+
+def _save_tpu_config(res):
+    """Persist one completed TPU-platform config result (called from the
+    worker thread as each config finishes, so a run that later loses the
+    tunnel still banks what it measured)."""
+    with _EMIT_LOCK:
+        try:
+            with open(_TPU_CAPTURE_PATH) as f:
+                cache = json.load(f)
+        except Exception:
+            cache = {"configs": {}}
+        cache["configs"][res["name"]] = dict(
+            res, git=_git_head(),
+            captured_unix=int(time.time()),
+            captured=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        )
+        try:
+            os.makedirs(os.path.dirname(_TPU_CAPTURE_PATH), exist_ok=True)
+            with open(_TPU_CAPTURE_PATH, "w") as f:
+                json.dump(cache, f)
+        except Exception as e:  # pragma: no cover - disk full etc.
+            log(f"tpu capture cache write failed: {type(e).__name__}: {e}")
+
+
+def _load_tpu_capture():
+    """The stamped per-config cache, or None. Shape:
+    {"note": ..., "configs": [...]} with per-config git/captured stamps."""
+    try:
+        with open(_TPU_CAPTURE_PATH) as f:
+            cache = json.load(f)
+        configs = [cache["configs"][n] for n, _k, _f, _c in _PLAN
+                   if n in cache.get("configs", {})]
+        if not configs:
+            return None
+        return {
+            "note": ("most recent SUCCESSFUL TPU capture per config, "
+                     "git-stamped; NOT this run's live numbers"),
+            "configs": configs,
+        }
+    except Exception:
+        return None
+
 
 class _Abandoned(Exception):
     """Raised inside an abandoned config's thread at its next barrier."""
@@ -122,6 +191,15 @@ def _emit_json(reason=""):
     }
     if reason:
         result["partial"] = reason
+    # directive 1a: when the live capture is CPU-fallback or lost configs
+    # to the deadline, ride the most recent stamped TPU capture alongside
+    # (clearly labeled; live fields above are untouched)
+    live_incomplete = _STATE["fallback"] or any(
+        "value" not in c for c in configs)
+    if live_incomplete:
+        cached = _load_tpu_capture()
+        if cached is not None:
+            result["last_tpu_capture"] = cached
     print(json.dumps(result), flush=True)
 
 
@@ -150,7 +228,7 @@ def _on_signal(signum, frame):
 FALLBACK_CPU = False
 
 
-def _probe_device(timeout_s=120.0, reserve_s=200.0):
+def _probe_device(timeout_s=120.0, reserve_s=120.0):
     """True iff the default (TPU) backend answers a tiny fetch within
     ``timeout_s``. Runs in a subprocess because backend init itself can
     hang indefinitely on a dead tunnel. A HEALTHY tunnel cold-start
@@ -160,10 +238,12 @@ def _probe_device(timeout_s=120.0, reserve_s=200.0):
     The axon tunnel cycles through multi-minute outages, and a
     CPU-fallback capture is near-worthless — so on failure keep
     retrying as long as ``reserve_s`` of the global deadline remains;
-    only then concede to the CPU fallback. reserve 200 s captures the
-    headline configs with a warm cache (a full warm TPU run measures
-    ~250 s; later configs soft-skip under the per-config floors) — a
-    partial TPU capture beats a complete CPU one."""
+    only then concede to the CPU fallback. reserve 120 s (round-4
+    verdict directive 1b — was 200): the cached last_tpu_capture field
+    carries the real evidence on fallback, so the CPU leg is only a
+    sanity check (the headline config fits a warm 110 s window; the
+    rest soft-skip under the per-config floors). Probe time is better
+    spent waiting out the outage than measuring JAX-on-1-vCPU."""
     import subprocess
 
     # the probe subprocess uses the SAME persistent compile cache as the
@@ -1148,6 +1228,8 @@ def _run_config(name, fn, token):
         res = dict(name=name, error=f"{type(e).__name__}: {e}")
     if token not in _ABANDONED:
         _STATE["configs"][name] = res
+        if not _STATE["fallback"] and "value" in res:
+            _save_tpu_config(res)
 
 
 def main():
