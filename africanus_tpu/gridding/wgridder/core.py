@@ -40,6 +40,12 @@ __all__ = ["grid_adjoint", "degrid", "degrid_ri", "es_kernel", "kernel_taper", "
 _SIGMA = 2  # oversampling factor
 
 
+def _wgrid_row_bucket():
+    """Row-bucketed fused w-stack plans (MXU route row-slab shrink);
+    env-tunable for A/B measurement on other toolchains."""
+    return os.environ.get("AFRICANUS_TPU_WGRID_ROWBUCKET", "1") == "1"
+
+
 def _kernel_params(epsilon):
     """ES-kernel support and shape parameter for σ=2 oversampling.
 
@@ -185,10 +191,18 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
                     # kept env-tunable for other toolchains/shapes.
                     merge = int(os.environ.get(
                         "AFRICANUS_TPU_WGRID_MERGE", "1"))
+                    # row-bucketed groups shrink the MXU kernels' row
+                    # extent from tpad_r to blk (~3x fewer MACs at the
+                    # default tiles); the scatter kernels read bucketed
+                    # plans unchanged (ordering-only overlay), so the
+                    # flag keys off the route target
+                    row_bucket = (pg.WSTACK_USE_MXU and merge == 1
+                                  and _wgrid_row_bucket())
                     return pg.plan_tiles_wstack(
                         iu0, iv0, uf, vf, support, beta, nu, nv,
                         p0=iw0, wscales=kw.T, nplanes=nplanes,
                         tile_r=tr, tile_c=tc, group=group, merge=merge,
+                        row_bucket=row_bucket,
                     )
             # the whole stack fits no tile size: plane-blocked MXU
             # plan — VMEM holds one depth-P w-block per tile instead of
@@ -210,6 +224,7 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
                             p0=iw0, wscales=kw.T, nplanes=nplanes,
                             tile_r=tr, tile_c=tc, group=group,
                             plane_block=P,
+                            row_bucket=_wgrid_row_bucket(),
                         )
         plane_v = np.clip((iw0[:, None] + offs), 0, nplanes - 1).ravel()
         return pg.plan_tiles(
@@ -356,9 +371,13 @@ def make_plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking=True,
     freq = np.asarray(freq)
     if use_tiles is None:
         use_tiles = _use_tiles_default()
+    from africanus_tpu.ops import pallas_grid as pg
+
     key = content_key(
         (uvw, freq),
-        (nx, ny, cellx, celly, epsilon, do_wstacking, bool(use_tiles)),
+        (nx, ny, cellx, celly, epsilon, do_wstacking, bool(use_tiles),
+         pg.WSTACK_USE_MXU, _wgrid_row_bucket(),
+         os.environ.get("AFRICANUS_TPU_WGRID_MERGE", "1")),
     )
     hit = _MAKE_PLAN_CACHE.get(key)
     if hit is not None:

@@ -776,6 +776,12 @@ def pack_shard_plans(plans):
         # when every shard carries it)
         if all("nwin" in p and "pbase" in p for p in plans):
             geo["nwin"] = max(p["nwin"] for p in plans)
+        # row-bucketed metadata is an optimization overlay on the same
+        # packed format: keep it only when EVERY shard carries it (an
+        # unbucketed reading of a bucketed plan is always correct, the
+        # reverse is not)
+        if all(p.get("row_bucket") for p in plans):
+            geo["row_bucket"] = True
         # plane-blocked format must agree across shards (checked with
         # the other geometry below)
         if "plane_block" in plans[0]:
@@ -803,6 +809,8 @@ def pack_shard_plans(plans):
         keys = WSTACK_PLAN_ARRAY_KEYS
         if "nwin" not in geo:  # a shard lacks window metadata
             keys = tuple(k for k in keys if k != "pbase")
+        if "row_bucket" in geo:  # zero-padded: inert groups carry no taps
+            keys = keys + ("rbase",)
     else:
         keys = PLAN_ARRAY_KEYS
     ng_max = max(p["ngroups"] for p in plans)
@@ -1160,7 +1168,7 @@ def degrid_tiles_table_pallas(plan, table, tiles_re, tiles_im, nvis,
 def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
                       wscales, nplanes, tile_r=None, tile_c=None,
                       group=1024, merge=1, sort_planes=True,
-                      plane_block=None):
+                      plane_block=None, row_bucket=False):
     """Host tile binning for the multi-plane w-stack kernel.
 
     One entry per *visibility sample* (not per touched w-plane): the
@@ -1206,6 +1214,18 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
     ``mean((-count) % merge / count)`` extra window builds; dense
     problems (many samples per (tile, plane, row) bucket) pay a few
     percent for a ~merge× shorter RMW chain.
+
+    ``row_bucket`` (MXU route; requires merge == 1) additionally bins
+    entries by their 8-aligned window start row. Every entry in a group
+    then shares one aligned row base, so the MXU kernels' row-tap
+    matrix and per-plane dot shrink from ``tpad_r`` rows to ``blk``
+    (16 for W ≤ 9) anchored at the per-group ``rbase`` — a
+    ``tpad_r/blk`` (3× at the default tiles) MAC reduction, paid for
+    with more groups (a tile's entries fragment over its ~tile_r/8 row
+    octaves, so group fill drops on sparse tiles). Groups of one output
+    block stay consecutive (buckets are keyed output-block-major), the
+    kernel's block RMW lands at ``rbase`` (8-aligned by construction),
+    and empty output blocks keep one inert zero-init group.
     """
     iu0 = np.asarray(iu0)
     iv0 = np.asarray(iv0)
@@ -1255,6 +1275,8 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
         raise ValueError(f"merge {merge} must be >= 1")
     if merge > 1 and group % merge:
         raise ValueError(f"group {group} must be a multiple of merge {merge}")
+    if row_bucket and merge > 1:
+        raise ValueError("row_bucket requires merge == 1")
 
     if plane_block is not None:
         P = int(plane_block)
@@ -1331,6 +1353,41 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
         slots[order] = (
             (group_base[ts] + k // group) * group + k % group
         )
+    elif row_bucket:
+        merge = 1
+        # bucket by (output block, 8-aligned row octave); within a
+        # bucket order by p0 so the per-group w-window metadata below
+        # stays narrow. Empty OUTPUT blocks (not buckets) get one inert
+        # group so the kernel still zero-initialises them.
+        max_r0a = ((tile_r + w - 1) // 8) * 8
+        n_oct = max_r0a // 8 + 1
+        bkey = okey * np.int64(n_oct) + e_ir.astype(np.int64) // 8
+        nbk = nkeys * n_oct
+        bcounts = np.bincount(bkey, minlength=nbk)
+        ngroups_per_b = -(-bcounts // group)            # 0 allowed
+        per_key = ngroups_per_b.reshape(nkeys, n_oct)
+        per_key[per_key.sum(axis=1) == 0, 0] = 1
+        ngroups_per_b = per_key.reshape(-1)
+        group_base_b = np.zeros(nbk, np.int64)
+        np.cumsum(ngroups_per_b[:-1], out=group_base_b[1:])
+        ngroups = int(ngroups_per_b.sum())
+
+        order = np.argsort(bkey * np.int64(cap + w) + (e_p0 + w),
+                           kind="stable")
+        bstart = np.zeros(nbk, np.int64)
+        np.cumsum(bcounts[:-1], out=bstart[1:])
+        k = np.arange(n_e) - bstart[bkey[order]]
+        slots = np.empty(n_e, np.int64)
+        slots[order] = ((group_base_b[bkey[order]] + k // group) * group
+                        + k % group)
+
+        g_bucket = np.repeat(np.arange(nbk, dtype=np.int64), ngroups_per_b)
+        group_tile = g_bucket // n_oct
+        rbase = ((g_bucket % n_oct) * 8).astype(np.int32)
+        first = np.zeros(ngroups, np.int32)
+        if ngroups:
+            first[0] = 1
+            first[1:][group_tile[1:] != group_tile[:-1]] = 1
     else:
         merge = 1
         counts = np.bincount(okey, minlength=nkeys)
@@ -1376,9 +1433,11 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
                     + k % group
                 )
 
-    group_tile = np.repeat(np.arange(nkeys, dtype=np.int64), ngroups_per)
-    first = np.zeros(ngroups, np.int32)
-    first[group_base] = 1
+    if not row_bucket:
+        group_tile = np.repeat(np.arange(nkeys, dtype=np.int64),
+                               ngroups_per)
+        first = np.zeros(ngroups, np.int32)
+        first[group_base] = 1
 
     sample_pack = np.zeros((ngroups, group), np.int32)
     ir_pack = np.zeros((ngroups, group), np.int32)
@@ -1431,6 +1490,9 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
     if plane_block is not None:
         out["plane_block"] = P
         out["nblk"] = nblk
+    if row_bucket:
+        out["row_bucket"] = True
+        out["rbase"] = rbase
     if not has_dups:
         # a duplicate-free plan keeps the pure-gather degrid inverse
         out["vis_slot"] = slots
@@ -1824,10 +1886,23 @@ def _wstack_window(plan, arrays, ngroups):
     return int(nwin), jnp.asarray(pbase).astype(jnp.int32)
 
 
-def _grid_wstack_mxu_kernel(first_ref, gtile_ref, pbase_ref, urow_ref,
-                            vfa_ref, p0_ref, wsc_ref, vre_ref, vim_ref,
-                            out_re_ref, out_im_ref, *, group, support,
-                            beta, tpad_r, tpad_c, nwin,
+def _wstack_rows(plan, arrays, ngroups, tpad_r):
+    """(nrows, rbase) row-window metadata for the MXU w-stack kernels.
+
+    Row-bucketed plans (``plan_tiles_wstack(row_bucket=True)``) carry a
+    per-group 8-aligned window base and shrink the kernels' row extent
+    from ``tpad_r`` to ``blk``; plain plans span the whole padded tile
+    (rbase 0, nrows = tpad_r)."""
+    if not plan.get("row_bucket"):
+        return tpad_r, jnp.zeros(ngroups, jnp.int32)
+    rbase = arrays["rbase"] if "rbase" in arrays else plan["rbase"]
+    return int(plan["blk"]), jnp.asarray(rbase).astype(jnp.int32)
+
+
+def _grid_wstack_mxu_kernel(first_ref, gtile_ref, pbase_ref, rbase_ref,
+                            urow_ref, vfa_ref, p0_ref, wsc_ref, vre_ref,
+                            vim_ref, out_re_ref, out_im_ref, *, group,
+                            support, beta, tpad_r, tpad_c, nwin, nrows,
                             precision=lax.Precision.HIGHEST):
     g = pl.program_id(0)
     half = support / 2.0
@@ -1837,12 +1912,17 @@ def _grid_wstack_mxu_kernel(first_ref, gtile_ref, pbase_ref, urow_ref,
         out_re_ref[...] = jnp.zeros_like(out_re_ref)
         out_im_ref[...] = jnp.zeros_like(out_im_ref)
 
+    # row-bucketed plans anchor the dot at the group's shared 8-aligned
+    # window start (nrows = blk); unbucketed plans span the whole padded
+    # tile (nrows = tpad_r, rbase 0) — same math, 3x the row MACs
+    rb = rbase_ref[g]
     urow = urow_ref[0]                        # (1, S) absolute frac row
     vfa = vfa_ref[0]                          # (1, S) absolute frac col
-    r_iota = lax.broadcasted_iota(jnp.int32, (tpad_r, group), 0).astype(
+    r_iota = lax.broadcasted_iota(jnp.int32, (nrows, group), 0).astype(
         jnp.float32
     )
-    tapr_t = _es((urow - r_iota) / half, beta)          # (tpad_r, S)
+    tapr_t = _es((urow - rb.astype(jnp.float32) - r_iota) / half,
+                 beta)                        # (nrows, S)
     # column taps are computed transposed — (tpad_c, S), samples on
     # lanes like every other per-sample array — and the dot contracts
     # both operands over their LANE axis (A·Bᵀ). Measured on this
@@ -1866,26 +1946,35 @@ def _grid_wstack_mxu_kernel(first_ref, gtile_ref, pbase_ref, urow_ref,
     wv_re = wt * vre_ref[0]                   # (nwin, S)
     wv_im = wt * vim_ref[0]
 
-    # ONE stacked dot for the whole w-window: per-plane (tpad_r, S)
-    # lhs rows run the MXU at tpad_r/128 utilization (tpad_r is 48 at
-    # the default tile), so stack the planes into (nwin·tpad_r, S)
+    # ONE stacked dot for the whole w-window: per-plane (nrows, S)
+    # lhs rows run the MXU at nrows/128 utilization (tpad_r is 48 at
+    # the default tile, blk 16 row-bucketed), so stack the planes into
+    # (nwin·nrows, S)
     dims = (((1,), (1,)), ((), ()))           # contract over samples
     rm_re = (tapr_t[None] * wv_re[:, None, :]).reshape(
-        nwin * tpad_r, group)
+        nwin * nrows, group)
     rm_im = (tapr_t[None] * wv_im[:, None, :]).reshape(
-        nwin * tpad_r, group)
+        nwin * nrows, group)
     acc_re = lax.dot_general(
         rm_re, tapc_t, dims, precision=precision,
         preferred_element_type=jnp.float32,
-    )                                         # (nwin·tpad_r, tpad_c)
+    )                                         # (nwin·nrows, tpad_c)
     acc_im = lax.dot_general(
         rm_im, tapc_t, dims, precision=precision,
         preferred_element_type=jnp.float32,
     )
     for p in range(nwin):
-        sl = (0, pb + p)
-        out_re_ref[sl] += acc_re[p * tpad_r : (p + 1) * tpad_r]
-        out_im_ref[sl] += acc_im[p * tpad_r : (p + 1) * tpad_r]
+        slab_re = acc_re[p * nrows : (p + 1) * nrows]
+        slab_im = acc_im[p * nrows : (p + 1) * nrows]
+        if nrows == tpad_r:
+            sl = (0, pb + p)
+        else:
+            # row-bucketed: blk-row slab at the group's shared
+            # 8-aligned base (tile_pad_geometry guarantees
+            # rbase + blk <= tpad_r)
+            sl = (0, pb + p, pl.ds(pl.multiple_of(rb, 8), nrows))
+        out_re_ref[sl] += slab_re
+        out_im_ref[sl] += slab_im
 
 
 def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
@@ -1913,22 +2002,24 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
     urow = (jnp.asarray(arrays["ir_loc"]).astype(jnp.float32)
             + jnp.asarray(arrays["uf"]))
     nwin, pbase = _wstack_window(plan, arrays, ngroups)
+    nrows, rbase = _wstack_rows(plan, arrays, ngroups, tpad_r)
 
     kernel = partial(_grid_wstack_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
-                     nwin=nwin,
+                     nwin=nwin, nrows=nrows,
                      precision=precision or lax.Precision.HIGHEST)
 
-    vec = pl.BlockSpec((1, 1, group), lambda g, f, t, pb: (g, 0, 0),
+    vec = pl.BlockSpec((1, 1, group), lambda g, f, t, pb, rb: (g, 0, 0),
                        memory_space=pltpu.VMEM)
-    wsc_spec = pl.BlockSpec((1, w, group), lambda g, f, t, pb: (g, 0, 0),
+    wsc_spec = pl.BlockSpec((1, w, group),
+                            lambda g, f, t, pb, rb: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, nplanes, tpad_r, tpad_c),
-                            lambda g, f, t, pb: (t[g], 0, 0, 0),
+                            lambda g, f, t, pb, rb: (t[g], 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # first, group_tile, pbase
+        num_scalar_prefetch=4,  # first, group_tile, pbase, rbase
         grid=(ngroups,),
         in_specs=[vec, vec, vec, wsc_spec, vec, vec],
         out_specs=[out_spec, out_spec],
@@ -1950,6 +2041,7 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
         jnp.asarray(arrays["first"]),
         jnp.asarray(arrays["group_tile"]),
         pbase,
+        rbase,
         urow[:, None, :],
         jnp.asarray(arrays["vfa"])[:, None, :],
         jnp.asarray(arrays["p0"]).astype(jnp.int32)[:, None, :],
@@ -1959,20 +2051,25 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
     )
 
 
-def _degrid_wstack_mxu_kernel(gtile_ref, pbase_ref, urow_ref, vfa_ref,
-                              p0_ref, wsc_ref, tre_ref, tim_ref,
+def _degrid_wstack_mxu_kernel(gtile_ref, pbase_ref, rbase_ref, urow_ref,
+                              vfa_ref, p0_ref, wsc_ref, tre_ref, tim_ref,
                               out_re_ref, out_im_ref, *, group, support,
-                              beta, tpad_r, tpad_c, nwin,
+                              beta, tpad_r, tpad_c, nwin, nrows,
                               precision=lax.Precision.HIGHEST):
     g = pl.program_id(0)
     half = support / 2.0
 
+    # row-bucketed plans gather only the group's blk-row slab at its
+    # shared 8-aligned base (see the grid kernel); plain plans read the
+    # whole padded tile (nrows = tpad_r, rbase 0)
+    rb = rbase_ref[g]
     urow = urow_ref[0]                        # (1, S)
     vfa = vfa_ref[0]                          # (1, S)
-    r_iota = lax.broadcasted_iota(jnp.int32, (tpad_r, group), 0).astype(
+    r_iota = lax.broadcasted_iota(jnp.int32, (nrows, group), 0).astype(
         jnp.float32
     )
-    tapr_t = _es((urow - r_iota) / half, beta)          # (tpad_r, S)
+    tapr_t = _es((urow - rb.astype(jnp.float32) - r_iota) / half,
+                 beta)                        # (nrows, S)
     tc_iota = lax.broadcasted_iota(jnp.int32, (tpad_c, group), 0).astype(
         jnp.float32
     )
@@ -1987,21 +2084,25 @@ def _degrid_wstack_mxu_kernel(gtile_ref, pbase_ref, urow_ref, vfa_ref,
         wt = wt + jnp.where(p0 + t == p_iota, wsc_ref[0, t:t + 1, :], 0.0)
 
     # ONE stacked dot for the whole w-window (see the grid kernel): the
-    # nwin tile planes concatenate along rows, (nwin·tpad_r, tpad_c) @
+    # nwin tile planes concatenate along rows, (nwin·nrows, tpad_c) @
     # (tpad_c, S), and the per-plane row-tap reduction becomes a single
     # weighted column-sum against wt[p]·tapr[r] stacked the same way
     dims = (((1,), (0,)), ((), ()))           # (…, tpad_c) @ (tpad_c, S)
-    t_re = tre_ref[0, pl.ds(pb, nwin)].reshape(nwin * tpad_r, tpad_c)
-    t_im = tim_ref[0, pl.ds(pb, nwin)].reshape(nwin * tpad_r, tpad_c)
+    if nrows == tpad_r:
+        tsl = (0, pl.ds(pb, nwin))
+    else:
+        tsl = (0, pl.ds(pb, nwin), pl.ds(pl.multiple_of(rb, 8), nrows))
+    t_re = tre_ref[tsl].reshape(nwin * nrows, tpad_c)
+    t_im = tim_ref[tsl].reshape(nwin * nrows, tpad_c)
     m_re = lax.dot_general(
         t_re, tapc_t, dims, precision=precision,
         preferred_element_type=jnp.float32,
-    )                                         # (nwin·tpad_r, S)
+    )                                         # (nwin·nrows, S)
     m_im = lax.dot_general(
         t_im, tapc_t, dims, precision=precision,
         preferred_element_type=jnp.float32,
     )
-    a_st = (wt[:, None, :] * tapr_t[None]).reshape(nwin * tpad_r, group)
+    a_st = (wt[:, None, :] * tapr_t[None]).reshape(nwin * nrows, group)
     acc_re = jnp.sum(a_st * m_re, axis=0, keepdims=True)      # (1, S)
     acc_im = jnp.sum(a_st * m_im, axis=0, keepdims=True)
     out_re_ref[...] = acc_re[:, None, :]
@@ -2030,24 +2131,26 @@ def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
     urow = (jnp.asarray(arrays["ir_loc"]).astype(jnp.float32)
             + jnp.asarray(arrays["uf"]))
     nwin, pbase = _wstack_window(plan, arrays, ngroups)
+    nrows, rbase = _wstack_rows(plan, arrays, ngroups, tpad_r)
 
     kernel = partial(_degrid_wstack_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
-                     nwin=nwin,
+                     nwin=nwin, nrows=nrows,
                      precision=precision or lax.Precision.HIGHEST)
 
-    vec = pl.BlockSpec((1, 1, group), lambda g, t, pb: (g, 0, 0),
+    vec = pl.BlockSpec((1, 1, group), lambda g, t, pb, rb: (g, 0, 0),
                        memory_space=pltpu.VMEM)
-    wsc_spec = pl.BlockSpec((1, w, group), lambda g, t, pb: (g, 0, 0),
+    wsc_spec = pl.BlockSpec((1, w, group),
+                            lambda g, t, pb, rb: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((1, nplanes, tpad_r, tpad_c),
-                             lambda g, t, pb: (t[g], 0, 0, 0),
+                             lambda g, t, pb, rb: (t[g], 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, group), lambda g, t, pb: (g, 0, 0),
+    out_spec = pl.BlockSpec((1, 1, group), lambda g, t, pb, rb: (g, 0, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # group_tile, pbase
+        num_scalar_prefetch=3,  # group_tile, pbase, rbase
         grid=(ngroups,),
         in_specs=[vec, vec, vec, wsc_spec, tile_spec, tile_spec],
         out_specs=[out_spec, out_spec],
@@ -2066,6 +2169,7 @@ def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
     )(
         jnp.asarray(arrays["group_tile"]),
         pbase,
+        rbase,
         urow[:, None, :],
         jnp.asarray(arrays["vfa"])[:, None, :],
         jnp.asarray(arrays["p0"]).astype(jnp.int32)[:, None, :],

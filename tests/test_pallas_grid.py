@@ -656,3 +656,152 @@ def test_wstack_plane_blocked_matches_unblocked(rng):
                     atol=5e-5)
     assert_allclose(np.asarray(d_im), np.asarray(o_im), rtol=2e-4,
                     atol=5e-5)
+
+
+def test_wstack_row_bucket_matches_unbucketed(rng):
+    """Row-bucketed plans (entries binned by 8-aligned window start row,
+    per-group ``rbase``, blk-row MXU slabs) must reproduce the plain
+    MXU route's grid and degrid results, keep the pure-gather degrid
+    inverse (no duplicates), and satisfy the slab invariants the kernel
+    write relies on (alignment, in-bounds, output-block-consecutive
+    groups)."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.pallas_grid import (
+        assemble_wstack_tiles, degrid_tiles_wstack_mxu,
+        extract_wstack_tiles, grid_tiles_wstack_mxu, plan_tiles_wstack,
+    )
+
+    w, beta = 6, 2.3 * 6
+    nu = nv = 64
+    nplanes = 12
+    n = 300
+    iu0, iv0, uf, vf = _problem(rng, n, nu, nv)
+    wpos = rng.uniform(w / 2, nplanes - w / 2 - 1, n)
+    iw0 = np.floor(wpos).astype(np.int64) - (w // 2 - 1)
+    offs = np.arange(w)
+    kw = es_np((wpos[:, None] - (iw0[:, None] + offs)) / (w / 2.0), beta)
+    vre = rng.normal(size=n).astype(np.float32)
+    vim = rng.normal(size=n).astype(np.float32)
+
+    ref_plan = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                                 p0=iw0, wscales=kw.T, nplanes=nplanes,
+                                 group=64)
+    rb_plan = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                                p0=iw0, wscales=kw.T, nplanes=nplanes,
+                                group=64, row_bucket=True)
+    assert rb_plan["row_bucket"] is True
+    assert "vis_slot" in rb_plan  # bucketing introduces no duplicates
+    rbase = rb_plan["rbase"]
+    blk = rb_plan["blk"]
+    assert rbase.shape == (rb_plan["ngroups"],)
+    assert np.all(rbase % 8 == 0)
+    assert np.all(rbase + blk <= rb_plan["tpad_r"])
+    # groups of one output block are consecutive (Pallas revisit rule)
+    gt = rb_plan["group_tile"]
+    changes = np.flatnonzero(np.diff(gt) != 0) + 1
+    assert len(np.unique(gt[np.r_[0, changes]])) == len(np.r_[0, changes])
+    # every real entry's taps live inside its group's [rbase, rbase+blk)
+    ir = rb_plan["ir_loc"]  # (ngroups, S) 8-aligned window starts
+    ufp = rb_plan["uf"]
+    live = ufp > -2.0 * w  # padded slots carry the inert -2w marker
+    assert np.all((ir >= rbase[:, None])[live])
+    assert np.all((ir + 8 + w <= rbase[:, None] + blk + 8)[live])
+
+    r_re, r_im = grid_tiles_wstack_mxu(ref_plan, jnp.asarray(vre),
+                                       jnp.asarray(vim), interpret=True)
+    ref_re, ref_im = assemble_wstack_tiles(r_re, r_im, ref_plan)
+    b_re, b_im = grid_tiles_wstack_mxu(rb_plan, jnp.asarray(vre),
+                                       jnp.asarray(vim), interpret=True)
+    got_re, got_im = assemble_wstack_tiles(b_re, b_im, rb_plan)
+    assert_allclose(np.asarray(got_re), np.asarray(ref_re), rtol=2e-5,
+                    atol=2e-5)
+    assert_allclose(np.asarray(got_im), np.asarray(ref_im), rtol=2e-5,
+                    atol=2e-5)
+    # the VPU scatter kernel must read bucketed plans unchanged (the
+    # overlay is ordering + metadata only) -- the route gate may still
+    # pick it on deep stacks
+    from africanus_tpu.ops.pallas_grid import grid_tiles_wstack_pallas
+    s_re, s_im = grid_tiles_wstack_pallas(rb_plan, jnp.asarray(vre),
+                                          jnp.asarray(vim),
+                                          interpret=True)
+    sc_re, sc_im = assemble_wstack_tiles(s_re, s_im, rb_plan)
+    assert_allclose(np.asarray(sc_re), np.asarray(ref_re), rtol=2e-5,
+                    atol=2e-5)
+    assert_allclose(np.asarray(sc_im), np.asarray(ref_im), rtol=2e-5,
+                    atol=2e-5)
+
+    g = rng.normal(size=(nplanes, nu, nv)).astype(np.float32)
+    gi = rng.normal(size=(nplanes, nu, nv)).astype(np.float32)
+    rt_re, rt_im = extract_wstack_tiles(jnp.asarray(g), jnp.asarray(gi),
+                                        ref_plan)
+    bt_re, bt_im = extract_wstack_tiles(jnp.asarray(g), jnp.asarray(gi),
+                                        rb_plan)
+    o_re, o_im = degrid_tiles_wstack_mxu(ref_plan, rt_re, rt_im, n,
+                                         interpret=True)
+    d_re, d_im = degrid_tiles_wstack_mxu(rb_plan, bt_re, bt_im, n,
+                                         interpret=True)
+    assert_allclose(np.asarray(d_re), np.asarray(o_re), rtol=2e-4,
+                    atol=5e-5)
+    assert_allclose(np.asarray(d_im), np.asarray(o_im), rtol=2e-4,
+                    atol=5e-5)
+
+
+def test_wstack_row_bucket_with_plane_block(rng):
+    """row_bucket composes with plane_block: buckets split the
+    (uv-tile, w-block) keys by row octave on top of the boundary
+    duplication, and the combined plan still matches the plain MXU
+    route on a deep stack."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.pallas_grid import (
+        assemble_wstack_tiles, degrid_tiles_wstack_mxu,
+        extract_wstack_tiles, grid_tiles_wstack_mxu, plan_tiles_wstack,
+    )
+
+    w, beta = 6, 2.3 * 6
+    nu = nv = 64
+    nplanes = 40
+    n = 400
+    iu0, iv0, uf, vf = _problem(rng, n, nu, nv)
+    wpos = rng.uniform(w / 2, nplanes - w / 2 - 1, n)
+    iw0 = np.floor(wpos).astype(np.int64) - (w // 2 - 1)
+    offs = np.arange(w)
+    kw = es_np((wpos[:, None] - (iw0[:, None] + offs)) / (w / 2.0), beta)
+    vre = rng.normal(size=n).astype(np.float32)
+    vim = rng.normal(size=n).astype(np.float32)
+
+    ref_plan = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                                 p0=iw0, wscales=kw.T, nplanes=nplanes,
+                                 group=64)
+    rb_plan = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                                p0=iw0, wscales=kw.T, nplanes=nplanes,
+                                group=64, plane_block=16,
+                                row_bucket=True)
+    assert rb_plan["row_bucket"] is True
+    assert rb_plan["plane_block"] == 16
+    assert "vis_slot" not in rb_plan  # plane-block duplicates exist
+
+    r_re, r_im = grid_tiles_wstack_mxu(ref_plan, jnp.asarray(vre),
+                                       jnp.asarray(vim), interpret=True)
+    ref_re, ref_im = assemble_wstack_tiles(r_re, r_im, ref_plan)
+    b_re, b_im = grid_tiles_wstack_mxu(rb_plan, jnp.asarray(vre),
+                                       jnp.asarray(vim), interpret=True)
+    got_re, got_im = assemble_wstack_tiles(b_re, b_im, rb_plan)
+    assert_allclose(np.asarray(got_re), np.asarray(ref_re), rtol=2e-5,
+                    atol=2e-5)
+    assert_allclose(np.asarray(got_im), np.asarray(ref_im), rtol=2e-5,
+                    atol=2e-5)
+
+    g = rng.normal(size=(nplanes, nu, nv)).astype(np.float32)
+    gi = rng.normal(size=(nplanes, nu, nv)).astype(np.float32)
+    rt_re, rt_im = extract_wstack_tiles(jnp.asarray(g), jnp.asarray(gi),
+                                        ref_plan)
+    bt_re, bt_im = extract_wstack_tiles(jnp.asarray(g), jnp.asarray(gi),
+                                        rb_plan)
+    o_re, o_im = degrid_tiles_wstack_mxu(ref_plan, rt_re, rt_im, n,
+                                         interpret=True)
+    d_re, d_im = degrid_tiles_wstack_mxu(rb_plan, bt_re, bt_im, n,
+                                         interpret=True)
+    assert_allclose(np.asarray(d_re), np.asarray(o_re), rtol=2e-4,
+                    atol=5e-5)
+    assert_allclose(np.asarray(d_im), np.asarray(o_im), rtol=2e-4,
+                    atol=5e-5)
