@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["beam_interp_pallas", "beam_blend_fr_pallas",
-           "prepare_beam_slabs"]
+           "beam_blend_cell_fr_pallas", "prepare_beam_slabs"]
 
 
 def _round_up(x, m):
@@ -309,6 +309,165 @@ def _blend_fr_kernel(gc0_ref, wlo_ref, raw_ref, fre_ref, fim_ref,
                 acc_im += er * fi + ei * fr
             out_re_ref[2 * i + k] = acc_re
             out_im_ref[2 * i + k] = acc_im
+
+
+def _blend_cell_fr_kernel(gc0_ref, wlo_ref, bt_ref, lda_ref, mda_ref,
+                          fre_ref, fim_ref, out_re_ref, out_im_ref, *,
+                          ncorr, nud, s_tile, c_tile, have_feed):
+    """One (sample_tile, chan_tile) block of the cell-residual epilogue.
+
+    Like :func:`_blend_fr_kernel` but the per-slab interpolants are the
+    FOUR bilinear cell coefficients [c00 | c10−c00 | c01−c00 |
+    c11−c10−c01+c00] per re/im/amp plane: after the frequency blend the
+    per-channel value is reconstructed exactly from the channel's
+    in-cell fractional coordinates (lda, mda) —
+    ``b0 + lda·b1 + mda·b2 + lda·mda·b3`` — before normalisation and
+    the optional feed rotation. This is what lets per-channel pointing
+    errors ride the chan-invariant interpolation cost (4·nud rows
+    instead of nchan rows) whenever each sample's channels stay inside
+    one (l, m) cube cell.
+    """
+    k3 = 3 * ncorr
+
+    gc0 = gc0_ref[0, :]                      # (c_tile,) int32
+    wlo = wlo_ref[0, :]                      # (c_tile,) f32
+    ni = lax.broadcasted_iota(jnp.int32, (nud, c_tile), 0)
+    wc = jnp.where(ni == gc0[None, :], wlo[None, :], 0.0) + jnp.where(
+        ni == gc0[None, :] + 1, (1.0 - wlo)[None, :], 0.0
+    )
+
+    # blend all four term planes at once: (4·3C·S, nud) @ (nud, c_tile)
+    lhs = bt_ref[...].reshape(4 * k3 * s_tile, nud)
+    blend = lax.dot_general(
+        lhs, wc, (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).reshape(4, k3, s_tile, c_tile)
+
+    lda = lda_ref[...]                       # (s_tile, c_tile)
+    mda = mda_ref[...]
+    lm = lda * mda
+    e_re, e_im = [], []
+    for c in range(ncorr):
+        val = []
+        for k in (c, ncorr + c, 2 * ncorr + c):   # re, im, amp planes
+            val.append(blend[0, k] + lda * blend[1, k]
+                       + mda * blend[2, k] + lm * blend[3, k])
+        sre, sim, amp = val
+        div = jnp.sqrt(sre * sre + sim * sim)
+        norm = jnp.where(div == 0.0, amp,
+                         amp / jnp.where(div == 0.0, 1.0, div))
+        e_re.append(sre * norm)
+        e_im.append(sim * norm)
+
+    if not have_feed:
+        for c in range(ncorr):
+            out_re_ref[c] = e_re[c]
+            out_im_ref[c] = e_im[c]
+        return
+
+    for i in range(2):
+        for k in range(2):
+            acc_re = jnp.zeros((s_tile, c_tile), jnp.float32)
+            acc_im = jnp.zeros((s_tile, c_tile), jnp.float32)
+            for j in range(2):
+                er, ei = e_re[2 * i + j], e_im[2 * i + j]
+                fr = fre_ref[2 * j + k]      # (s_tile, 1)
+                fi = fim_ref[2 * j + k]
+                acc_re += er * fr - ei * fi
+                acc_im += er * fi + ei * fr
+            out_re_ref[2 * i + k] = acc_re
+            out_im_ref[2 * i + k] = acc_im
+
+
+def beam_blend_cell_fr_pallas(bterms, lda, mda, gc0, wlo, feed=None,
+                              s_tile=8, c_tile=512, interpret=False):
+    """Fused frequency blend + per-channel cell reconstruction +
+    normalisation [+ feed rotation].
+
+    Parameters
+    ----------
+    bterms : (4·3C, nsamp, nud) f32 — per-slab bilinear cell
+        coefficients, term-major: [c00 | c10−c00 | c01−c00 |
+        c11−c10−c01+c00] × [re·C | im·C | amp·C].
+    lda, mda : (nsamp, chan) f32 per-channel fractional coordinates
+        inside the sample's cube cell (exact while 0 ≤ lda, mda ≤ 1).
+    gc0 : (chan,) int32 lower slab index; wlo : (chan,) f32 its weight.
+    feed : None or Cplx with (nsamp, 2, 2) components.
+
+    Returns
+    -------
+    (out_re, out_im): each (C, nsamp, chan) f32.
+    """
+    k12, nsamp, nud = bterms.shape
+    ncorr = k12 // 12
+    nchan = gc0.shape[0]
+    have_feed = feed is not None
+    if have_feed and ncorr != 4:
+        raise ValueError("feed rotation requires 2x2 (ncorr=4) beams")
+    if lda.shape != (nsamp, nchan) or mda.shape != (nsamp, nchan):
+        raise ValueError(
+            f"lda/mda must be (nsamp, nchan) = ({nsamp}, {nchan})")
+
+    ns_p = _round_up(nsamp, s_tile)
+    nc_p = _round_up(nchan, c_tile)
+    if ns_p != nsamp:
+        bterms = jnp.pad(bterms, ((0, 0), (0, ns_p - nsamp), (0, 0)))
+    if ns_p != nsamp or nc_p != nchan:
+        pads = ((0, ns_p - nsamp), (0, nc_p - nchan))
+        lda = jnp.pad(lda, pads)
+        mda = jnp.pad(mda, pads)
+    if nc_p != nchan:
+        gc0 = jnp.pad(gc0, (0, nc_p - nchan))
+        wlo = jnp.pad(wlo, (0, nc_p - nchan))
+
+    if have_feed:
+        fre = feed.re.reshape(nsamp, 4).T.reshape(4, nsamp, 1)
+        fim = feed.im.reshape(nsamp, 4).T.reshape(4, nsamp, 1)
+        if ns_p != nsamp:
+            fre = jnp.pad(fre, ((0, 0), (0, ns_p - nsamp), (0, 0)))
+            fim = jnp.pad(fim, ((0, 0), (0, ns_p - nsamp), (0, 0)))
+    else:
+        fre = jnp.zeros((4, s_tile, 1), jnp.float32)
+        fim = fre
+
+    kernel = partial(_blend_cell_fr_kernel, ncorr=ncorr, nud=nud,
+                     s_tile=s_tile, c_tile=c_tile, have_feed=have_feed)
+
+    chan_vec = pl.BlockSpec((1, c_tile), lambda s, c: (0, c),
+                            memory_space=pltpu.VMEM)
+    bt_spec = pl.BlockSpec((k12, s_tile, nud), lambda s, c: (0, s, 0),
+                           memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((s_tile, c_tile), lambda s, c: (s, c),
+                          memory_space=pltpu.VMEM)
+    fidx = (lambda s, c: (0, s, 0)) if have_feed else (
+        lambda s, c: (0, 0, 0))
+    f_spec = pl.BlockSpec((4, s_tile, 1), fidx, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ncorr, s_tile, c_tile),
+                            lambda s, c: (0, s, c),
+                            memory_space=pltpu.VMEM)
+
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(ns_p // s_tile, nc_p // c_tile),
+        in_specs=[chan_vec, chan_vec, bt_spec, d_spec, d_spec,
+                  f_spec, f_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((ncorr, ns_p, nc_p), jnp.float32),
+            jax.ShapeDtypeStruct((ncorr, ns_p, nc_p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(gc0, jnp.int32).reshape(1, -1),
+        jnp.asarray(wlo, jnp.float32).reshape(1, -1),
+        bterms.astype(jnp.float32),
+        lda.astype(jnp.float32),
+        mda.astype(jnp.float32),
+        fre.astype(jnp.float32),
+        fim.astype(jnp.float32),
+    )
+    return out_re[:, :nsamp, :nchan], out_im[:, :nsamp, :nchan]
 
 
 def beam_blend_fr_pallas(raw, gc0, wlo, feed=None, s_tile=8,

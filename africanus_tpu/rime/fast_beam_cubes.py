@@ -80,6 +80,7 @@ def beam_cube_dde_ri(
     use_pallas: bool | None = None,
     interpret: bool = False,
     chan_invariant: bool | None = None,
+    cell_residual: bool | None = None,
     _feed: Cplx | None = None,
 ) -> Cplx:
     """Pair-native beam cube DDE.
@@ -94,6 +95,19 @@ def beam_cube_dde_ri(
     point_errors : (time, ant, chan, 2) array
     antenna_scaling : (ant, chan, 2) array
     frequency : (chan,) array
+    cell_residual : run the cell-residual fast path for per-channel
+        pointing errors / antenna scalings: interpolate the FOUR cube
+        cell corners once per slab (4·nud rows instead of nchan) and
+        reconstruct each channel exactly in the fused epilogue from its
+        in-cell fractional coordinates — bilinear interpolation is a
+        polynomial ``c00 + l·Δc_l + m·Δc_m + l·m·Δc_lm`` inside one
+        cell, so the path is EXACT (f32 roundoff) whenever every
+        channel of a sample stays inside one (l, m) cell (true for
+        realistic pointing errors ≪ the cube cell, ~arcmin). Detected
+        automatically on concrete inputs; inside jit pass True when the
+        in-cell condition is known to hold (outside it the path
+        extrapolates the cell polynomial — continuous but no longer
+        equal to the general path).
     _feed : optional Cplx (time, ant, 2, 2) feed-rotation Jones — when
         given the result is E·F (requires a 2x2 beam); the Pallas
         chan-invariant path fuses the product into its epilogue kernel
@@ -182,9 +196,8 @@ def beam_cube_dde_ri(
         # chan_invariant=True explicitly when the conditions are known
         chan_inv = bool(chan_invariant)
         probe = (pe, ascale, frequency)
-        if chan_invariant is None and not any(
-            isinstance(x, jax.core.Tracer) for x in probe
-        ):
+        concrete = not any(isinstance(x, jax.core.Tracer) for x in probe)
+        if chan_invariant is None and concrete:
             pe_np = np.asarray(pe)
             asc_np = np.asarray(ascale)
             fr_np = np.asarray(frequency)
@@ -196,10 +209,24 @@ def beam_cube_dde_ri(
                 and fr_np.max() <= fm_np[-1]
             )
 
+        cell_res = bool(cell_residual)
+        if (cell_residual is None and not chan_inv and concrete
+                and not isinstance(vl, jax.core.Tracer)):
+            # exactness condition of the cell-residual path: every
+            # channel of a sample inside ONE (l, m) cube cell
+            vl_np = np.asarray(vl)
+            vm_np = np.asarray(vm)
+            gl_np = np.clip(np.floor(vl_np.min(axis=-1)), 0, beam_lw - 2)
+            gm_np = np.clip(np.floor(vm_np.min(axis=-1)), 0, beam_mh - 2)
+            cell_res = bool(
+                np.all(vl_np.max(axis=-1) <= gl_np + 1.0)
+                and np.all(vm_np.max(axis=-1) <= gm_np + 1.0)
+            )
+
         log.debug(
             "beam_cube_dde: pallas path, chan_invariant=%s "
-            "(cube %dx%dx%d, %d corr)",
-            chan_inv, beam_lw, beam_mh, fb.shape[2], ncorr,
+            "cell_residual=%s (cube %dx%dx%d, %d corr)",
+            chan_inv, cell_res, beam_lw, beam_mh, fb.shape[2], ncorr,
         )
         if chan_inv:
             from africanus_tpu.ops.pallas_beam import beam_blend_fr_pallas
@@ -229,6 +256,63 @@ def beam_cube_dde_ri(
                 )
             out_re, out_im = beam_blend_fr_pallas(
                 raw.transpose(0, 2, 1), gc0, nud, feed=feed_s,
+                interpret=interpret,
+            )  # (C, nsamp, chan)
+            out_re = jnp.moveaxis(out_re.reshape(ncorr, s, t, a, f),
+                                  0, -1)
+            out_im = jnp.moveaxis(out_im.reshape(ncorr, s, t, a, f),
+                                  0, -1)
+            return Cplx(out_re, out_im).reshape(shape + corrs)
+        elif cell_res:
+            from africanus_tpu.ops.pallas_beam import (
+                beam_blend_cell_fr_pallas,
+            )
+
+            nud_total = fb.shape[2]
+            nsamp = s * t * a
+            vls = vl.reshape(nsamp, f)
+            vms = vm.reshape(nsamp, f)
+            # per-sample cube cell containing (by contract) every
+            # channel's coordinates; 0 <= lda, mda <= 1 while in-cell
+            gl0 = jnp.clip(jnp.floor(vls.min(axis=1)), 0, beam_lw - 2)
+            gm0 = jnp.clip(jnp.floor(vms.min(axis=1)), 0, beam_mh - 2)
+            lda = vls - gl0[:, None]
+            mda = vms - gm0[:, None]
+            # the four cell corners, corner-major x nud slabs: bilinear
+            # interpolation at integer coordinates returns the corner
+            # values (incl. the |value| lanes) exactly
+            cl = jnp.stack([gl0, gl0 + 1.0, gl0, gl0 + 1.0], 0)
+            cm = jnp.stack([gm0, gm0, gm0 + 1.0, gm0 + 1.0], 0)
+            vlk = jnp.broadcast_to(
+                cl[:, None, :], (4, nud_total, nsamp)
+            ).reshape(4 * nud_total, nsamp)
+            vmk = jnp.broadcast_to(
+                cm[:, None, :], (4, nud_total, nsamp)
+            ).reshape(4 * nud_total, nsamp)
+            idx = np.tile(np.arange(nud_total, dtype=np.int32), 4)
+            raw = beam_interp_pallas(
+                slabs, beam_lw, beam_mh, ncorr, vlk, vmk,
+                idx, idx, np.ones(4 * nud_total, np.float32),
+                interpret=interpret, normalize=False,
+            )  # (3C, 4·nud, nsamp) corner interpolants
+            k3 = 3 * ncorr
+            c4 = raw.reshape(k3, 4, nud_total, nsamp)
+            c00, c10, c01, c11 = (c4[:, 0], c4[:, 1], c4[:, 2],
+                                  c4[:, 3])
+            bt = jnp.stack(
+                [c00, c10 - c00, c01 - c00, c11 - c10 - c01 + c00], 0
+            )  # (4, 3C, nud, nsamp) bilinear cell coefficients
+            bt = bt.reshape(4 * k3, nud_total, nsamp).transpose(0, 2, 1)
+            feed_s = None
+            if _feed is not None:
+                feed_s = Cplx(
+                    jnp.broadcast_to(_feed.re[None], (s, t, a, 2, 2)
+                                     ).reshape(nsamp, 2, 2),
+                    jnp.broadcast_to(_feed.im[None], (s, t, a, 2, 2)
+                                     ).reshape(nsamp, 2, 2),
+                )
+            out_re, out_im = beam_blend_cell_fr_pallas(
+                bt, lda, mda, gc0, nud, feed=feed_s,
                 interpret=interpret,
             )  # (C, nsamp, chan)
             out_re = jnp.moveaxis(out_re.reshape(ncorr, s, t, a, f),
@@ -322,6 +406,7 @@ def beam_cube_dde_fr_ri(
     use_pallas: bool | None = None,
     interpret: bool = False,
     chan_invariant: bool | None = None,
+    cell_residual: bool | None = None,
 ) -> Cplx:
     """Fused beam DDE × feed rotation: E(s,t,a,ν)·F(t,a) in one pass.
 
@@ -344,7 +429,8 @@ def beam_cube_dde_fr_ri(
         beam, beam_lm_extents, beam_freq_map, lm, parallactic_angles,
         point_errors, antenna_scaling, frequency,
         use_pallas=use_pallas, interpret=interpret,
-        chan_invariant=chan_invariant, _feed=f,
+        chan_invariant=chan_invariant, cell_residual=cell_residual,
+        _feed=f,
     )
 
 

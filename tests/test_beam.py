@@ -411,10 +411,103 @@ def test_beam_cube_dde_fr_general_path_applies_feed(rng, beam_setup):
                      e.reshape(nsrc, ntime, nants, nchan, 2, 2), f)
     got = to_numpy(
         beam_cube_dde_fr_ri(*args, use_pallas=True, interpret=True,
-                            chan_invariant=False)
+                            chan_invariant=False, cell_residual=False)
     ).reshape(want.shape)
     assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     got_np = to_numpy(
         beam_cube_dde_fr_ri(*args, use_pallas=False)
     ).reshape(want.shape)
     assert_allclose(got_np, want, rtol=1e-5, atol=1e-6)
+
+
+def test_beam_cube_dde_cell_residual_matches_general(rng, beam_setup):
+    """The cell-residual fast path (4-corner interpolation + exact
+    per-channel in-cell reconstruction in the fused epilogue) must
+    match the general per-channel path and the XLA 8-gather oracle
+    when every sample's channels stay inside one cube cell — the
+    realistic per-channel pointing-error regime (errors << cell)."""
+    from africanus_tpu.ops.cplx import to_numpy
+    from africanus_tpu.rime.fast_beam_cubes import beam_cube_dde_ri
+
+    beam, extents, freq_map = beam_setup
+    nsrc, ntime, nants, nchan = 4, 2, 3, 6
+    lm = rng.uniform(-0.015, 0.015, (nsrc, 2))
+    pa = rng.uniform(-np.pi, np.pi, (ntime, nants))
+    # per-channel pointing errors and scalings, small vs the ~4.4e-3 rad
+    # cube cell so channels share a cell
+    pe = rng.normal(scale=2e-6, size=(ntime, nants, nchan, 2))
+    ascale = 1.0 + rng.normal(scale=1e-6, size=(nants, nchan, 2))
+    freq = np.linspace(freq_map[0], freq_map[-1], nchan)
+    args = (beam, extents, freq_map, lm, pa, pe, ascale, freq)
+
+    ref = to_numpy(beam_cube_dde_ri(*args, use_pallas=False))
+    cell = to_numpy(
+        beam_cube_dde_ri(*args, use_pallas=True, interpret=True,
+                         cell_residual=True)
+    )
+    auto = to_numpy(
+        beam_cube_dde_ri(*args, use_pallas=True, interpret=True)
+    )
+    general = to_numpy(
+        beam_cube_dde_ri(*args, use_pallas=True, interpret=True,
+                         cell_residual=False)
+    )
+    assert_allclose(cell, ref, rtol=1e-5, atol=1e-6)
+    assert_allclose(auto, ref, rtol=1e-5, atol=1e-6)
+    assert_allclose(general, ref, rtol=1e-5, atol=1e-6)
+    # the auto-detection must have picked the cell path here: its f32
+    # rounding pattern equals the explicit cell_residual=True call
+    assert_allclose(auto, cell, rtol=0, atol=0)
+
+
+def test_beam_cube_dde_cell_residual_detection_falls_back(rng, beam_setup):
+    """Cell-straddling per-channel coordinates (large pointing errors /
+    out-of-cube frequency scaling) must NOT auto-select the
+    cell-residual path — the general path's result is the contract."""
+    from africanus_tpu.ops.cplx import to_numpy
+    from africanus_tpu.rime.fast_beam_cubes import beam_cube_dde_ri
+
+    beam, extents, freq_map = beam_setup
+    nsrc, ntime, nants, nchan = 3, 2, 3, 5
+    lm = rng.uniform(-0.015, 0.015, (nsrc, 2))
+    pa = rng.uniform(-np.pi, np.pi, (ntime, nants))
+    # errors comparable to the cell size: channels straddle cells
+    pe = rng.normal(scale=5e-3, size=(ntime, nants, nchan, 2))
+    ascale = np.ones((nants, nchan, 2))
+    freq = np.linspace(freq_map[0], freq_map[-1], nchan)
+    args = (beam, extents, freq_map, lm, pa, pe, ascale, freq)
+
+    ref = to_numpy(beam_cube_dde_ri(*args, use_pallas=False))
+    auto = to_numpy(
+        beam_cube_dde_ri(*args, use_pallas=True, interpret=True)
+    )
+    assert_allclose(auto, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_beam_cube_dde_fr_cell_residual_applies_feed(rng, beam_setup):
+    """The fused feed rotation must ride the cell-residual epilogue:
+    beam_cube_dde_fr_ri on the cell path equals the explicit E then
+    F composition."""
+    from africanus_tpu.ops.cplx import to_numpy
+    from africanus_tpu.rime.fast_beam_cubes import (
+        beam_cube_dde_fr_ri, beam_cube_dde_ri)
+    from africanus_tpu.rime.feeds import feed_rotation_ri
+
+    beam, extents, freq_map = beam_setup
+    nsrc, ntime, nants, nchan = 3, 2, 2, 5
+    lm = rng.uniform(-0.015, 0.015, (nsrc, 2))
+    pa = rng.uniform(-np.pi, np.pi, (ntime, nants))
+    pe = rng.normal(scale=2e-6, size=(ntime, nants, nchan, 2))
+    ascale = np.ones((nants, nchan, 2))
+    freq = np.linspace(freq_map[0], freq_map[-1], nchan)
+    args = (beam, extents, freq_map, lm, pa, pe, ascale, freq)
+
+    e = to_numpy(beam_cube_dde_ri(*args, use_pallas=False))
+    f = to_numpy(feed_rotation_ri(pa, "linear"))
+    want = np.einsum("stafij,tajk->stafik",
+                     e.reshape(nsrc, ntime, nants, nchan, 2, 2), f)
+    got = to_numpy(
+        beam_cube_dde_fr_ri(*args, use_pallas=True, interpret=True,
+                            cell_residual=True)
+    ).reshape(want.shape)
+    assert_allclose(got, want, rtol=1e-5, atol=1e-6)
