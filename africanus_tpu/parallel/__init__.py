@@ -20,9 +20,12 @@ from africanus_tpu.parallel.calibration import (
     sharded_residual_vis,
 )
 from africanus_tpu.parallel.chunked import stream_rows
+from africanus_tpu.parallel.averaging import sharded_bda, ShardedBdaOutput
 
 __all__ = [
     "stream_rows",
+    "sharded_bda",
+    "ShardedBdaOutput",
     "sharded_degrid",
     "sharded_residual",
     "make_mesh",
