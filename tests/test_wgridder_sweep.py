@@ -77,8 +77,10 @@ def _problem(nrow, nchan, nx, cell, precision, seed=420):
 
 
 @pmp("ny", (18, 32))
-@pmp("nchan", (1, 7))
-@pmp("nband", (1, 3))
+# valid (nchan, nband) pairs only — a band split needs nband <= nchan,
+# so the (1, 3) cell of the reference-style grid is filtered out of the
+# parametrization instead of runtime-skipped (round-5 zero-skip audit)
+@pmp("nchan,nband", ((1, 1), (7, 1), (7, 3)))
 @pmp("precision", ("single", "double"))
 @pmp("epsilon", (1e-3, 1e-4))
 @pmp("weighted", (False, True))
@@ -90,8 +92,6 @@ def test_dirty_band_sweep(ny, nchan, nband, precision, epsilon, weighted,
     w-stacking toggle (reference test_gridder, test_wgridder.py:48-110;
     the reference sweeps do_wstacking the same way). Without w-stacking
     the oracle drops the w phase term, matching ducc0 semantics."""
-    if nband > nchan:
-        pytest.skip("nband > nchan")
     nx, fov, nrow = 16, 5.0, 400
     cell = fov * np.pi / 180 / nx
     freq, uvw, vis, wgt = _problem(nrow, nchan, nx, cell, precision)
@@ -126,15 +126,13 @@ def test_dirty_band_sweep(ny, nchan, nband, precision, epsilon, weighted,
 
 @pmp("fov", (0.5, 2.5))
 @pmp("nrow", (333, 1500))
-@pmp("nchan", (1, 4))
-@pmp("nband", (1, 2))
+# valid (nchan, nband) pairs only (see test_dirty_band_sweep)
+@pmp("nchan,nband", ((1, 1), (4, 1), (4, 2)))
 @pmp("precision", ("single", "double"))
 def test_adjointness(fov, nrow, nchan, nband, precision):
     """<R† y, x> == <y, R x>: the gridder (dirty) and degridder (model)
     are exact adjoints up to epsilon (reference test_adjointness,
     test_wgridder.py:125-200)."""
-    if nband > nchan:
-        pytest.skip("nband > nchan")
     nx, ny = 30, 50
     cell = fov * np.pi / 180 / nx
     freq, uvw, vis, wgt = _problem(nrow, nchan, nx, cell, precision,
