@@ -20,12 +20,17 @@ from africanus_tpu.parallel.calibration import (
     sharded_residual_vis,
 )
 from africanus_tpu.parallel.chunked import stream_rows
-from africanus_tpu.parallel.averaging import sharded_bda, ShardedBdaOutput
+from africanus_tpu.parallel.averaging import (sharded_bda,
+                                              ShardedBdaOutput,
+                                              sharded_time_and_channel,
+                                              ShardedTcOutput)
 
 __all__ = [
     "stream_rows",
     "sharded_bda",
     "ShardedBdaOutput",
+    "sharded_time_and_channel",
+    "ShardedTcOutput",
     "sharded_degrid",
     "sharded_residual",
     "make_mesh",

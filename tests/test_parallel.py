@@ -564,3 +564,63 @@ def test_sharded_bda_matches_per_chunk(rng):
                                       np.asarray(ref.flag))
         assert_allclose(np.asarray(out.weight_spectrum[s, :n]),
                         np.asarray(ref.weight_spectrum), rtol=1e-6)
+
+
+def test_sharded_time_and_channel_matches_per_chunk(rng):
+    """sharded_time_and_channel equals running time_and_channel()
+    independently on each shard's rows — the reference's dask-block
+    averaging semantics (averaging/dask.py)."""
+    from africanus_tpu.averaging import time_and_channel
+    from africanus_tpu.parallel import make_mesh, sharded_time_and_channel
+
+    ntime, nshard = 8, 2
+    ants = [(0, 1), (0, 2), (1, 2)]
+    nbl = len(ants)
+    time = np.repeat(5.03e9 + np.arange(ntime) * 2.0, nbl)
+    interval = np.full(time.shape, 2.0)
+    antenna1 = np.array([a for _ in range(ntime) for a, _ in ants])
+    antenna2 = np.array([b for _ in range(ntime) for _, b in ants])
+    nrow = time.shape[0]
+    uvw = rng.normal(size=(nrow, 3)) * 100
+    nchan = 8
+    chan_freq = np.linspace(0.856e9, 1.712e9, nchan)
+    chan_width = np.full(nchan, (chan_freq[-1] - chan_freq[0]) / (nchan - 1))
+    vis = rng.normal(size=(nrow, nchan, 2)) + 1j * rng.normal(
+        size=(nrow, nchan, 2))
+    flag = rng.uniform(size=vis.shape) < 0.1
+    ws = rng.uniform(0.5, 2.0, vis.shape)
+
+    mesh = make_mesh((nshard,), ("row",))
+    out = sharded_time_and_channel(
+        mesh, time, interval, antenna1, antenna2, uvw=uvw,
+        chan_freq=chan_freq, chan_width=chan_width, visibilities=vis,
+        flag=flag, weight_spectrum=ws, time_bin_secs=4.0,
+        chan_bin_size=2)
+
+    rp = nrow // nshard
+    for s in range(nshard):
+        sl = slice(s * rp, (s + 1) * rp)
+        ref = time_and_channel(
+            time[sl], interval[sl], antenna1[sl], antenna2[sl],
+            uvw=uvw[sl], chan_freq=chan_freq, chan_width=chan_width,
+            visibilities=vis[sl], flag=flag[sl], weight_spectrum=ws[sl],
+            time_bin_secs=4.0, chan_bin_size=2)
+        n = int(out.nout[s])
+        assert n == np.asarray(ref.time).shape[0]
+        assert_allclose(np.asarray(out.time[s, :n]), np.asarray(ref.time))
+        assert_allclose(np.asarray(out.interval[s, :n]),
+                        np.asarray(ref.interval))
+        np.testing.assert_array_equal(np.asarray(out.antenna1[s, :n]),
+                                      np.asarray(ref.antenna1))
+        np.testing.assert_array_equal(np.asarray(out.antenna2[s, :n]),
+                                      np.asarray(ref.antenna2))
+        assert_allclose(np.asarray(out.uvw[s, :n]), np.asarray(ref.uvw),
+                        rtol=1e-6)
+        assert_allclose(np.asarray(out.chan_freq),
+                        np.asarray(ref.chan_freq))
+        assert_allclose(np.asarray(out.visibilities[s, :n]),
+                        np.asarray(ref.visibilities), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out.flag[s, :n]),
+                                      np.asarray(ref.flag))
+        assert_allclose(np.asarray(out.weight_spectrum[s, :n]),
+                        np.asarray(ref.weight_spectrum), rtol=1e-6)
