@@ -169,6 +169,13 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
                 # degridder (256-row tiles double-buffer 2x the VMEM and
                 # lost ~30%); the gridder is insensitive to tile_r
                 tr_targets, group = (128, 256, 64), 1024
+            # sweep overrides (benchmarks/sweep_wgrid.py)
+            if os.environ.get("AFRICANUS_TPU_WGRID_TR"):
+                tr_targets = tuple(
+                    int(x) for x in
+                    os.environ["AFRICANUS_TPU_WGRID_TR"].split(","))
+            if os.environ.get("AFRICANUS_TPU_WGRID_GROUP"):
+                group = int(os.environ["AFRICANUS_TPU_WGRID_GROUP"])
             for target_r in tr_targets:
                 tr = pg.choose_tile(nu, target_r)
                 if support > min(tr, tc):
@@ -377,7 +384,9 @@ def make_plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking=True,
         (uvw, freq),
         (nx, ny, cellx, celly, epsilon, do_wstacking, bool(use_tiles),
          pg.WSTACK_USE_MXU, _wgrid_row_bucket(),
-         os.environ.get("AFRICANUS_TPU_WGRID_MERGE", "1")),
+         os.environ.get("AFRICANUS_TPU_WGRID_MERGE", "1"),
+         os.environ.get("AFRICANUS_TPU_WGRID_TR", ""),
+         os.environ.get("AFRICANUS_TPU_WGRID_GROUP", "")),
     )
     hit = _MAKE_PLAN_CACHE.get(key)
     if hit is not None:

@@ -64,7 +64,7 @@ _PLAN = [
     ("config1_dft_im_to_vis", "config1", 20.0, 70.0),
     ("config4_wgridder_bda", "config4", 80.0, 180.0),
     ("config5_selfcal_loop", "config5", 25.0, 90.0),
-    ("config3_beam_dde_chain", "config3", 50.0, 140.0),
+    ("config3_beam_dde_chain", "config3", 50.0, 160.0),
 ]
 _STATE = {"configs": {}, "fallback": False}
 # Run tokens whose worker thread overran its time box. The thread
@@ -90,6 +90,15 @@ _TPU_CAPTURE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     ".bench_cache", "last_tpu_capture.json",
 )
+# Git-TRACKED twin of the runtime cache: `.bench_cache/` is gitignored,
+# so a fresh checkout (each round starts on a fresh box) would lose the
+# banked evidence exactly when the tunnel is down. Saves write BOTH
+# paths; loads merge both, newest stamp per config winning. The tracked
+# copy is committed whenever a good capture lands.
+_TPU_CAPTURE_TRACKED = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "benchmarks", "last_tpu_capture.json",
+)
 
 
 def _git_head():
@@ -110,32 +119,46 @@ def _save_tpu_config(res):
     worker thread as each config finishes, so a run that later loses the
     tunnel still banks what it measured)."""
     with _EMIT_LOCK:
-        try:
-            with open(_TPU_CAPTURE_PATH) as f:
-                cache = json.load(f)
-        except Exception:
-            cache = {"configs": {}}
+        cache = {"configs": _merged_tpu_configs()}
         cache["configs"][res["name"]] = dict(
             res, git=_git_head(),
             captured_unix=int(time.time()),
             captured=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         )
+        for path in (_TPU_CAPTURE_PATH, _TPU_CAPTURE_TRACKED):
+            try:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                with open(path, "w") as f:
+                    json.dump(cache, f, indent=1, sort_keys=True)
+            except Exception as e:  # pragma: no cover - disk full etc.
+                log(f"tpu capture cache write failed: "
+                    f"{type(e).__name__}: {e}")
+
+
+def _merged_tpu_configs():
+    """Per-config dict merged across the runtime + tracked cache files,
+    newest ``captured_unix`` stamp winning."""
+    merged = {}
+    for path in (_TPU_CAPTURE_TRACKED, _TPU_CAPTURE_PATH):
         try:
-            os.makedirs(os.path.dirname(_TPU_CAPTURE_PATH), exist_ok=True)
-            with open(_TPU_CAPTURE_PATH, "w") as f:
-                json.dump(cache, f)
-        except Exception as e:  # pragma: no cover - disk full etc.
-            log(f"tpu capture cache write failed: {type(e).__name__}: {e}")
+            with open(path) as f:
+                cache = json.load(f)
+        except Exception:
+            continue
+        for name, cfg in cache.get("configs", {}).items():
+            if (name not in merged
+                    or cfg.get("captured_unix", 0)
+                    >= merged[name].get("captured_unix", 0)):
+                merged[name] = cfg
+    return merged
 
 
 def _load_tpu_capture():
     """The stamped per-config cache, or None. Shape:
     {"note": ..., "configs": [...]} with per-config git/captured stamps."""
     try:
-        with open(_TPU_CAPTURE_PATH) as f:
-            cache = json.load(f)
-        configs = [cache["configs"][n] for n, _k, _f, _c in _PLAN
-                   if n in cache.get("configs", {})]
+        cached = _merged_tpu_configs()
+        configs = [cached[n] for n, _k, _f, _c in _PLAN if n in cached]
         if not configs:
             return None
         return {
@@ -766,6 +789,29 @@ def config3_beam():
     gen_dt = _time_jit(chain_general, pa.astype(f32), reps=3)
     _phase("general-path canary timed")
     gen_rate = nsamp / gen_dt / 1e6
+    # (c) cell-residual fast path for the same per-chan pointing errors
+    # (round-4 verdict directive 4): four cube-cell corners interpolated
+    # once per slab, channels reconstructed from in-cell fractional
+    # coordinates in the fused epilogue — exact while a sample's
+    # channels stay inside one (l, m) cell (pe std 1e-4 ≪ cell 3.1e-4
+    # here; straddlers extrapolate the cell polynomial). Inside jit the
+    # condition can't be auto-detected, so the flag is explicit and the
+    # error vs the general path rides along.
+    def chain_cellres(pa_t):
+        return beam_cube_dde_ri(
+            beam_ri, argsf[0], argsf[1], argsf[2], pa_t,
+            jnp.asarray(pe_pc), argsf[5], argsf[6],
+            use_pallas=None if FALLBACK_CPU else True,
+            chan_invariant=False,
+            cell_residual=None if FALLBACK_CPU else True,
+        ).re
+    cellres_dt = _time_jit(chain_cellres, pa.astype(f32), reps=3)
+    _phase("cell-residual per-chan leg timed")
+    cellres_rate = nsamp / cellres_dt / 1e6
+    gen_ref = np.asarray(jax.jit(chain_general)(pa.astype(f32)))
+    cellres_got = np.asarray(jax.jit(chain_cellres)(pa.astype(f32)))
+    cellres_err = float(np.abs(cellres_got - gen_ref).max()
+                        / np.abs(gen_ref).max())
     # Fast-path accounting. The interp kernel touches only nud·(s·t·a)
     # samples; the per-(chan, sample) stages — frequency blend,
     # normalisation, feed rotation — are FUSED into one epilogue kernel
@@ -791,6 +837,8 @@ def config3_beam():
         max_rel_err=err,
         time_varying_pointing_msamples_s=round(tvar_rate, 1),
         per_chan_pointing_msamples_s=round(gen_rate, 1),
+        per_chan_cell_residual_msamples_s=round(cellres_rate, 1),
+        cell_residual_vs_general_err=cellres_err,
         shape=dict(nsrc=nsrc, ntime=ntime, nant=nant, nchan=nchan,
                    cube=[lw, mh, nud, ncorr]),
     )
