@@ -1,8 +1,18 @@
 #!/bin/bash
-# Tunnel monitor (round-4 verdict directive 1c): probe the axon tunnel
-# in a loop; on a healthy window run bench.py (which banks per-config
-# TPU captures into .bench_cache/last_tpu_capture.json). Exits once all
-# five configs are banked. Log: /tmp/tunnel_monitor.log
+# Tunnel monitor (round-4 verdict directive 1c, reworked for the SHORT
+# windows observed 2026-08-21: ~1-3 min up / 10-40 min down — a full
+# five-config bench can no longer fit one window).
+#
+#  1. Warm the disk-cached CPU baselines at TPU shapes while the tunnel
+#     is down (pure host work; AFRICANUS_TPU_BENCH_BASELINE_ONLY=1).
+#  2. Probe in a loop; on a healthy window run bench.py for ONE unbanked
+#     config (AFRICANUS_TPU_BENCH_CONFIGS=<cfg>), skipping bench's own
+#     probe (AFRICANUS_TPU_BENCH_SKIP_PROBE=1) so the whole window goes
+#     to device work. Each completed config is banked to
+#     .bench_cache/last_tpu_capture.json + benchmarks/last_tpu_capture.json.
+#  3. Exit once all five configs are banked.
+#
+# Log: /tmp/tunnel_monitor.log
 cd /root/repo
 LOG=/tmp/tunnel_monitor.log
 PROBE='
@@ -13,28 +23,46 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 x = jax.jit(lambda a: a * 2)(np.float32(21.0))
 assert float(np.asarray(x)) == 42.0
 '
-DONE='
-import json, sys
-try:
-    c = json.load(open("/root/repo/.bench_cache/last_tpu_capture.json"))["configs"]
-except Exception:
-    sys.exit(1)
-need = {"config1_dft_im_to_vis", "config2_rime_predict",
-        "config3_beam_dde_chain", "config4_wgridder_bda",
-        "config5_selfcal_loop"}
-sys.exit(0 if need <= set(c) else 1)
+# prints the first unbanked config name (banking priority: headline
+# first, then cheap ones, then the long gridder), or DONE
+NEXT='
+import json
+merged = {}
+for path in ("benchmarks/last_tpu_capture.json",
+             ".bench_cache/last_tpu_capture.json"):
+    try:
+        merged.update(json.load(open(path))["configs"])
+    except Exception:
+        pass
+order = ["config2_rime_predict", "config1_dft_im_to_vis",
+         "config5_selfcal_loop", "config3_beam_dde_chain",
+         "config4_wgridder_bda"]
+todo = [n for n in order if n not in merged]
+print(todo[0] if todo else "DONE")
 '
+
+if [ ! -f /tmp/.baselines_warmed ]; then
+  echo "$(date -u +%FT%TZ) warming CPU baselines (TPU shapes)" >> "$LOG"
+  AFRICANUS_TPU_BENCH_BASELINE_ONLY=1 AFRICANUS_TPU_BENCH_DEADLINE=1500 \
+    timeout 1560 python bench.py >> "$LOG" 2>&1
+  touch /tmp/.baselines_warmed
+  echo "$(date -u +%FT%TZ) baselines warmed" >> "$LOG"
+fi
+
 while true; do
-  if python -c "$DONE" 2>/dev/null; then
+  CFG=$(python -c "$NEXT" 2>/dev/null)
+  if [ "$CFG" = "DONE" ]; then
     echo "$(date -u +%FT%TZ) all five configs banked; monitor exiting" >> "$LOG"
     exit 0
   fi
   if timeout 100 python -c "$PROBE" >/dev/null 2>&1; then
-    echo "$(date -u +%FT%TZ) tunnel UP; running bench" >> "$LOG"
-    timeout 520 python bench.py >> "$LOG" 2>&1
-    echo "$(date -u +%FT%TZ) bench run finished (rc=$?)" >> "$LOG"
+    echo "$(date -u +%FT%TZ) tunnel UP; running bench for $CFG" >> "$LOG"
+    AFRICANUS_TPU_BENCH_SKIP_PROBE=1 AFRICANUS_TPU_BENCH_CONFIGS="$CFG" \
+      AFRICANUS_TPU_BENCH_DEADLINE=290 \
+      timeout 330 python bench.py >> "$LOG" 2>&1
+    echo "$(date -u +%FT%TZ) bench($CFG) finished (rc=$?)" >> "$LOG"
   else
     echo "$(date -u +%FT%TZ) tunnel down" >> "$LOG"
-    sleep 45
+    sleep 30
   fi
 done

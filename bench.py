@@ -66,6 +66,17 @@ _PLAN = [
     ("config5_selfcal_loop", "config5", 25.0, 90.0),
     ("config3_beam_dde_chain", "config3", 50.0, 160.0),
 ]
+# Subset filter for banking runs in SHORT tunnel windows (observed
+# 2026-08-21: ~1-3 min up — a full five-config pass cannot fit, so the
+# tunnel monitor runs one config per window). The driver never sets
+# this, so its runs keep the full plan/emission contract.
+if os.environ.get("AFRICANUS_TPU_BENCH_CONFIGS"):
+    _keep = {s.strip() for s in
+             os.environ["AFRICANUS_TPU_BENCH_CONFIGS"].split(",")}
+    _PLAN = [p for p in _PLAN if p[0] in _keep or p[1] in _keep]
+    if not _PLAN:
+        raise SystemExit(
+            f"AFRICANUS_TPU_BENCH_CONFIGS matched nothing: {_keep}")
 _STATE = {"configs": {}, "fallback": False}
 # Run tokens whose worker thread overran its time box. The thread
 # itself may be wedged in an uninterruptible tunnel call; flagging the
@@ -172,6 +183,18 @@ def _load_tpu_capture():
 
 class _Abandoned(Exception):
     """Raised inside an abandoned config's thread at its next barrier."""
+
+
+class _BaselineWarmed(Exception):
+    """Raised at the first timing call under BASELINE_ONLY mode: the
+    config's CPU baseline has been computed and disk-cached, which is
+    all that run wanted (baselines are pure host work, so they can be
+    warmed while the tunnel is down; a later TPU-window run then spends
+    its whole window on device work)."""
+
+
+_BASELINE_ONLY = os.environ.get(
+    "AFRICANUS_TPU_BENCH_BASELINE_ONLY", "") == "1"
 
 
 def _elapsed():
@@ -1134,14 +1157,12 @@ def config5_selfcal():
         return (gains.re[0, 0, 0, 0, 0] + cleaned[0, 0]
                 + re_model.re[0, 0, 0])
 
-    dt = _time_jit(lambda d: jnp.asarray(selfcal_step(d))[None], data,
-                   reps=3)
-    rate_iter = nvis * gn_iters / dt / 1e6
-    _phase("selfcal step timed")
-
-    # CPU numpy baseline: the SAME loop structure (GN solve + adjoint-DFT
-    # residual image + CLEAN + re-predict) on a row subset, scaled —
-    # every stage is linear in rows
+    # CPU numpy baseline FIRST (pure host work, disk-cached): under
+    # BASELINE_ONLY runs and short tunnel windows the device timing
+    # below must not gate the baseline.
+    # The SAME loop structure (GN solve + adjoint-DFT residual image +
+    # CLEAN + re-predict) on a row subset, scaled — every stage is
+    # linear in rows
     d_np = np.asarray(data.re) + 1j * np.asarray(data.im)
     m_np = np.asarray(model2.re[:, :, 0, :]) + 1j * np.asarray(
         model2.im[:, :, 0, :]
@@ -1207,6 +1228,11 @@ def config5_selfcal():
     _phase("cpu baseline done")
     cpu_rate = nvis * gn_iters / cpu_dt / 1e6
 
+    dt = _time_jit(lambda d: jnp.asarray(selfcal_step(d))[None], data,
+                   reps=3)
+    rate_iter = nvis * gn_iters / dt / 1e6
+    _phase("selfcal step timed")
+
     # accuracy: solved baseline gain products must match the truth
     gains, jhj, jhr, k = jax.jit(
         lambda d: gauss_newton_ri(tbi, tbc, a1, a2, jones0, d, flag,
@@ -1271,6 +1297,10 @@ def _run_config(name, fn, token):
             f"[{time.perf_counter() - t0:.0f}s]")
     except _Abandoned:
         return  # result already recorded as timed out by main
+    except _BaselineWarmed:
+        log(f"{name}: baseline warmed "
+            f"[{time.perf_counter() - t0:.0f}s]")
+        res = dict(name=name, skipped="baseline-only")
     except Exception as e:  # pragma: no cover - defensive
         log(traceback.format_exc())
         res = dict(name=name, error=f"{type(e).__name__}: {e}")
@@ -1287,8 +1317,31 @@ def main():
     signal.signal(signal.SIGINT, _on_signal)
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    if (os.environ.get("AFRICANUS_TPU_BENCH_CPU", "") == "1"
-            or not _probe_device()):
+    if _BASELINE_ONLY:
+        # warm the disk-cached CPU baselines at the REAL (TPU) shapes
+        # without touching the tunnel: jax runs on CPU, FALLBACK_CPU
+        # stays False so configs keep their TPU shapes, and the first
+        # timing call of each config raises _BaselineWarmed.
+        import jax
+        import africanus_tpu.utils.profiling as _prof
+
+        jax.config.update("jax_platforms", "cpu")
+
+        def _warmed(*a, **k):
+            raise _BaselineWarmed()
+
+        _prof.measure = _warmed
+        log("BASELINE_ONLY: warming CPU baselines at TPU shapes")
+    elif os.environ.get("AFRICANUS_TPU_BENCH_CPU", "") == "1":
+        FALLBACK_CPU = True
+        _STATE["fallback"] = True
+    elif os.environ.get("AFRICANUS_TPU_BENCH_SKIP_PROBE", "") == "1":
+        # the caller (tunnel monitor) just probed successfully; spending
+        # another 15-40 s re-probing would burn a meaningful slice of a
+        # short window. If the tunnel died in between, the per-config
+        # time boxes abandon the hung configs as usual.
+        log("probe skipped (caller vouches for the tunnel)")
+    elif not _probe_device():
         FALLBACK_CPU = True
         _STATE["fallback"] = True
 
