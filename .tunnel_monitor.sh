@@ -58,8 +58,8 @@ while true; do
   if timeout 100 python -c "$PROBE" >/dev/null 2>&1; then
     echo "$(date -u +%FT%TZ) tunnel UP; running bench for $CFG" >> "$LOG"
     AFRICANUS_TPU_BENCH_SKIP_PROBE=1 AFRICANUS_TPU_BENCH_CONFIGS="$CFG" \
-      AFRICANUS_TPU_BENCH_DEADLINE=290 \
-      timeout 330 python bench.py >> "$LOG" 2>&1
+      AFRICANUS_TPU_BENCH_DEADLINE=420 AFRICANUS_TPU_BENCH_BOX_SCALE=2 \
+      timeout 460 python bench.py >> "$LOG" 2>&1
     echo "$(date -u +%FT%TZ) bench($CFG) finished (rc=$?)" >> "$LOG"
   else
     echo "$(date -u +%FT%TZ) tunnel down" >> "$LOG"
