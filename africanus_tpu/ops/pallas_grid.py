@@ -44,6 +44,7 @@ columns v.
 from __future__ import annotations
 
 import logging
+import os
 from functools import partial
 
 import numpy as np
@@ -357,6 +358,35 @@ def _pack_entries(tile_ids, ntiles, group, pad_f32, sample_id, ir, ic,
 
 
 from africanus_tpu.ops.es import es_jnp as _es  # noqa: E402 (shared ES kernel)
+
+
+def _mxu_dot(a, b, dims, precision):
+    """In-kernel dot with an optional hand-rolled bf16x3 mode.
+
+    ``lax.Precision.HIGH`` (3 bf16 MXU passes) is unsupported by this
+    Mosaic lowering (TOOLCHAIN.md item 1), so ``precision="bf16x3"``
+    emulates it: split each f32 operand into a bf16 hi + bf16 lo
+    residual and sum the three significant cross products with f32
+    accumulation — halving HIGHEST's 6 MXU passes at ~1e-6 relative
+    error (well inside the gridder's 1e-4 ES accuracy budget).
+    Env-gated experiment: AFRICANUS_TPU_WGRID_DOT=bf16x3."""
+    if precision == "bf16x3":
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = partial(lax.dot_general, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+    return lax.dot_general(a, b, dims, precision=precision,
+                           preferred_element_type=jnp.float32)
+
+
+def _wgrid_dot_mode():
+    """Kernel dot mode for the MXU w-stack/tile kernels (read at trace
+    time): "bf16x3" or a lax.Precision."""
+    mode = os.environ.get("AFRICANUS_TPU_WGRID_DOT", "highest").lower()
+    return "bf16x3" if mode == "bf16x3" else lax.Precision.HIGHEST
 
 
 def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
@@ -1955,14 +1985,9 @@ def _grid_wstack_mxu_kernel(first_ref, gtile_ref, pbase_ref, rbase_ref,
         nwin * nrows, group)
     rm_im = (tapr_t[None] * wv_im[:, None, :]).reshape(
         nwin * nrows, group)
-    acc_re = lax.dot_general(
-        rm_re, tapc_t, dims, precision=precision,
-        preferred_element_type=jnp.float32,
-    )                                         # (nwin·nrows, tpad_c)
-    acc_im = lax.dot_general(
-        rm_im, tapc_t, dims, precision=precision,
-        preferred_element_type=jnp.float32,
-    )
+    acc_re = _mxu_dot(rm_re, tapc_t, dims, precision)
+    # (nwin·nrows, tpad_c)
+    acc_im = _mxu_dot(rm_im, tapc_t, dims, precision)
     for p in range(nwin):
         slab_re = acc_re[p * nrows : (p + 1) * nrows]
         slab_im = acc_im[p * nrows : (p + 1) * nrows]
@@ -2007,7 +2032,7 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
     kernel = partial(_grid_wstack_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
                      nwin=nwin, nrows=nrows,
-                     precision=precision or lax.Precision.HIGHEST)
+                     precision=precision or _wgrid_dot_mode())
 
     vec = pl.BlockSpec((1, 1, group), lambda g, f, t, pb, rb: (g, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -2094,14 +2119,9 @@ def _degrid_wstack_mxu_kernel(gtile_ref, pbase_ref, rbase_ref, urow_ref,
         tsl = (0, pl.ds(pb, nwin), pl.ds(pl.multiple_of(rb, 8), nrows))
     t_re = tre_ref[tsl].reshape(nwin * nrows, tpad_c)
     t_im = tim_ref[tsl].reshape(nwin * nrows, tpad_c)
-    m_re = lax.dot_general(
-        t_re, tapc_t, dims, precision=precision,
-        preferred_element_type=jnp.float32,
-    )                                         # (nwin·nrows, S)
-    m_im = lax.dot_general(
-        t_im, tapc_t, dims, precision=precision,
-        preferred_element_type=jnp.float32,
-    )
+    m_re = _mxu_dot(t_re, tapc_t, dims, precision)
+    # (nwin·nrows, S)
+    m_im = _mxu_dot(t_im, tapc_t, dims, precision)
     a_st = (wt[:, None, :] * tapr_t[None]).reshape(nwin * nrows, group)
     acc_re = jnp.sum(a_st * m_re, axis=0, keepdims=True)      # (1, S)
     acc_im = jnp.sum(a_st * m_im, axis=0, keepdims=True)
@@ -2136,7 +2156,7 @@ def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
     kernel = partial(_degrid_wstack_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
                      nwin=nwin, nrows=nrows,
-                     precision=precision or lax.Precision.HIGHEST)
+                     precision=precision or _wgrid_dot_mode())
 
     vec = pl.BlockSpec((1, 1, group), lambda g, t, pb, rb: (g, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -2217,14 +2237,8 @@ def _grid_mxu_kernel(first_ref, gtile_ref, urow_ref, vfa_ref, vre_ref,
     for c in range(ncorr):
         rm_re = tapr_t * vre_ref[0, c:c + 1, :]
         rm_im = tapr_t * vim_ref[0, c:c + 1, :]
-        acc_re = lax.dot_general(
-            rm_re, tapc_t, dims, precision=precision,
-            preferred_element_type=jnp.float32,
-        )
-        acc_im = lax.dot_general(
-            rm_im, tapc_t, dims, precision=precision,
-            preferred_element_type=jnp.float32,
-        )
+        acc_re = _mxu_dot(rm_re, tapc_t, dims, precision)
+        acc_im = _mxu_dot(rm_im, tapc_t, dims, precision)
         out_re_ref[0, c] += acc_re
         out_im_ref[0, c] += acc_im
 
@@ -2265,7 +2279,7 @@ def grid_tiles_mxu(plan, vre_flat, vim_flat, interpret=False,
     kernel = partial(_grid_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
                      ncorr=ncorr,
-                     precision=precision or lax.Precision.HIGHEST)
+                     precision=precision or _wgrid_dot_mode())
 
     vec = pl.BlockSpec((1, 1, group), lambda g, f, t: (g, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -2325,14 +2339,9 @@ def _degrid_mxu_kernel(gtile_ref, urow_ref, vfa_ref, scale_ref, tre_ref,
 
     dims = (((1,), (0,)), ((), ()))           # (tpad_r, tpad_c) @ (tpad_c, S)
     for c in range(ncorr):
-        m_re = lax.dot_general(
-            tre_ref[0, c], tapc_t, dims, precision=precision,
-            preferred_element_type=jnp.float32,
-        )                                     # (tpad_r, S)
-        m_im = lax.dot_general(
-            tim_ref[0, c], tapc_t, dims, precision=precision,
-            preferred_element_type=jnp.float32,
-        )
+        m_re = _mxu_dot(tre_ref[0, c], tapc_t, dims, precision)
+        # (tpad_r, S)
+        m_im = _mxu_dot(tim_ref[0, c], tapc_t, dims, precision)
         e_re = jnp.sum(tapr_t * m_re, axis=0, keepdims=True)   # (1, S)
         e_im = jnp.sum(tapr_t * m_im, axis=0, keepdims=True)
         out_re_ref[0, c:c + 1, :] = sc * e_re
@@ -2364,7 +2373,7 @@ def degrid_tiles_mxu(plan, tiles_re, tiles_im, nvis, interpret=False,
     kernel = partial(_degrid_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
                      ncorr=ncorr,
-                     precision=precision or lax.Precision.HIGHEST)
+                     precision=precision or _wgrid_dot_mode())
 
     vec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
                        memory_space=pltpu.VMEM)

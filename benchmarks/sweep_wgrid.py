@@ -102,19 +102,32 @@ def main():
     combos = [
         # current default (row_bucket on, tr 32, group 512)
         {"AFRICANUS_TPU_WGRID_ROWBUCKET": 1},
-        {"AFRICANUS_TPU_WGRID_ROWBUCKET": 0},
+        # row-bucketing makes the dot cost independent of tile_r, so
+        # LARGER tiles now cost nothing in MACs and give fewer, fuller
+        # buckets (fill at tr32/g512 is only 0.51 — half the dot work
+        # is group padding)
+        {"AFRICANUS_TPU_WGRID_ROWBUCKET": 1,
+         "AFRICANUS_TPU_WGRID_TR": "128"},
+        {"AFRICANUS_TPU_WGRID_ROWBUCKET": 1,
+         "AFRICANUS_TPU_WGRID_TR": "256"},
+        # uv density is non-uniform, so sparse buckets dominate padding;
+        # smaller groups trade per-group fixed cost for fill
+        {"AFRICANUS_TPU_WGRID_ROWBUCKET": 1,
+         "AFRICANUS_TPU_WGRID_TR": "128",
+         "AFRICANUS_TPU_WGRID_GROUP": 256},
     ]
     if not quick:
         combos += [
+            {"AFRICANUS_TPU_WGRID_ROWBUCKET": 0},
+            {"AFRICANUS_TPU_WGRID_ROWBUCKET": 1,
+             "AFRICANUS_TPU_WGRID_TR": "128",
+             "AFRICANUS_TPU_WGRID_GROUP": 1024},
             {"AFRICANUS_TPU_WGRID_ROWBUCKET": 1,
              "AFRICANUS_TPU_WGRID_GROUP": 1024},
             {"AFRICANUS_TPU_WGRID_ROWBUCKET": 1,
              "AFRICANUS_TPU_WGRID_GROUP": 256},
             {"AFRICANUS_TPU_WGRID_ROWBUCKET": 1,
-             "AFRICANUS_TPU_WGRID_TR": "64"},
-            {"AFRICANUS_TPU_WGRID_ROWBUCKET": 1,
-             "AFRICANUS_TPU_WGRID_TR": "16"},
-            {"AFRICANUS_TPU_WGRID_ROWBUCKET": 1, "SWEEP_DEGRID": 1},
+             "AFRICANUS_TPU_WGRID_TR": "128", "SWEEP_DEGRID": 1},
         ]
     for c in combos:
         run(c)

@@ -805,3 +805,52 @@ def test_wstack_row_bucket_with_plane_block(rng):
                     atol=5e-5)
     assert_allclose(np.asarray(d_im), np.asarray(o_im), rtol=2e-4,
                     atol=5e-5)
+
+
+def test_wstack_mxu_bf16x3_dot_mode(rng, monkeypatch):
+    """The hand-rolled bf16x3 dot mode (AFRICANUS_TPU_WGRID_DOT=bf16x3
+    — the TOOLCHAIN.md item-1 workaround: 3 MXU passes instead of
+    HIGHEST's 6) must match HIGHEST to ~1e-5 relative on both MXU
+    w-stack directions; the gridder's ES accuracy budget is 1e-4."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.pallas_grid import (
+        degrid_tiles_wstack_mxu, grid_tiles_wstack_mxu,
+        plan_tiles_wstack,
+    )
+
+    w, beta = 6, 2.3 * 6
+    nu = nv = 64
+    nplanes = 12
+    n = 150
+    upos = rng.uniform(0, nu, n)
+    vpos = rng.uniform(0, nv, n)
+    iu0 = np.floor(upos).astype(np.int64) - (w // 2 - 1)
+    iv0 = np.floor(vpos).astype(np.int64) - (w // 2 - 1)
+    uf, vf = upos - iu0, vpos - iv0
+    wpos = rng.uniform(w / 2, nplanes - w / 2 - 1, n)
+    iw0 = np.floor(wpos).astype(np.int64) - (w // 2 - 1)
+    offs = np.arange(w)
+    kw = es_np((wpos[:, None] - (iw0[:, None] + offs)) / (w / 2.0), beta)
+    vre = rng.normal(size=n).astype(np.float32)
+    vim = rng.normal(size=n).astype(np.float32)
+
+    plan = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                             p0=iw0, wscales=kw.T, nplanes=nplanes,
+                             group=64, row_bucket=True)
+    h_re, h_im = grid_tiles_wstack_mxu(plan, jnp.asarray(vre),
+                                       jnp.asarray(vim), interpret=True)
+    monkeypatch.setenv("AFRICANUS_TPU_WGRID_DOT", "bf16x3")
+    b_re, b_im = grid_tiles_wstack_mxu(plan, jnp.asarray(vre),
+                                       jnp.asarray(vim), interpret=True)
+    scale = float(np.abs(np.asarray(h_re)).max())
+    assert np.abs(np.asarray(b_re) - np.asarray(h_re)).max() < 3e-5 * scale
+    assert np.abs(np.asarray(b_im) - np.asarray(h_im)).max() < 3e-5 * scale
+
+    d_b = degrid_tiles_wstack_mxu(plan, np.asarray(h_re),
+                                  np.asarray(h_im), n, interpret=True)
+    monkeypatch.delenv("AFRICANUS_TPU_WGRID_DOT")
+    d_h = degrid_tiles_wstack_mxu(plan, np.asarray(h_re),
+                                  np.asarray(h_im), n, interpret=True)
+    ds = float(np.abs(np.asarray(d_h[0])).max())
+    assert np.abs(np.asarray(d_b[0]) - np.asarray(d_h[0])).max() < 3e-5 * ds
+    assert np.abs(np.asarray(d_b[1]) - np.asarray(d_h[1])).max() < 3e-5 * ds
