@@ -46,6 +46,17 @@ def _wgrid_row_bucket():
     return os.environ.get("AFRICANUS_TPU_WGRID_ROWBUCKET", "1") == "1"
 
 
+def _wgrid_pack():
+    """Sub-groups packed per MXU kernel step (pack_supergroups).
+
+    Small groups maximise row-bucket fill (uv density is non-uniform,
+    so sparse buckets dominate group padding: g512→g128 measured
+    20.1→30.7 Mvis/s dirty at the config-4 shape) but leave the kernel
+    bound on per-grid-step fixed cost; packing ``pack`` sub-groups of
+    one tile into each step amortises it. 0/1 disables."""
+    return int(os.environ.get("AFRICANUS_TPU_WGRID_PACK", "8"))
+
+
 def _kernel_params(epsilon):
     """ES-kernel support and shape parameter for σ=2 oversampling.
 
@@ -155,13 +166,25 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
             # plane of one tile in VMEM: shrink the tile until the
             # budget fits, else fall back to the virtual-sample plan.
             tc = pg.choose_tile(nv, 128 - 2 * support)
-            if pg.WSTACK_USE_MXU:
-                # MXU matmul route: per-entry cost is nwin·tpad_r·tpad_c
-                # so SMALL row tiles win — tr32/group512 measured 17.2
-                # Mvis/s @13 s compile vs tr128/group1024's 16.4 @217 s
-                # (1024² grid, 200k samples, 14 planes); tr16 loses to
-                # group-count overhead (8.3). Small tiles also shrink
-                # the VMEM-per-plane footprint ~3x, so deep stacks fit
+            pack = (_wgrid_pack()
+                    if pg.WSTACK_USE_MXU and _wgrid_row_bucket() else 1)
+            if pg.WSTACK_USE_MXU and pack > 1:
+                # packed row-bucket regime (round-5): small sub-groups
+                # maximise bucket fill, supergroup packing amortises the
+                # per-step cost, and row-bucketing already made the dot
+                # cost independent of tile_r — so LARGE tiles (fewer,
+                # fuller buckets) + small groups win: tr128/g128/pack8
+                # measured 47.3 Mvis/s dirty vs tr32/g512/unpacked's
+                # 20.1 at the config-4 shape (benchmarks/RESULTS.md).
+                tr_targets, group = (128, 64, 32), 128
+            elif pg.WSTACK_USE_MXU:
+                # unpacked MXU route: per-entry cost is
+                # nwin·tpad_r·tpad_c so SMALL row tiles win —
+                # tr32/group512 measured 17.2 Mvis/s @13 s compile vs
+                # tr128/group1024's 16.4 @217 s (1024² grid, 200k
+                # samples, 14 planes); tr16 loses to group-count
+                # overhead (8.3). Small tiles also shrink the
+                # VMEM-per-plane footprint ~3x, so deep stacks fit
                 # unblocked.
                 tr_targets, group = (32, 64, 16), 512
             else:
@@ -205,12 +228,15 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
                     # flag keys off the route target
                     row_bucket = (pg.WSTACK_USE_MXU and merge == 1
                                   and _wgrid_row_bucket())
-                    return pg.plan_tiles_wstack(
+                    tplan = pg.plan_tiles_wstack(
                         iu0, iv0, uf, vf, support, beta, nu, nv,
                         p0=iw0, wscales=kw.T, nplanes=nplanes,
                         tile_r=tr, tile_c=tc, group=group, merge=merge,
                         row_bucket=row_bucket,
                     )
+                    if pack > 1 and tplan.get("row_bucket"):
+                        tplan = pg.pack_supergroups(tplan, pack)
+                    return tplan
             # the whole stack fits no tile size: plane-blocked MXU
             # plan — VMEM holds one depth-P w-block per tile instead of
             # all nplanes, so deep stacks keep full-size tiles. The
@@ -226,13 +252,16 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
                     pmax = (13 * 2**20) // (tpad_r * tpad_c * 16)
                     P = min((pmax // 8) * 8, -(-nplanes // 8) * 8)
                     if P >= support:
-                        return pg.plan_tiles_wstack(
+                        tplan = pg.plan_tiles_wstack(
                             iu0, iv0, uf, vf, support, beta, nu, nv,
                             p0=iw0, wscales=kw.T, nplanes=nplanes,
                             tile_r=tr, tile_c=tc, group=group,
                             plane_block=P,
                             row_bucket=_wgrid_row_bucket(),
                         )
+                        if pack > 1 and tplan.get("row_bucket"):
+                            tplan = pg.pack_supergroups(tplan, pack)
+                        return tplan
         plane_v = np.clip((iw0[:, None] + offs), 0, nplanes - 1).ravel()
         return pg.plan_tiles(
             np.repeat(iu0, support), np.repeat(iv0, support),
@@ -386,7 +415,8 @@ def make_plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking=True,
          pg.WSTACK_USE_MXU, _wgrid_row_bucket(),
          os.environ.get("AFRICANUS_TPU_WGRID_MERGE", "1"),
          os.environ.get("AFRICANUS_TPU_WGRID_TR", ""),
-         os.environ.get("AFRICANUS_TPU_WGRID_GROUP", "")),
+         os.environ.get("AFRICANUS_TPU_WGRID_GROUP", ""),
+         _wgrid_pack()),
     )
     hit = _MAKE_PLAN_CACHE.get(key)
     if hit is not None:

@@ -63,7 +63,7 @@ __all__ = ["plan_tiles", "plan_tiles_table", "plan_tiles_wstack",
            "grid_tiles_wstack_mxu", "degrid_tiles_wstack_mxu",
            "grid_tiles_mxu", "degrid_tiles_mxu", "wstack_use_mxu",
            "tiles_use_mxu", "TILES_USE_MXU",
-           "tile_pad_geometry", "default_tiles",
+           "tile_pad_geometry", "default_tiles", "pack_supergroups",
            "choose_tile", "pack_shard_plans", "PLAN_ARRAY_KEYS",
            "WSTACK_PLAN_ARRAY_KEYS", "TABLE_PLAN_ARRAY_KEYS"]
 
@@ -93,7 +93,7 @@ def wstack_use_mxu(plan):
     construction (the scatter kernels reject them)."""
     if not plan.get("wstack_fused", False):
         return False
-    if "plane_block" in plan:
+    if "plane_block" in plan or plan.get("subs", 1) > 1:
         return True
     depth = plan.get("nwin", plan["nplanes"])
     return WSTACK_USE_MXU and depth <= 3 * plan["support"]
@@ -387,6 +387,28 @@ def _wgrid_dot_mode():
     time): "bf16x3" or a lax.Precision."""
     mode = os.environ.get("AFRICANUS_TPU_WGRID_DOT", "highest").lower()
     return "bf16x3" if mode == "bf16x3" else lax.Precision.HIGHEST
+
+
+def _wgrid_ablate():
+    """Benchmark-only kernel ablation (WRONG RESULTS by design): "nodot"
+    zeroes the sample contraction, "noes" replaces ES tap evaluation
+    with constants — each isolates one stage's share of the w-stack MXU
+    kernel wall. Never set outside benchmarks."""
+    return os.environ.get("AFRICANUS_TPU_WGRID_ABLATE", "")
+
+
+def _pair_gather(re_flat, im_flat, idx):
+    """Gather re+im as ONE (n, 2)-sliced gather instead of two scalar
+    gathers. The slot gather runs at the XLA-TPU gather element cap
+    (~1.5e8/s — it was HALF the config-4 dirty wall, 12.5 of 26 ms);
+    pair-packing halves the per-index cost. Env-gated
+    (AFRICANUS_TPU_WGRID_PAIRGATHER=0 restores the two plain gathers
+    for A/B)."""
+    if os.environ.get("AFRICANUS_TPU_WGRID_PAIRGATHER", "1") != "1":
+        return re_flat[idx], im_flat[idx]
+    pair = jnp.stack([re_flat, im_flat], axis=-1)   # (nvis, 2)
+    g = pair[idx]                                   # (idx…, 2)
+    return g[..., 0], g[..., 1]
 
 
 def _grid_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
@@ -812,6 +834,16 @@ def pack_shard_plans(plans):
         # reverse is not)
         if all(p.get("row_bucket") for p in plans):
             geo["row_bucket"] = True
+        # supergroup packing (pack_supergroups) changes the per-group
+        # array granularity (entry blocks (nsg, subs·S); pbase/rbase
+        # stay per-sub-group), so every shard must agree on subs
+        subs_set = {p.get("subs", 1) for p in plans}
+        if len(subs_set) != 1:
+            raise ValueError(
+                f"shard plans disagree on supergroup subs: {subs_set}")
+        subs = subs_set.pop()
+        if subs > 1:
+            geo["subs"] = subs
         # plane-blocked format must agree across shards (checked with
         # the other geometry below)
         if "plane_block" in plans[0]:
@@ -843,11 +875,18 @@ def pack_shard_plans(plans):
             keys = keys + ("rbase",)
     else:
         keys = PLAN_ARRAY_KEYS
+    # padding granularity: packed plans store first/group_tile and entry
+    # blocks per SUPER-group (ngroups // subs rows) while pbase/rbase
+    # stay per-sub-group — pad each at its own granularity
+    subs = geo.get("subs", 1)
     ng_max = max(p["ngroups"] for p in plans)
+    ng_max = -(-ng_max // subs) * subs
     arrays = {k: [] for k in keys}
     for p in plans:
-        pad = ng_max - p["ngroups"]
+        pad_all = ng_max - p["ngroups"]
+        assert pad_all % subs == 0
         for k in keys:
+            pad = pad_all if k in ("pbase", "rbase") else pad_all // subs
             if k == "pbase":
                 # a shard planned with a shallower nwin than the packed
                 # max could otherwise index past the stack (or block)
@@ -1017,8 +1056,9 @@ def grid_tiles_table_pallas(plan, table, vre_flat, vim_flat,
 
     sample_pack = jnp.asarray(arrays["sample_pack"])
     scale = jnp.asarray(arrays["scale"])
-    vre = (vre_flat[sample_pack] * scale).astype(jnp.float32)
-    vim = (vim_flat[sample_pack] * scale).astype(jnp.float32)
+    g_re, g_im = _pair_gather(vre_flat, vim_flat, sample_pack)
+    vre = (g_re * scale).astype(jnp.float32)
+    vim = (g_im * scale).astype(jnp.float32)
     table = jnp.asarray(table, jnp.float32)[None, :]
 
     kernel = partial(_grid_kernel_table, group=group, support=w,
@@ -1529,6 +1569,85 @@ def plan_tiles_wstack(iu0, iv0, uf, vf, support, beta, nu, nv, p0,
     return out
 
 
+def pack_supergroups(plan, subs):
+    """Pack ``subs`` consecutive groups into one MXU kernel step.
+
+    At small groups (the fill-optimal regime for row-bucketed plans —
+    group 128 measured 1.5x group 512 on v5e at the config-4 shape) the
+    kernel becomes bound by the per-grid-step fixed cost, not by its
+    dots. A packed plan keeps the small fill-friendly sub-groups but
+    amortises the step cost ``subs``× : each kernel step processes
+    ``subs`` sub-groups of the SAME output tile (their blocks
+    concatenate on lanes; per-sub-group ``rbase``/``pbase`` scalars are
+    read at ``g·subs + j``). Every tile's group count is padded to a
+    multiple of ``subs`` with inert sub-groups (all-zero w-taps), and
+    ``group_tile``/``first`` become per-SUPER-group. MXU-route only —
+    the scatter kernels reject packed plans."""
+    subs = int(subs)
+    if subs <= 1:
+        return plan
+    if "rbase" not in plan:
+        raise ValueError("pack_supergroups requires a row_bucket plan")
+    gt = np.asarray(plan["group_tile"])
+    ngroups, S = plan["ngroups"], plan["group"]
+    w = plan["support"]
+
+    # run-length encode the (out-block-contiguous) group_tile
+    change = np.ones(ngroups, bool)
+    change[1:] = gt[1:] != gt[:-1]
+    starts = np.nonzero(change)[0]
+    counts = np.diff(np.append(starts, ngroups))
+    blocks = gt[starts]
+    pad = (-counts) % subs
+    new_counts = counts + pad
+    total = int(new_counts.sum())
+
+    # old-group id for each new slot (-1 = inert pad group)
+    idx = np.full(total, -1, np.int64)
+    new_starts = np.zeros(blocks.size, np.int64)
+    np.cumsum(new_counts[:-1], out=new_starts[1:])
+    for b in range(blocks.size):
+        idx[new_starts[b]:new_starts[b] + counts[b]] = np.arange(
+            starts[b], starts[b] + counts[b])
+    real = idx >= 0
+    new_of_old = np.empty(ngroups, np.int64)
+    new_of_old[idx[real]] = np.nonzero(real)[0]
+
+    def take(a, fill):
+        a = np.asarray(a)
+        outp = np.full((total,) + a.shape[1:], fill, a.dtype)
+        outp[real] = a[idx[real]]
+        return outp
+
+    nsg = total // subs
+    out = dict(plan)
+    out["ngroups"] = total
+    out["subs"] = subs
+    # entry arrays, pre-reshaped to the packed (nsg, …, subs·S) blocks
+    out["sample_pack"] = take(plan["sample_pack"], 0).reshape(nsg, subs * S)
+    out["ir_loc"] = take(plan["ir_loc"], 0).reshape(nsg, subs * S)
+    out["uf"] = take(plan["uf"], -2.0 * w).reshape(nsg, subs * S)
+    out["vfa"] = take(plan["vfa"], -2.0 * w).reshape(nsg, subs * S)
+    out["p0"] = take(plan["p0"], 0).reshape(nsg, subs * S)
+    out["wsc"] = np.ascontiguousarray(
+        take(plan["wsc"], 0.0).reshape(nsg, subs, w, S)
+        .transpose(0, 2, 1, 3)
+    ).reshape(nsg, w, subs * S)
+    out["pbase"] = take(plan["pbase"], 0)
+    out["rbase"] = take(plan["rbase"], 0)
+    sg_tile = np.repeat(blocks, new_counts)[::subs].astype(np.int32)
+    out["group_tile"] = sg_tile
+    first = np.zeros(nsg, np.int32)
+    if nsg:
+        first[0] = 1
+        first[1:][sg_tile[1:] != sg_tile[:-1]] = 1
+    out["first"] = first
+    if "vis_slot" in plan:
+        s = np.asarray(plan["vis_slot"])
+        out["vis_slot"] = new_of_old[s // S] * S + s % S
+    return out
+
+
 def _grid_wstack_kernel(first_ref, gtile_ref, ir_ref, uf_ref, vfa_ref,
                         p0_ref, wsc_ref, vre_ref, vim_ref, out_re_ref,
                         out_im_ref, *, group, support, beta, tpad_r,
@@ -1626,6 +1745,10 @@ def grid_tiles_wstack_pallas(plan, vre_flat, vim_flat, interpret=False,
     Returns padded tiles (re, im): (ntr·ntc, nplanes, tpad_r, tpad_c);
     assemble with :func:`assemble_wstack_tiles`.
     """
+    if plan.get("subs", 1) > 1:
+        raise ValueError(
+            "supergroup-packed plans (pack_supergroups) are MXU-route "
+            "only; use grid_tiles_wstack_mxu")
     if "plane_block" in plan:
         raise ValueError(
             "plane-blocked plans are MXU-route only (block-relative p0 "
@@ -1641,8 +1764,8 @@ def grid_tiles_wstack_pallas(plan, vre_flat, vim_flat, interpret=False,
         arrays = plan
 
     sample_pack = jnp.asarray(arrays["sample_pack"])
-    vre = vre_flat[sample_pack].astype(jnp.float32)
-    vim = vim_flat[sample_pack].astype(jnp.float32)
+    vre, vim = _pair_gather(vre_flat.astype(jnp.float32),
+                            vim_flat.astype(jnp.float32), sample_pack)
 
     kernel = partial(_grid_wstack_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
@@ -1804,6 +1927,10 @@ def degrid_tiles_wstack_pallas(plan, tiles_re, tiles_im, nvis,
 
     Returns flat (nvis,) re/im model visibilities.
     """
+    if plan.get("subs", 1) > 1:
+        raise ValueError(
+            "supergroup-packed plans (pack_supergroups) are MXU-route "
+            "only; use degrid_tiles_wstack_mxu")
     if "plane_block" in plan:
         raise ValueError(
             "plane-blocked plans are MXU-route only (block-relative p0 "
@@ -1865,7 +1992,7 @@ def degrid_tiles_wstack_pallas(plan, tiles_re, tiles_im, nvis,
         # inverse is a pure gather (pack_shard_plans stacks per-shard
         # vis_slot so the sharded path keeps it too)
         sel = jnp.asarray(arrays["vis_slot"])
-        return vals_re[sel], vals_im[sel]
+        return _pair_gather(vals_re, vals_im, sel)
     # no slot table (traced per-shard arrays, or a plane-blocked plan
     # whose boundary duplicates give a sample two slots): padding and
     # duplicate slots carry zero/partial values, so a scatter-add over
@@ -1933,6 +2060,7 @@ def _grid_wstack_mxu_kernel(first_ref, gtile_ref, pbase_ref, rbase_ref,
                             urow_ref, vfa_ref, p0_ref, wsc_ref, vre_ref,
                             vim_ref, out_re_ref, out_im_ref, *, group,
                             support, beta, tpad_r, tpad_c, nwin, nrows,
+                            subs=1,
                             precision=lax.Precision.HIGHEST):
     g = pl.program_id(0)
     half = support / 2.0
@@ -1942,64 +2070,101 @@ def _grid_wstack_mxu_kernel(first_ref, gtile_ref, pbase_ref, rbase_ref,
         out_re_ref[...] = jnp.zeros_like(out_re_ref)
         out_im_ref[...] = jnp.zeros_like(out_im_ref)
 
-    # row-bucketed plans anchor the dot at the group's shared 8-aligned
-    # window start (nrows = blk); unbucketed plans span the whole padded
-    # tile (nrows = tpad_r, rbase 0) — same math, 3x the row MACs
-    rb = rbase_ref[g]
-    urow = urow_ref[0]                        # (1, S) absolute frac row
-    vfa = vfa_ref[0]                          # (1, S) absolute frac col
-    r_iota = lax.broadcasted_iota(jnp.int32, (nrows, group), 0).astype(
-        jnp.float32
-    )
-    tapr_t = _es((urow - rb.astype(jnp.float32) - r_iota) / half,
-                 beta)                        # (nrows, S)
-    # column taps are computed transposed — (tpad_c, S), samples on
-    # lanes like every other per-sample array — and the dot contracts
-    # both operands over their LANE axis (A·Bᵀ). Measured on this
-    # Mosaic toolchain the lane-lane contraction beats the canonical
-    # ((1,), (0,)) form with a host-transposed (S, 1) vfa column by
-    # ~30% (20.8 vs 27.1 ms at the config-4 shape) — keep A·Bᵀ.
-    tc_iota = lax.broadcasted_iota(jnp.int32, (tpad_c, group), 0).astype(
-        jnp.float32
-    )
-    tapc_t = _es((vfa - tc_iota) / half, beta)          # (tpad_c, S)
-
-    # plane loop runs over the group's nwin-deep w-window starting at
-    # pbase (plan_tiles_wstack sort_planes): taps are placed at
-    # window-relative positions, padded entries carry all-zero wsc
-    pb = pbase_ref[g]
-    p0 = p0_ref[0] - pb                       # (1, S) window-relative
-    p_iota = lax.broadcasted_iota(jnp.int32, (nwin, group), 0)
-    wt = jnp.zeros((nwin, group), jnp.float32)
-    for t in range(support):
-        wt = wt + jnp.where(p0 + t == p_iota, wsc_ref[0, t:t + 1, :], 0.0)
-    wv_re = wt * vre_ref[0]                   # (nwin, S)
-    wv_im = wt * vim_ref[0]
-
-    # ONE stacked dot for the whole w-window: per-plane (nrows, S)
-    # lhs rows run the MXU at nrows/128 utilization (tpad_r is 48 at
-    # the default tile, blk 16 row-bucketed), so stack the planes into
-    # (nwin·nrows, S)
-    dims = (((1,), (1,)), ((), ()))           # contract over samples
-    rm_re = (tapr_t[None] * wv_re[:, None, :]).reshape(
-        nwin * nrows, group)
-    rm_im = (tapr_t[None] * wv_im[:, None, :]).reshape(
-        nwin * nrows, group)
-    acc_re = _mxu_dot(rm_re, tapc_t, dims, precision)
-    # (nwin·nrows, tpad_c)
-    acc_im = _mxu_dot(rm_im, tapc_t, dims, precision)
-    for p in range(nwin):
-        slab_re = acc_re[p * nrows : (p + 1) * nrows]
-        slab_im = acc_im[p * nrows : (p + 1) * nrows]
-        if nrows == tpad_r:
-            sl = (0, pb + p)
+    # ``subs`` packed sub-groups per step (pack_supergroups): the small
+    # fill-friendly sub-groups share one kernel step's fixed cost. Each
+    # sub-group rides its OWN SUBLANE of the (1, subs, S) input blocks —
+    # static sublane slicing keeps clean vector layouts, where a static
+    # LANE slice of a (1, subs·S) vector broadcast to (tpad_c, S) hits
+    # an unsupported Mosaic relayout (probed 2026-08-21).
+    for j in range(subs):
+        # row-bucketed plans anchor the dot at the sub-group's shared
+        # 8-aligned window start (nrows = blk); unbucketed plans span
+        # the whole padded tile (nrows = tpad_r, rbase 0) — same math,
+        # 3x the row MACs
+        ablate = _wgrid_ablate()
+        rb = rbase_ref[g * subs + j]
+        urow = urow_ref[0, j:j + 1, :]        # (1, S) absolute frac row
+        vfa = vfa_ref[0, j:j + 1, :]          # (1, S) absolute frac col
+        r_iota = lax.broadcasted_iota(
+            jnp.int32, (nrows, group), 0).astype(jnp.float32)
+        if ablate == "noes":
+            tapr_t = (urow - rb.astype(jnp.float32) - r_iota) * 1e-6
         else:
-            # row-bucketed: blk-row slab at the group's shared
-            # 8-aligned base (tile_pad_geometry guarantees
-            # rbase + blk <= tpad_r)
-            sl = (0, pb + p, pl.ds(pl.multiple_of(rb, 8), nrows))
-        out_re_ref[sl] += slab_re
-        out_im_ref[sl] += slab_im
+            tapr_t = _es((urow - rb.astype(jnp.float32) - r_iota) / half,
+                         beta)                # (nrows, S)
+        # column taps are computed transposed — (tpad_c, S), samples on
+        # lanes like every other per-sample array — and the dot
+        # contracts both operands over their LANE axis (A·Bᵀ). Measured
+        # on this Mosaic toolchain the lane-lane contraction beats the
+        # canonical ((1,), (0,)) form with a host-transposed (S, 1) vfa
+        # column by ~30% (20.8 vs 27.1 ms at the config-4 shape).
+        tc_iota = lax.broadcasted_iota(
+            jnp.int32, (tpad_c, group), 0).astype(jnp.float32)
+        if ablate == "noes":
+            tapc_t = (vfa - tc_iota) * 1e-6
+        else:
+            tapc_t = _es((vfa - tc_iota) / half, beta)  # (tpad_c, S)
+
+        # plane loop runs over the sub-group's nwin-deep w-window
+        # starting at pbase (plan_tiles_wstack sort_planes): taps are
+        # placed at window-relative positions, padded entries carry
+        # all-zero wsc
+        pb = pbase_ref[g * subs + j]
+        p0 = p0_ref[0, j:j + 1, :] - pb       # (1, S) window-relative
+        p_iota = lax.broadcasted_iota(jnp.int32, (nwin, group), 0)
+        wt = jnp.zeros((nwin, group), jnp.float32)
+        for t in range(support):
+            wt = wt + jnp.where(p0 + t == p_iota,
+                                wsc_ref[0, t, j:j + 1, :], 0.0)
+        wv_re = wt * vre_ref[0, j:j + 1, :]   # (nwin, S)
+        wv_im = wt * vim_ref[0, j:j + 1, :]
+
+        # ONE stacked dot for the whole w-window: per-plane (nrows, S)
+        # lhs rows run the MXU at nrows/128 utilization (tpad_r is 48
+        # at the default tile, blk 16 row-bucketed), so stack the
+        # planes into (nwin·nrows, S)
+        dims = (((1,), (1,)), ((), ()))       # contract over samples
+        rm_re = (tapr_t[None] * wv_re[:, None, :]).reshape(
+            nwin * nrows, group)
+        rm_im = (tapr_t[None] * wv_im[:, None, :]).reshape(
+            nwin * nrows, group)
+        if ablate == "nodot":
+            # keep rm/tapc live (cheap row/col sums) but skip the MXU
+            # contraction — wrong results, benchmark-only
+            acc_re = (rm_re.sum(axis=1, keepdims=True)
+                      + tapc_t.sum(axis=1).reshape(1, tpad_c))
+            acc_im = (rm_im.sum(axis=1, keepdims=True)
+                      + tapc_t.sum(axis=1).reshape(1, tpad_c))
+        else:
+            acc_re = _mxu_dot(rm_re, tapc_t, dims, precision)
+            # (nwin·nrows, tpad_c)
+            acc_im = _mxu_dot(rm_im, tapc_t, dims, precision)
+        if ablate == "normw":
+            # one combined RMW instead of nwin — wrong results,
+            # benchmark-only (isolates the slab-RMW chain share)
+            comb_re = sum(acc_re[p * nrows:(p + 1) * nrows]
+                          for p in range(nwin))
+            comb_im = sum(acc_im[p * nrows:(p + 1) * nrows]
+                          for p in range(nwin))
+            if nrows == tpad_r:
+                sl = (0, pb)
+            else:
+                sl = (0, pb, pl.ds(pl.multiple_of(rb, 8), nrows))
+            out_re_ref[sl] += comb_re
+            out_im_ref[sl] += comb_im
+            continue
+        for p in range(nwin):
+            slab_re = acc_re[p * nrows : (p + 1) * nrows]
+            slab_im = acc_im[p * nrows : (p + 1) * nrows]
+            if nrows == tpad_r:
+                sl = (0, pb + p)
+            else:
+                # row-bucketed: blk-row slab at the sub-group's shared
+                # 8-aligned base (tile_pad_geometry guarantees
+                # rbase + blk <= tpad_r)
+                sl = (0, pb + p, pl.ds(pl.multiple_of(rb, 8), nrows))
+            out_re_ref[sl] += slab_re
+            out_im_ref[sl] += slab_im
 
 
 def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
@@ -2015,6 +2180,9 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
     """
     w = plan["support"]
     group, ngroups = plan["group"], plan["ngroups"]
+    subs = plan.get("subs", 1)
+    nsg = ngroups // subs
+    lanes = group * subs
     ntiles = plan["ntr"] * plan["ntc"] * plan.get("nblk", 1)
     nplanes = plan.get("plane_block") or plan["nplanes"]
     tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
@@ -2022,8 +2190,8 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
         arrays = plan
 
     sample_pack = jnp.asarray(arrays["sample_pack"])
-    vre = vre_flat[sample_pack].astype(jnp.float32)
-    vim = vim_flat[sample_pack].astype(jnp.float32)
+    vre, vim = _pair_gather(vre_flat.astype(jnp.float32),
+                            vim_flat.astype(jnp.float32), sample_pack)
     urow = (jnp.asarray(arrays["ir_loc"]).astype(jnp.float32)
             + jnp.asarray(arrays["uf"]))
     nwin, pbase = _wstack_window(plan, arrays, ngroups)
@@ -2031,13 +2199,14 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
 
     kernel = partial(_grid_wstack_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
-                     nwin=nwin, nrows=nrows,
+                     nwin=nwin, nrows=nrows, subs=subs,
                      precision=precision or _wgrid_dot_mode())
 
-    vec = pl.BlockSpec((1, 1, group), lambda g, f, t, pb, rb: (g, 0, 0),
+    vec = pl.BlockSpec((1, subs, group),
+                       lambda g, f, t, pb, rb: (g, 0, 0),
                        memory_space=pltpu.VMEM)
-    wsc_spec = pl.BlockSpec((1, w, group),
-                            lambda g, f, t, pb, rb: (g, 0, 0),
+    wsc_spec = pl.BlockSpec((1, w, subs, group),
+                            lambda g, f, t, pb, rb: (g, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, nplanes, tpad_r, tpad_c),
                             lambda g, f, t, pb, rb: (t[g], 0, 0, 0),
@@ -2045,7 +2214,7 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # first, group_tile, pbase, rbase
-        grid=(ngroups,),
+        grid=(nsg,),
         in_specs=[vec, vec, vec, wsc_spec, vec, vec],
         out_specs=[out_spec, out_spec],
     )
@@ -2057,6 +2226,8 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
                              jnp.float32),
     ]
 
+    # sub-groups ride separate sublanes: (nsg, subs, S) vec blocks and
+    # (nsg, w, subs, S) wsc blocks (plain plans: subs == 1)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -2067,66 +2238,72 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
         jnp.asarray(arrays["group_tile"]),
         pbase,
         rbase,
-        urow[:, None, :],
-        jnp.asarray(arrays["vfa"])[:, None, :],
-        jnp.asarray(arrays["p0"]).astype(jnp.int32)[:, None, :],
-        jnp.asarray(arrays["wsc"]),
-        vre[:, None, :],
-        vim[:, None, :],
+        urow.reshape(nsg, subs, group),
+        jnp.asarray(arrays["vfa"]).reshape(nsg, subs, group),
+        jnp.asarray(arrays["p0"]).astype(jnp.int32).reshape(
+            nsg, subs, group),
+        jnp.asarray(arrays["wsc"]).reshape(nsg, w, subs, group),
+        vre.reshape(nsg, subs, group),
+        vim.reshape(nsg, subs, group),
     )
 
 
 def _degrid_wstack_mxu_kernel(gtile_ref, pbase_ref, rbase_ref, urow_ref,
                               vfa_ref, p0_ref, wsc_ref, tre_ref, tim_ref,
                               out_re_ref, out_im_ref, *, group, support,
-                              beta, tpad_r, tpad_c, nwin, nrows,
+                              beta, tpad_r, tpad_c, nwin, nrows, subs=1,
                               precision=lax.Precision.HIGHEST):
     g = pl.program_id(0)
     half = support / 2.0
 
-    # row-bucketed plans gather only the group's blk-row slab at its
-    # shared 8-aligned base (see the grid kernel); plain plans read the
-    # whole padded tile (nrows = tpad_r, rbase 0)
-    rb = rbase_ref[g]
-    urow = urow_ref[0]                        # (1, S)
-    vfa = vfa_ref[0]                          # (1, S)
-    r_iota = lax.broadcasted_iota(jnp.int32, (nrows, group), 0).astype(
-        jnp.float32
-    )
-    tapr_t = _es((urow - rb.astype(jnp.float32) - r_iota) / half,
-                 beta)                        # (nrows, S)
-    tc_iota = lax.broadcasted_iota(jnp.int32, (tpad_c, group), 0).astype(
-        jnp.float32
-    )
-    tapc_t = _es((vfa - tc_iota) / half, beta)          # (tpad_c, S)
+    # ``subs`` packed sub-groups per step, one per sublane of the
+    # (1, subs, S) input blocks (see the grid kernel)
+    for j in range(subs):
+        # row-bucketed plans gather only the sub-group's blk-row slab
+        # at its shared 8-aligned base (see the grid kernel); plain
+        # plans read the whole padded tile (nrows = tpad_r, rbase 0)
+        rb = rbase_ref[g * subs + j]
+        urow = urow_ref[0, j:j + 1, :]        # (1, S)
+        vfa = vfa_ref[0, j:j + 1, :]          # (1, S)
+        r_iota = lax.broadcasted_iota(
+            jnp.int32, (nrows, group), 0).astype(jnp.float32)
+        tapr_t = _es((urow - rb.astype(jnp.float32) - r_iota) / half,
+                     beta)                    # (nrows, S)
+        tc_iota = lax.broadcasted_iota(
+            jnp.int32, (tpad_c, group), 0).astype(jnp.float32)
+        tapc_t = _es((vfa - tc_iota) / half, beta)      # (tpad_c, S)
 
-    # gather only the group's nwin-deep w-window (see the grid kernel)
-    pb = pbase_ref[g]
-    p0 = p0_ref[0] - pb                       # (1, S) window-relative
-    p_iota = lax.broadcasted_iota(jnp.int32, (nwin, group), 0)
-    wt = jnp.zeros((nwin, group), jnp.float32)
-    for t in range(support):
-        wt = wt + jnp.where(p0 + t == p_iota, wsc_ref[0, t:t + 1, :], 0.0)
+        # gather only the sub-group's nwin-deep w-window
+        pb = pbase_ref[g * subs + j]
+        p0 = p0_ref[0, j:j + 1, :] - pb       # (1, S) window-relative
+        p_iota = lax.broadcasted_iota(jnp.int32, (nwin, group), 0)
+        wt = jnp.zeros((nwin, group), jnp.float32)
+        for t in range(support):
+            wt = wt + jnp.where(p0 + t == p_iota,
+                                wsc_ref[0, t, j:j + 1, :], 0.0)
 
-    # ONE stacked dot for the whole w-window (see the grid kernel): the
-    # nwin tile planes concatenate along rows, (nwin·nrows, tpad_c) @
-    # (tpad_c, S), and the per-plane row-tap reduction becomes a single
-    # weighted column-sum against wt[p]·tapr[r] stacked the same way
-    dims = (((1,), (0,)), ((), ()))           # (…, tpad_c) @ (tpad_c, S)
-    if nrows == tpad_r:
-        tsl = (0, pl.ds(pb, nwin))
-    else:
-        tsl = (0, pl.ds(pb, nwin), pl.ds(pl.multiple_of(rb, 8), nrows))
-    t_re = tre_ref[tsl].reshape(nwin * nrows, tpad_c)
-    t_im = tim_ref[tsl].reshape(nwin * nrows, tpad_c)
-    m_re = _mxu_dot(t_re, tapc_t, dims, precision)
-    # (nwin·nrows, S)
-    m_im = _mxu_dot(t_im, tapc_t, dims, precision)
-    a_st = (wt[:, None, :] * tapr_t[None]).reshape(nwin * nrows, group)
-    acc_re = jnp.sum(a_st * m_re, axis=0, keepdims=True)      # (1, S)
-    acc_im = jnp.sum(a_st * m_im, axis=0, keepdims=True)
-    out_re_ref[...] = acc_re[:, None, :]
-    out_im_ref[...] = acc_im[:, None, :]
+        # ONE stacked dot for the whole w-window (see the grid kernel):
+        # the nwin tile planes concatenate along rows, (nwin·nrows,
+        # tpad_c) @ (tpad_c, S), and the per-plane row-tap reduction
+        # becomes a single weighted column-sum against wt[p]·tapr[r]
+        # stacked the same way
+        dims = (((1,), (0,)), ((), ()))       # (…, tpad_c) @ (tpad_c, S)
+        if nrows == tpad_r:
+            tsl = (0, pl.ds(pb, nwin))
+        else:
+            tsl = (0, pl.ds(pb, nwin),
+                   pl.ds(pl.multiple_of(rb, 8), nrows))
+        t_re = tre_ref[tsl].reshape(nwin * nrows, tpad_c)
+        t_im = tim_ref[tsl].reshape(nwin * nrows, tpad_c)
+        m_re = _mxu_dot(t_re, tapc_t, dims, precision)
+        # (nwin·nrows, S)
+        m_im = _mxu_dot(t_im, tapc_t, dims, precision)
+        a_st = (wt[:, None, :] * tapr_t[None]).reshape(
+            nwin * nrows, group)
+        acc_re = jnp.sum(a_st * m_re, axis=0, keepdims=True)  # (1, S)
+        acc_im = jnp.sum(a_st * m_im, axis=0, keepdims=True)
+        out_re_ref[0, j:j + 1, :] = acc_re
+        out_im_ref[0, j:j + 1, :] = acc_im
 
 
 def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
@@ -2143,6 +2320,9 @@ def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
     """
     w = plan["support"]
     group, ngroups = plan["group"], plan["ngroups"]
+    subs = plan.get("subs", 1)
+    nsg = ngroups // subs
+    lanes = group * subs
     nplanes = plan.get("plane_block") or plan["nplanes"]
     tpad_r, tpad_c = plan["tpad_r"], plan["tpad_c"]
     if arrays is None:
@@ -2155,30 +2335,32 @@ def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
 
     kernel = partial(_degrid_wstack_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
-                     nwin=nwin, nrows=nrows,
+                     nwin=nwin, nrows=nrows, subs=subs,
                      precision=precision or _wgrid_dot_mode())
 
-    vec = pl.BlockSpec((1, 1, group), lambda g, t, pb, rb: (g, 0, 0),
+    vec = pl.BlockSpec((1, subs, group),
+                       lambda g, t, pb, rb: (g, 0, 0),
                        memory_space=pltpu.VMEM)
-    wsc_spec = pl.BlockSpec((1, w, group),
-                            lambda g, t, pb, rb: (g, 0, 0),
+    wsc_spec = pl.BlockSpec((1, w, subs, group),
+                            lambda g, t, pb, rb: (g, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((1, nplanes, tpad_r, tpad_c),
                              lambda g, t, pb, rb: (t[g], 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, group), lambda g, t, pb, rb: (g, 0, 0),
+    out_spec = pl.BlockSpec((1, subs, group),
+                            lambda g, t, pb, rb: (g, 0, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # group_tile, pbase, rbase
-        grid=(ngroups,),
+        grid=(nsg,),
         in_specs=[vec, vec, vec, wsc_spec, tile_spec, tile_spec],
         out_specs=[out_spec, out_spec],
     )
 
     out_shape = [
-        jax.ShapeDtypeStruct((ngroups, 1, group), jnp.float32),
-        jax.ShapeDtypeStruct((ngroups, 1, group), jnp.float32),
+        jax.ShapeDtypeStruct((nsg, subs, group), jnp.float32),
+        jax.ShapeDtypeStruct((nsg, subs, group), jnp.float32),
     ]
 
     vals_re, vals_im = pl.pallas_call(
@@ -2190,10 +2372,11 @@ def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
         jnp.asarray(arrays["group_tile"]),
         pbase,
         rbase,
-        urow[:, None, :],
-        jnp.asarray(arrays["vfa"])[:, None, :],
-        jnp.asarray(arrays["p0"]).astype(jnp.int32)[:, None, :],
-        jnp.asarray(arrays["wsc"]),
+        urow.reshape(nsg, subs, group),
+        jnp.asarray(arrays["vfa"]).reshape(nsg, subs, group),
+        jnp.asarray(arrays["p0"]).astype(jnp.int32).reshape(
+            nsg, subs, group),
+        jnp.asarray(arrays["wsc"]).reshape(nsg, w, subs, group),
         tiles_re.astype(jnp.float32),
         tiles_im.astype(jnp.float32),
     )
@@ -2203,7 +2386,7 @@ def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
 
     if "vis_slot" in arrays:
         sel = jnp.asarray(arrays["vis_slot"])
-        return vals_re[sel], vals_im[sel]
+        return _pair_gather(vals_re, vals_im, sel)
     sample = jnp.asarray(arrays["sample_pack"]).reshape(-1)
     out_re = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_re)
     out_im = jnp.zeros(nvis, jnp.float32).at[sample].add(vals_im)

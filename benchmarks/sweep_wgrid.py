@@ -65,6 +65,33 @@ dt = measure(lambda v: grid_adjoint(uvw32, freq32, v, None, nx, ny, cell,
 info["compile_plus_time_s"] = round(time.perf_counter() - t0, 1)
 info["dirty_mvis_s"] = round(nvis / dt / 1e6, 2)
 
+if os.environ.get("SWEEP_STAGES") == "1":
+    # stage split of the dirty step: vis gather, tile kernel, assemble,
+    # FFT+w-correction remainder
+    from africanus_tpu.ops import pallas_grid as pg
+
+    tp2 = plan["tile_plan"]
+    sp = jnp.asarray(tp2["sample_pack"])
+    vre_flat = v32.re.reshape(-1)
+    vim_flat = v32.im.reshape(-1)
+    dtg = measure(lambda vr: vr[sp].sum().reshape(1), vre_flat, reps=10)
+    info["gather_ms"] = round(2 * dtg * 1e3, 2)  # re+im
+
+    gridfn = (pg.grid_tiles_wstack_mxu if pg.wstack_use_mxu(tp2)
+              else pg.grid_tiles_wstack_pallas)
+    dtk = measure(
+        lambda vr: gridfn(tp2, vr, vim_flat)[0].reshape(-1)[:1],
+        vre_flat, reps=3,
+    )
+    info["kernel_ms"] = round(dtk * 1e3, 2)  # includes both gathers
+
+    t_re, t_im = gridfn(tp2, vre_flat, vim_flat)
+    dta = measure(
+        lambda tr: pg.assemble_wstack_tiles(tr, t_im, tp2)[0]
+        .reshape(-1)[:1], t_re, reps=3,
+    )
+    info["assemble_ms"] = round(dta * 1e3, 2)
+
 if os.environ.get("SWEEP_DEGRID") == "1":
     image32 = np.random.default_rng(5).normal(size=(nx, ny)).astype(f32)
     ddt = measure(lambda im: degrid_ri(uvw32, freq32, im, None, cell, cell,
