@@ -174,7 +174,8 @@ def _tile_plan(uvw, freq, plan, nx, ny, cellx, celly, fused_wstack=True):
                 # per-step cost, and row-bucketing already made the dot
                 # cost independent of tile_r — so LARGE tiles (fewer,
                 # fuller buckets) + small groups win: tr128/g128/pack8
-                # measured 47.3 Mvis/s dirty vs tr32/g512/unpacked's
+                # measured 48.4 Mvis/s dirty (50.6 with bf16x3 dots)
+                # vs tr32/g512/unpacked's
                 # 20.1 at the config-4 shape (benchmarks/RESULTS.md).
                 tr_targets, group = (128, 64, 32), 128
             elif pg.WSTACK_USE_MXU:
@@ -425,6 +426,16 @@ def make_plan(uvw, freq, nx, ny, cellx, celly, epsilon, do_wstacking=True,
     if use_tiles:
         plan["tile_plan"] = _tile_plan(uvw, freq, plan, nx, ny, cellx,
                                        celly)
+        # epsilon-gated bf16x3 dots for the fused MXU route: the
+        # hand-rolled 3-pass scheme is ~7e-6 relative vs HIGHEST —
+        # negligible against a 1e-4 ES budget (dirty 48.4 -> 50.6
+        # Mvis/s at the config-4 shape), but it would dominate the
+        # support-10 (eps ~1e-7) accuracy floor, so tighter epsilons
+        # keep HIGHEST. AFRICANUS_TPU_WGRID_DOT overrides either way.
+        tp = plan.get("tile_plan")
+        if (tp is not None and epsilon >= 1e-4
+                and tp.get("wstack_fused")):
+            tp.setdefault("dot_mode", "bf16x3")
     return _MAKE_PLAN_CACHE.put(key, plan)
 
 

@@ -309,10 +309,11 @@ def _pick_blocks(nlane, ngroups, cg, ncorr, contract_tile, n_in_planes,
     - ``lane_tile`` (pixels/rows on the 128-lane axis) grows to a
       toolchain-safe cap while the register accumulators (``n_acc`` per
       lane register) stay within a conservative 32-vreg budget. The cap
-      defaults to 256: 512-wide tiles wedge/time out the remote Mosaic
-      compile on this toolchain (benchmarks/RESULTS.md "tile 512:
-      compile timeout"; the round-3 driver bench died compiling them).
-      Re-probe by setting AFRICANUS_TPU_DFT_MAX_LANE_TILE.
+      default returned to 512 on 2026-08-21: the Mosaic compile wall
+      that killed the round-3 driver bench (512-wide tiles wedged the
+      remote compile) has lifted — the KAT-7 config-1 shape now
+      compiles in 19 s and measures ~+7%% over 256 (TOOLCHAIN.md item
+      2). AFRICANUS_TPU_DFT_MAX_LANE_TILE overrides either way.
     - ``group_block`` channel groups run per step (unrolled), bounded
       by a 32-slot unroll budget (gb*cg, Mosaic compile time) and a
       ~2 MB VMEM budget across the step's blocks.
@@ -321,7 +322,7 @@ def _pick_blocks(nlane, ngroups, cg, ncorr, contract_tile, n_in_planes,
         import os
 
         cap_lanes = int(os.environ.get(
-            "AFRICANUS_TPU_DFT_MAX_LANE_TILE", "256"))
+            "AFRICANUS_TPU_DFT_MAX_LANE_TILE", "512"))
         lane_tile = 128
         while (lane_tile < cap_lanes and lane_tile < nlane
                and n_acc * (2 * lane_tile // 128) <= 32):

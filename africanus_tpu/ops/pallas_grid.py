@@ -383,10 +383,15 @@ def _mxu_dot(a, b, dims, precision):
 
 
 def _wgrid_dot_mode():
-    """Kernel dot mode for the MXU w-stack/tile kernels (read at trace
-    time): "bf16x3" or a lax.Precision."""
-    mode = os.environ.get("AFRICANUS_TPU_WGRID_DOT", "highest").lower()
-    return "bf16x3" if mode == "bf16x3" else lax.Precision.HIGHEST
+    """Explicit kernel dot-mode override from the environment (read at
+    trace time): "bf16x3", a forced lax.Precision, or None (defer to
+    the plan's epsilon-gated ``dot_mode``, then HIGHEST)."""
+    mode = os.environ.get("AFRICANUS_TPU_WGRID_DOT", "").lower()
+    if mode == "bf16x3":
+        return "bf16x3"
+    if mode in ("highest", "f32"):
+        return lax.Precision.HIGHEST
+    return None
 
 
 def _wgrid_ablate():
@@ -844,6 +849,11 @@ def pack_shard_plans(plans):
         subs = subs_set.pop()
         if subs > 1:
             geo["subs"] = subs
+        # epsilon-gated dot mode survives packing only when every
+        # shard agrees (mixed shards fall back to HIGHEST)
+        modes = {p.get("dot_mode") for p in plans}
+        if len(modes) == 1 and None not in modes:
+            geo["dot_mode"] = modes.pop()
         # plane-blocked format must agree across shards (checked with
         # the other geometry below)
         if "plane_block" in plans[0]:
@@ -2200,7 +2210,9 @@ def grid_tiles_wstack_mxu(plan, vre_flat, vim_flat, interpret=False,
     kernel = partial(_grid_wstack_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
                      nwin=nwin, nrows=nrows, subs=subs,
-                     precision=precision or _wgrid_dot_mode())
+                     precision=precision or _wgrid_dot_mode()
+                     or plan.get("dot_mode")
+                     or lax.Precision.HIGHEST)
 
     vec = pl.BlockSpec((1, subs, group),
                        lambda g, f, t, pb, rb: (g, 0, 0),
@@ -2336,7 +2348,9 @@ def degrid_tiles_wstack_mxu(plan, tiles_re, tiles_im, nvis,
     kernel = partial(_degrid_wstack_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
                      nwin=nwin, nrows=nrows, subs=subs,
-                     precision=precision or _wgrid_dot_mode())
+                     precision=precision or _wgrid_dot_mode()
+                     or plan.get("dot_mode")
+                     or lax.Precision.HIGHEST)
 
     vec = pl.BlockSpec((1, subs, group),
                        lambda g, t, pb, rb: (g, 0, 0),
@@ -2462,7 +2476,9 @@ def grid_tiles_mxu(plan, vre_flat, vim_flat, interpret=False,
     kernel = partial(_grid_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
                      ncorr=ncorr,
-                     precision=precision or _wgrid_dot_mode())
+                     precision=precision or _wgrid_dot_mode()
+                     or plan.get("dot_mode")
+                     or lax.Precision.HIGHEST)
 
     vec = pl.BlockSpec((1, 1, group), lambda g, f, t: (g, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -2556,7 +2572,9 @@ def degrid_tiles_mxu(plan, tiles_re, tiles_im, nvis, interpret=False,
     kernel = partial(_degrid_mxu_kernel, group=group, support=w,
                      beta=plan["beta"], tpad_r=tpad_r, tpad_c=tpad_c,
                      ncorr=ncorr,
-                     precision=precision or _wgrid_dot_mode())
+                     precision=precision or _wgrid_dot_mode()
+                     or plan.get("dot_mode")
+                     or lax.Precision.HIGHEST)
 
     vec = pl.BlockSpec((1, 1, group), lambda g, t: (g, 0, 0),
                        memory_space=pltpu.VMEM)
