@@ -854,3 +854,70 @@ def test_wstack_mxu_bf16x3_dot_mode(rng, monkeypatch):
     ds = float(np.abs(np.asarray(d_h[0])).max())
     assert np.abs(np.asarray(d_b[0]) - np.asarray(d_h[0])).max() < 3e-5 * ds
     assert np.abs(np.asarray(d_b[1]) - np.asarray(d_h[1])).max() < 3e-5 * ds
+
+
+def test_wstack_mxu_packed_supergroups(rng):
+    """pack_supergroups: subs sub-groups per MXU kernel step (each on
+    its own sublane) must match the unpacked scatter route exactly in
+    both directions, including the recomputed vis_slot inverse."""
+    import jax.numpy as jnp
+    from africanus_tpu.ops.pallas_grid import (
+        assemble_wstack_tiles, degrid_tiles_wstack_mxu,
+        degrid_tiles_wstack_pallas, extract_wstack_tiles,
+        grid_tiles_wstack_mxu, grid_tiles_wstack_pallas,
+        pack_supergroups, plan_tiles_wstack,
+    )
+
+    w, beta = 6, 2.3 * 6
+    nu = nv = 128
+    nplanes = 12
+    n = 3000
+    upos = rng.uniform(0, nu, n)
+    vpos = rng.uniform(0, nv, n)
+    iu0 = np.floor(upos).astype(np.int64) - (w // 2 - 1)
+    iv0 = np.floor(vpos).astype(np.int64) - (w // 2 - 1)
+    uf, vf = upos - iu0, vpos - iv0
+    wpos = rng.uniform(w / 2, nplanes - w / 2 - 1, n)
+    iw0 = np.floor(wpos).astype(np.int64) - (w // 2 - 1)
+    offs = np.arange(w)
+    kw = es_np((wpos[:, None] - (iw0[:, None] + offs)) / (w / 2.0), beta)
+    vre = rng.normal(size=n).astype(np.float32)
+    vim = rng.normal(size=n).astype(np.float32)
+
+    plan = plan_tiles_wstack(iu0, iv0, uf, vf, w, beta, nu, nv,
+                             p0=iw0, wscales=kw.T, nplanes=nplanes,
+                             tile_r=64, tile_c=64, group=64,
+                             row_bucket=True)
+    packed = pack_supergroups(plan, 4)
+    assert packed["subs"] == 4
+    assert packed["ngroups"] % 4 == 0
+    # per-SUPER-group metadata, per-sub-group scalars
+    nsg = packed["ngroups"] // 4
+    assert packed["group_tile"].shape == (nsg,)
+    assert packed["first"].shape == (nsg,)
+    assert packed["rbase"].shape == (packed["ngroups"],)
+
+    t_re, t_im = grid_tiles_wstack_pallas(plan, jnp.asarray(vre),
+                                          jnp.asarray(vim),
+                                          interpret=True)
+    ref_re, ref_im = assemble_wstack_tiles(t_re, t_im, plan)
+    m_re, m_im = grid_tiles_wstack_mxu(packed, jnp.asarray(vre),
+                                       jnp.asarray(vim), interpret=True)
+    got_re, got_im = assemble_wstack_tiles(m_re, m_im, packed)
+    sc = float(np.abs(np.asarray(ref_re)).max())
+    assert np.abs(np.asarray(got_re) - np.asarray(ref_re)).max() < 2e-5 * sc
+    assert np.abs(np.asarray(got_im) - np.asarray(ref_im)).max() < 2e-5 * sc
+
+    x_re, x_im = extract_wstack_tiles(np.asarray(ref_re),
+                                      np.asarray(ref_im), plan)
+    d_ref = degrid_tiles_wstack_pallas(plan, x_re, x_im, n,
+                                       interpret=True)
+    xp_re, xp_im = extract_wstack_tiles(np.asarray(ref_re),
+                                        np.asarray(ref_im), packed)
+    d_got = degrid_tiles_wstack_mxu(packed, xp_re, xp_im, n,
+                                    interpret=True)
+    ds = float(np.abs(np.asarray(d_ref[0])).max())
+    assert np.abs(np.asarray(d_got[0]) - np.asarray(d_ref[0])).max() \
+        < 2e-5 * ds
+    assert np.abs(np.asarray(d_got[1]) - np.asarray(d_ref[1])).max() \
+        < 2e-5 * ds
